@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registrable operator demo: a Spark implementation plus (where
+  * SQL-expressible) a DuckDB oracle over the same tables. The driver
+  * hash-compares the two on sf0.01 (Verify) and times the Spark side on
+  * sf0.1 (Bench).
+  *
+  * Determinism contract for oracle-checked entries: total ORDER BY on the
+  * output, exact (decimal-derived or integer) values wherever floats are
+  * aggregated, matching column aliases on both sides.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+object QueryRegistry {
+  lazy val all: Seq[Q] = {
+    val qs =
+      queries.CoreQueries.qs ++
+        queries.JoinQueries.qs ++
+        queries.WindowQueries.qs ++
+        queries.EventQueries.qs ++
+        queries.TextQueries.qs ++
+        queries.VectorQueries.qs ++
+        queries.IngestQueries.qs ++
+        queries.UdxQueries.qs
+    val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
+    qs
+  }
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

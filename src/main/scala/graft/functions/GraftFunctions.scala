@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by the graft operators.
+  *
+  * Everything here is a composition of Catalyst built-ins (codegen-friendly,
+  * no interpretation overhead in the hot path); the single UDF is a
+  * deliberately-provided twin of [[safeName]] to cover the UDF surface
+  * (SURVEY.md B39) and is not used by any query.
+  */
+object GraftFunctions {
+
+  /** Key normalization from the reference ingester (`fetch_data.py:36-40`):
+    * lowercase, trim, drop chars outside `[\w\s-]`, collapse whitespace runs
+    * to `_`. Used there to derive per-commodity partition file names; here a
+    * pure-column expression so it stays inside whole-stage codegen.
+    */
+  def safeName(c: Column): Column =
+    regexp_replace(regexp_replace(lower(trim(c)), "[^\\w\\s-]", ""), "\\s+", "_")
+
+  /** UDF twin of [[safeName]] (B39). Prefer the column version in real
+    * plans — a Scala UDF is an opaque black box to Catalyst.
+    */
+  val safeNameUdf: UserDefinedFunction = udf { (s: String) =>
+    if (s == null) null
+    else s.toLowerCase.trim.replaceAll("[^\\w\\s-]", "").replaceAll("\\s+", "_")
+  }
+
+  /** Portable 60-bit hash: `conv(substr(md5(x),1,15),16,10)` — bit-identical
+    * to DuckDB's `('0x' || substr(md5(x),1,15))::BIGINT`, which lets
+    * hash-based operators (minhash, simhash, LSH) be verified exactly
+    * against a SQL oracle. 15 hex chars = 60 bits, always fits a signed
+    * 64-bit long. md5 is uniformly mixing; speed is not the concern at
+    * verification scale, and the operators are parameterized on the hash
+    * column so a cheaper `xxhash64` can be swapped in for production runs.
+    */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant: distinct hash families per seed string. */
+  def hash60(seed: String, c: Column): Column =
+    hash60(concat(lit(seed + ":"), c.cast("string")))
+
+  /** Whitespace tokenizer matching `\s+` split with empty tokens dropped —
+    * the shared definition used by every text operator and its oracle
+    * (`list_filter(string_split_regex(trim(x),'\s+'), t -> t <> '')`).
+    */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => length(t) > lit(0))
+
+  /** Widen a float array to double (float→double is exact, so results stay
+    * comparable across engines). */
+  def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Sequential-fold dot product over two double arrays via higher-order
+    * functions — stays in codegen, no UDF. Deterministic order (left fold),
+    * so results are reproducible run-to-run.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two double arrays. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Cosine given precomputed norms (the scalable form: norms are computed
+    * once per vector and reused across all pair comparisons). */
+  def cosinePre(dotAB: Column, normA: Column, normB: Column): Column =
+    dotAB / (normA * normB)
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join (SURVEY.md B13): for every left row, attach the latest right
+  * row with `rightTime <= leftTime` within the same key group.
+  *
+  * Implementation is the union+window formulation, not a pair join:
+  * both sides are tagged and unioned, then a single
+  * `last(<right cols>, ignoreNulls) OVER (PARTITION BY keys ORDER BY t,
+  * side ROWS UNBOUNDED PRECEDING)` carries the most recent right values
+  * forward onto left rows. Right rows sort before left rows at equal
+  * timestamps, giving inclusive (<=) semantics.
+  *
+  * Scale: one shuffle per side on the join keys, then a linear scan per
+  * key partition — no candidate-pair blowup, no range self-join. Skewed
+  * keys can be salted upstream; state per key is O(1).
+  */
+object AsOfJoin {
+
+  /** @param left       rows to enrich; all its columns are preserved
+    * @param right      lookup stream
+    * @param keys       equality key columns present on both sides
+    * @param leftTime   event-time column name on `left`
+    * @param rightTime  event-time column name on `right`
+    * @param rightVals  columns of `right` to carry onto matches (renamed as-is)
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String]): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+      .select((keys.map(col) :+ col("__t") :+ col("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
+        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+      .select((keys.map(col) :+ col("__t") :+ col("__side")) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
+        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+
+    carried
+      .filter(col("__side") === 1)
+      .select(keys.map(col) ++
+        leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
+        rightVals.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+  }
+}

@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event-stream analytics in batch form (SURVEY.md B3, B18-B19, B30,
+  * B32, B34-B36 batch equivalents). The streaming twins of the windowed
+  * queries live in graft.streaming and are exercised by ScalaTest with
+  * Trigger.AvailableNow; these batch versions carry the DuckDB oracles.
+  */
+object EventQueries {
+
+  val qs: Seq[Q] = Seq(
+    // B3/B30: JSON decode of the props column (from_json into a struct on
+    // the Spark side; the oracle re-derives k with a regexp so it does not
+    // depend on DuckDB's json extension being loaded).
+    Q(
+      "q40_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("k", from_json(col("props"), StructType(Seq(StructField("k", IntegerType)))).getField("k"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+          .orderBy("event_type"),
+      Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+               SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+              FROM events)
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // B30: map functions over the parsed props.
+    Q(
+      "q41_map_funcs",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("m", from_json(col("props"), MapType(StringType, IntegerType)))
+          .select(
+            col("event_id"),
+            array_join(array_sort(map_keys(col("m"))), ",").as("keys"),
+            element_at(col("m"), "k").as("k_val"))
+          .orderBy("event_id")
+          .limit(500),
+      Some("""
+        SELECT event_id, 'k' AS keys,
+               CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k_val
+        FROM events
+        ORDER BY event_id
+        LIMIT 500""")),
+
+    // B34 batch twin: tumbling event-time windows via window() — hourly
+    // event counts. Output start as formatted string (portable).
+    Q(
+      "q42_tumbling_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("event_type"), col("cnt"))
+          .orderBy("win_start", "event_type"),
+      Some("""
+        SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S') AS win_start,
+               event_type, COUNT(*) AS cnt
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY win_start, event_type""")),
+
+    // B34: sliding windows (1h window, 30m slide) — each event lands in 2
+    // windows; oracle expands the two candidate window starts per event.
+    Q(
+      "q43_sliding_window",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+            col("cnt"))
+          .orderBy("win_start"),
+      Some("""
+        WITH slid AS (
+          SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b, ts FROM events)
+        SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS win_start, COUNT(*) AS cnt FROM (
+          SELECT b AS win_start FROM slid
+          UNION ALL
+          SELECT b - INTERVAL 30 MINUTE AS win_start FROM slid)
+        GROUP BY 1
+        ORDER BY win_start""")),
+
+    // B35 batch twin: session windows = gap>30min islands per user
+    // (lag + cumulative sum island detection).
+    Q(
+      "q44_sessionize",
+      (s, dir) => {
+        val wu = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(wu))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast(LongType) - col("prev_ts").cast(LongType) > 1800, 1L).otherwise(0L))
+          .withColumn("sess_id", sum(col("new_sess")).over(
+            Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sess_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            (max(col("ts").cast(LongType)) - min(col("ts").cast(LongType))).as("sess_secs"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            max(col("n_events")).as("max_events"),
+            max(col("sess_secs")).as("longest_secs"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_id, ts,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS tsec,
+                 lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tsec
+          FROM events),
+        flagged AS (
+          SELECT *, CASE WHEN prev_tsec IS NULL
+                          OR tsec - prev_tsec > 1800 THEN 1 ELSE 0 END AS new_sess
+          FROM ordered),
+        sess AS (
+          SELECT user_id, event_id, tsec,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+          FROM flagged),
+        per_sess AS (
+          SELECT user_id, sess_id, COUNT(*) AS n_events,
+                 MAX(tsec) - MIN(tsec) AS sess_secs
+          FROM sess GROUP BY user_id, sess_id)
+        SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_events,
+               MAX(sess_secs) AS longest_secs
+        FROM per_sess GROUP BY user_id
+        ORDER BY user_id""")),
+
+    // B38 batch twin: running per-key state (cumulative counters).
+    Q(
+      "q45_running_state",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(
+            col("event_id"), col("user_id"),
+            count(lit(1)).over(w).as("events_so_far"),
+            sum(col("value").cast(DecimalType(18, 2))).over(w).cast(DoubleType).as("value_so_far"))
+          .orderBy("event_id")
+          .limit(2000)
+      },
+      Some("""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS events_so_far,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS value_so_far
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        ORDER BY event_id
+        LIMIT 2000""")),
+
+    // B18: approx_count_distinct — verified as exact count plus a bounded
+    // relative-error flag (the sketch value itself is engine-specific).
+    Q(
+      "q46_approx_distinct",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .agg(
+            countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+          .select(
+            col("exact_users"),
+            (abs(col("approx_users") - col("exact_users")).cast(DoubleType) /
+              col("exact_users") <= 0.1).as("approx_ok")),
+      Some("""
+        SELECT COUNT(DISTINCT user_id) AS exact_users, TRUE AS approx_ok
+        FROM events""")),
+
+    // B19: exact interpolated percentiles via Spark's percentile();
+    // rounded to absorb the engines' different interpolation arithmetic.
+    Q(
+      "q47_percentiles",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // B32: seeded sampling — inherently engine-specific row pick, so the
+    // oracle-free contract is: the sampled fraction lands in a tolerance
+    // band (checked in ScalaTest); here we surface the sample size only.
+    Q(
+      "q48_sampling",
+      (s, dir) => {
+        val n = Tables.lineitem(s, dir).sample(withReplacement = false, 0.1, seed = 42).count()
+        val nAll = Tables.lineitem(s, dir).count()
+        import s.implicits._
+        Seq((n > 0.05 * nAll && n < 0.15 * nAll)).toDF("sample_in_bounds")
+      },
+      Some("SELECT TRUE AS sample_in_bounds"))
+  )
+}

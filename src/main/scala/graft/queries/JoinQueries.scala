@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Join surface (SURVEY.md B8-B14): shuffle/broadcast/sort-merge equi-joins,
+  * outer/semi/anti, non-equi range joins, interval overlap, as-of.
+  *
+  * Scale notes: small dimensions are explicitly `broadcast()` so the fact
+  * side never shuffles for them; the two large-table joins shuffle on their
+  * join key exactly once; the range joins broadcast the tiny band/period
+  * side (BroadcastNestedLoopJoin over a handful of rows, not a cross join
+  * of two big relations); the as-of join is the union+window formulation
+  * that shuffles each side once by key instead of exploding pairs.
+  */
+object JoinQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  val qs: Seq[Q] = Seq(
+    // B8: shuffle hash/sort-merge equi-join, fact x fact, then aggregate.
+    Q(
+      "q20_join_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            countDistinct(col("o_orderkey")).as("n_orders"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               COUNT(DISTINCT o_orderkey) AS n_orders,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // B9: explicit broadcast of the small dims (nation: 25, region: 5).
+    Q(
+      "q21_join_broadcast",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy("r_name"),
+      Some("""
+        SELECT r_name, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        ORDER BY r_name""")),
+
+    // B10: force the large-large sort-merge path with a merge hint.
+    Q(
+      "q22_join_sortmerge",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .hint("merge")
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderstatus"),
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // B11: left outer join preserving order-less customers.
+    Q(
+      "q23_join_left_outer",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(count(col("o_orderkey")).as("n_orders"), dsum(col("o_totalprice")).as("spent"))
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spent
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY c_custkey""")),
+
+    // B11: left anti — customers that never ordered.
+    Q(
+      "q24_join_anti",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_mktsegment")
+          .orderBy("c_custkey"),
+      Some("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")),
+
+    // B11: left semi — suppliers with at least one heavy shipment.
+    Q(
+      "q25_join_semi",
+      (s, dir) =>
+        Tables.supplier(s, dir)
+          .join(
+            Tables.lineitem(s, dir).filter(col("l_quantity") > 45),
+            col("s_suppkey") === col("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey"),
+      Some("""
+        SELECT s_suppkey, s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45)
+        ORDER BY s_suppkey""")),
+
+    // B12: non-equi range join against a tiny broadcast band table.
+    Q(
+      "q26_join_range_bands",
+      (s, dir) => {
+        val bands = s.createDataFrame(Seq(
+          ("A_low", 0.0, 20000.0),
+          ("B_mid", 20000.0, 60000.0),
+          ("C_high", 60000.0, 200000.0)
+        )).toDF("band", "lo", "hi")
+        Tables.lineitem(s, dir)
+          .join(broadcast(bands),
+            col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("cnt"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("band")
+      },
+      Some("""
+        SELECT band, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        JOIN (VALUES ('A_low', 0.0, 20000.0),
+                     ('B_mid', 20000.0, 60000.0),
+                     ('C_high', 60000.0, 200000.0)) AS bands(band, lo, hi)
+          ON l_extendedprice >= lo AND l_extendedprice < hi
+        GROUP BY band
+        ORDER BY band""")),
+
+    // B14: interval overlap join — 30-day order windows vs promo periods.
+    Q(
+      "q27_join_interval_overlap",
+      (s, dir) => {
+        val promos = s.createDataFrame(Seq(
+          ("NEWYEAR96", "1996-01-01", "1996-02-15"),
+          ("SUMMER97", "1997-06-01", "1997-08-31"),
+          ("FALL99", "1999-09-01", "1999-11-15")
+        )).toDF("promo", "p_start", "p_end")
+          .select(col("promo"), col("p_start").cast(DateType), col("p_end").cast(DateType))
+        val o = Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            col("o_orderdate").cast(DateType).as("o_start"),
+            date_add(col("o_orderdate").cast(DateType), 30).as("o_end"))
+        o.join(broadcast(promos),
+            col("o_start") <= col("p_end") && col("p_start") <= col("o_end"))
+          .groupBy(col("promo"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("promo")
+      },
+      Some("""
+        SELECT promo, COUNT(*) AS n_orders
+        FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_start,
+                     CAST(o_orderdate AS DATE) + 30 AS o_end
+              FROM orders) o
+        JOIN (VALUES ('NEWYEAR96', DATE '1996-01-01', DATE '1996-02-15'),
+                     ('SUMMER97', DATE '1997-06-01', DATE '1997-08-31'),
+                     ('FALL99', DATE '1999-09-01', DATE '1999-11-15')) AS p(promo, p_start, p_end)
+          ON o_start <= p_end AND p_start <= o_end
+        GROUP BY promo
+        ORDER BY promo"""))
+  )
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window-function surface (SURVEY.md B20-B22), deterministic dedup (B6)
+  * and the as-of join demo (B13).
+  *
+  * Frames over money columns stay DECIMAL until after the window sum, so
+  * sliding-frame results are exact and engine-independent (DuckDB computes
+  * sliding sums with a segment tree; Spark re-adds per frame — with
+  * doubles those would differ in the last bits, with decimals they can't).
+  */
+object WindowQueries {
+
+  val qs: Seq[Q] = Seq(
+    // B20: ranking family (row_number needs a total tiebreak; rank and
+    // dense_rank are shown over the value-only ordering so ties surface).
+    Q(
+      "q30_window_rank",
+      (s, dir) => {
+        val wOrd   = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+        val wPrice = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+        Tables.part(s, dir)
+          .select(
+            col("p_brand"), col("p_partkey"), col("p_retailprice"),
+            row_number().over(wOrd).as("rn"),
+            rank().over(wPrice).as("rk"),
+            dense_rank().over(wPrice).as("drk"),
+            ntile(4).over(wOrd).as("quartile"))
+          .filter(col("rn") <= 3)
+          .orderBy("p_brand", "rn")
+      },
+      Some("""
+        SELECT p_brand, p_partkey, p_retailprice, rn, rk, drk, quartile FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
+                 rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rk,
+                 dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drk,
+                 CAST(ntile(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INT) AS quartile
+          FROM part)
+        WHERE rn <= 3
+        ORDER BY p_brand, rn""")),
+
+    // B21: lag/lead over the daily revenue series (day-over-day delta —
+    // the reference corpus' day-over-day modal-price query shape).
+    Q(
+      "q31_window_lag_lead",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast(DateType).as("d"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"),
+            count(lit(1)).as("n"))
+        val w = Window.orderBy(col("d"))
+        daily
+          .select(
+            col("d"),
+            col("rev_dec").cast(DoubleType).as("rev"),
+            lag(col("rev_dec"), 1).over(w).cast(DoubleType).as("prev_rev"),
+            lead(col("rev_dec"), 1).over(w).cast(DoubleType).as("next_rev"),
+            (col("rev_dec") - lag(col("rev_dec"), 1).over(w)).cast(DoubleType).as("delta"))
+          .orderBy("d")
+          .limit(1000)
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+          FROM orders GROUP BY 1)
+        SELECT d,
+               CAST(rev_dec AS DOUBLE) AS rev,
+               CAST(lag(rev_dec, 1) OVER (ORDER BY d) AS DOUBLE) AS prev_rev,
+               CAST(lead(rev_dec, 1) OVER (ORDER BY d) AS DOUBLE) AS next_rev,
+               CAST(rev_dec - lag(rev_dec, 1) OVER (ORDER BY d) AS DOUBLE) AS delta
+        FROM daily
+        ORDER BY d
+        LIMIT 1000""")),
+
+    // B22: sliding frame — 7-row moving sum/avg over the daily series,
+    // exact via decimal-through-the-frame.
+    Q(
+      "q32_window_moving_avg",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast(DateType).as("d"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+        val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        daily
+          .select(
+            col("d"),
+            col("rev_dec").cast(DoubleType).as("rev"),
+            sum(col("rev_dec")).over(w).cast(DoubleType).as("mov_sum"),
+            (sum(col("rev_dec")).over(w).cast(DoubleType) / count(lit(1)).over(w)).as("mov_avg"))
+          .orderBy("d")
+          .limit(1000)
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+          FROM orders GROUP BY 1)
+        SELECT d,
+               CAST(rev_dec AS DOUBLE) AS rev,
+               CAST(SUM(rev_dec) OVER w AS DOUBLE) AS mov_sum,
+               CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS mov_avg
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY d
+        LIMIT 1000""")),
+
+    // B6: deterministic keep-first dedup (the downstream repair for the
+    // reference's at-least-once checkpoint window, fetch_data.py:143-162).
+    Q(
+      "q33_dedup_keep_first",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""
+        SELECT user_id, event_type, event_id AS first_event_id FROM (
+          SELECT user_id, event_type, event_id,
+                 row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+          FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, event_type""")),
+
+    // B13: as-of join — each purchase picks up the user's latest view at
+    // or before it (union+window formulation; oracle uses DuckDB ASOF).
+    Q(
+      "q34_asof_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+        AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts", "ts", Seq("view_ts"))
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+            date_format(col("asof_view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_view_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id,
+               strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id"""))
+  )
+}
