@@ -1,0 +1,95 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search (SURVEY.md B7/B43): brute-force cosine top-k
+  * as the exact baseline, and a random-hyperplane LSH bucketed variant as
+  * the scale path.
+  *
+  * Scale design: brute force broadcasts the (small) query set and streams
+  * the candidate table once — a linear scan, the right baseline even on a
+  * 1000-executor cluster. The LSH variant assigns every vector a bucket
+  * from deterministic hyperplane signs, so the candidate join is
+  * bucket-equi-partitioned (shuffle on a 4-bit key instead of a cross
+  * join); recall is tunable via planes/probes.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane weights derived from md5 —
+    * reproducible everywhere (including the SQL oracle, which inlines the
+    * same constants). Values in [-1, 1] with 3 decimal digits.
+    */
+  def hyperplanes(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    Array.tabulate(planes, dims)((p, d) => ((h60(s"hp:$p:$d") % 2001) - 1000) / 1000.0)
+  }
+
+  /** LSH bucket id (0 .. 2^planes-1) for a double-array embedding column:
+    * bit p is set iff dot(v, hyperplane_p) > 0.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (w, p) =>
+      val wCol = array(w.map(lit): _*)
+      when(dot(vec, wCol) > 0, lit(1 << p)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Brute-force top-k cosine neighbors of each query vector.
+    *
+    * @param queries    (qid, qvec) — small; broadcast
+    * @param candidates (vec_id, vec)
+    */
+  def topKCosine(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val joined = candidates.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_r", round(cosine(col("qvec"), col("vec")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos_r"))
+  }
+
+  /** LSH-bucketed top-k: only candidates in the query's bucket are scored.
+    * Same output shape as [[topKCosine]] (a recall-vs-cost tradeoff).
+    */
+  def topKCosineLsh(
+      queries: DataFrame,
+      candidates: DataFrame,
+      planes: Array[Array[Double]],
+      k: Int): DataFrame = {
+    val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
+    val cb = candidates.withColumn("bucket", lshBucket(col("vec"), planes))
+    val joined = cb.join(broadcast(qb), "bucket")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_r", round(cosine(col("qvec"), col("vec")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos_r"))
+  }
+
+  /** All near-duplicate pairs (a<b) by cosine, with precomputed norms so
+    * each vector's norm is calculated once, not per pair.
+    */
+  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = vectors.select(
+      col(idCol), col(vecCol),
+      l2norm(col(vecCol)).as("nrm"))
+    val a = v.select(col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = v.select(col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b)
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
+  }
+}

@@ -1,7 +1,298 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions._
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** Text-analysis + deduplication surface over the documents table
+  * (SURVEY.md B7, B42): token stats, term frequency, language ID, quality
+  * scoring, fingerprinting, exact/minhash/simhash/jaccard dedup.
+  *
+  * The oracles rebuild the same pipelines in DuckDB SQL; both engines
+  * share one tokenizer definition and the portable [[hash60]], so results
+  * (including every minhash band and simhash bit) compare exactly.
+  */
 object TextQueries {
-  val qs: Seq[Q] = Seq()
+
+  /** Shared DuckDB fragments mirroring GraftFunctions.tokens and the
+    * 3-word shingle index of Dedup.shingleIndex. */
+  private val OTOKS =
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts FROM documents)"""
+  private val OSHINGLES =
+    """sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+      |                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+      |    FROM toks))""".stripMargin
+  private def ohash(seed: String, e: String) =
+    s"('0x' || substr(md5('$seed:' || $e), 1, 15))::BIGINT"
+
+  val qs: Seq[Q] = Seq(
+    // B42: token counting + per-doc length stats.
+    Q(
+      "q50_token_stats",
+      (s, dir) => {
+        val ts = tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(ts).as("n_tokens"),
+            aggregate(transform(ts, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
+              .as("total_token_chars"),
+            round(
+              aggregate(transform(ts, t => length(t).cast(LongType)), lit(0L), (a, x) => a + x)
+                .cast(DoubleType) / size(ts), 6).as("avg_token_len"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $OTOKS
+        SELECT doc_id,
+               CAST(len(ts) AS INT) AS n_tokens,
+               CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS total_token_chars,
+               round(CAST(list_sum(list_transform(ts, t -> length(t))) AS DOUBLE) / len(ts), 6) AS avg_token_len
+        FROM toks
+        ORDER BY doc_id""")),
+
+    // B42: corpus term frequency (explode -> count), top 30.
+    Q(
+      "q51_term_frequency",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("term"))
+          .groupBy("term")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("term"))
+          .limit(30),
+      Some(s"""
+        WITH $OTOKS
+        SELECT t AS term, COUNT(*) AS cnt
+        FROM (SELECT unnest(ts) AS t FROM toks)
+        GROUP BY 1
+        ORDER BY cnt DESC, term
+        LIMIT 30""")),
+
+    // B42: marker-based language ID vs the labeled lang column.
+    Q(
+      "q52_lang_id",
+      (s, dir) => {
+        val ts = tokens(col("text"))
+        val scores = TextAnalysis.markers.map { case (l, ws) =>
+          l -> TextAnalysis.markerCount(ts, ws)
+        }.toMap
+        Tables.documents(s, dir)
+          .select(col("lang"), TextAnalysis.predictLang(scores).as("predicted"))
+          .groupBy("lang", "predicted")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lang", "predicted")
+      },
+      Some {
+        def sc(ws: Seq[String]) =
+          s"len(list_filter(ts, t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))"
+        val m = TextAnalysis.markers.toMap
+        s"""
+        WITH $OTOKS,
+        scored AS (SELECT doc_id,
+                          ${sc(m("en"))} AS s_en, ${sc(m("de"))} AS s_de,
+                          ${sc(m("es"))} AS s_es, ${sc(m("fr"))} AS s_fr,
+                          ${sc(m("zh"))} AS s_zh
+                   FROM toks)
+        SELECT d.lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                    WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS predicted,
+               COUNT(*) AS cnt
+        FROM scored JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+        ORDER BY lang, predicted"""
+      }),
+
+    // B42: quality scoring (length/punctuation/stopword features).
+    Q(
+      "q53_quality_score",
+      (s, dir) => {
+        val ts = tokens(col("text"))
+        val stop = TextAnalysis.markerCount(ts, TextAnalysis.markers.toMap.apply("en"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"), col("n_chars"),
+            size(ts).as("n_tokens"),
+            TextAnalysis.punctCount(col("text")).as("punct_cnt"),
+            round(stop.cast(DoubleType) / size(ts), 6).as("stop_ratio"),
+            round(
+              least(size(ts).cast(DoubleType) / 200.0, lit(1.0)) * 0.5 +
+                (stop.cast(DoubleType) / size(ts)) * 0.5, 6).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val en = TextAnalysis.markers.toMap.apply("en").map(w => s"'$w'").mkString(",")
+        s"""
+        WITH $OTOKS
+        SELECT d.doc_id, d.n_chars,
+               CAST(len(ts) AS INT) AS n_tokens,
+               CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS INT) AS punct_cnt,
+               round(CAST(len(list_filter(ts, t -> t IN ($en))) AS DOUBLE) / len(ts), 6) AS stop_ratio,
+               round(least(CAST(len(ts) AS DOUBLE) / 200.0, 1.0) * 0.5 +
+                     (CAST(len(list_filter(ts, t -> t IN ($en))) AS DOUBLE) / len(ts)) * 0.5, 6) AS quality
+        FROM toks JOIN documents d USING (doc_id)
+        ORDER BY doc_id"""
+      }),
+
+    // B6/B42: exact content dedup via normalized md5 fingerprint.
+    Q(
+      "q54_exact_dedup_stats",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(md5(concat_ws(" ", tokens(lower(col("text"))))).as("fp"))
+          .groupBy("fp").agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n_docs"),
+            count(lit(1)).as("n_unique"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+            max(col("cnt")).as("max_group")),
+      Some("""
+        WITH fp AS (
+          SELECT md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> ''), ' ')) AS fp
+          FROM documents),
+        g AS (SELECT fp, COUNT(*) AS cnt FROM fp GROUP BY fp)
+        SELECT SUM(cnt) AS n_docs, COUNT(*) AS n_unique,
+               SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+               MAX(cnt) AS max_group
+        FROM g""")),
+
+    // B42: winnowing fingerprints (rolling k-gram hash, window-min).
+    Q(
+      "q55_winnowing",
+      (s, dir) => {
+        val fps = TextAnalysis.winnowFingerprints("text", 8, 4)
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(fps).as("n_fp"),
+            array_min(fps).as("fp_min"),
+            array_max(fps).as("fp_max"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 15))::BIGINT) AS hs
+          FROM documents),
+        w AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(hs) - 3, 1) + 1),
+                               j -> list_min(hs[j:j+3]))) AS fps
+          FROM h)
+        SELECT doc_id, CAST(len(fps) AS INT) AS n_fp,
+               list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        FROM w
+        ORDER BY doc_id""")),
+
+    // B7: n-gram Jaccard near-dup pairs via the shared-shingle inverted
+    // index (docs with no common shingle never meet the comparator).
+    Q(
+      "q56_dedup_ngram_jaccard",
+      (s, dir) => {
+        val idx = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
+        Dedup.jaccardPairs(idx, "doc_id")
+          .select(col("a"), col("b"), round(col("jacc"), 6).as("jacc_r"))
+          .orderBy(col("jacc_r").desc, col("a"), col("b"))
+          .limit(30)
+      },
+      Some(s"""
+        WITH $OTOKS,
+        $OSHINGLES,
+        cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+        pair AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 GROUP BY 1, 2)
+        SELECT a, b,
+               round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jacc_r
+        FROM pair JOIN cnt ca ON ca.doc_id = a JOIN cnt cb ON cb.doc_id = b
+        ORDER BY jacc_r DESC, a, b
+        LIMIT 30""")),
+
+    // B7: MinHash + LSH banding (12 hashes = 4 bands x 3 rows); output is
+    // the candidate-pair set with band-collision counts — every minhash
+    // value goes through the portable hash so the whole sketch is
+    // oracle-checked, not just the final pair list.
+    Q(
+      "q57_dedup_minhash_lsh",
+      (s, dir) => {
+        val idx = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
+        val sig = Dedup.minhashSignatures(idx, "doc_id", 12)
+        Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4, 3), "doc_id")
+          .orderBy("a", "b")
+      },
+      Some {
+        val mins = (0 until 12).map(i => s"min(${ohash(s"mh$i", "sh")}) AS mh_$i").mkString(", ")
+        val bandArms = (0 until 4).map { b =>
+          val key = (0 until 3).map(j => s"CAST(mh_${b * 3 + j} AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH $OTOKS,
+        $OSHINGLES,
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS ($bandArms)
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(DISTINCT x.band) AS n_shared_bands
+        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+        GROUP BY 1, 2
+        ORDER BY a, b"""
+      }),
+
+    // B7: 32-bit SimHash per document (exact integer compare).
+    Q(
+      "q58_dedup_simhash",
+      (s, dir) =>
+        Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy("doc_id"),
+      Some {
+        val bitSums = (0 until 32).map(b => s"SUM((((hv >> $b) & 1) * 2) - 1) AS s_$b").mkString(", ")
+        val assemble = (0 until 32)
+          .map(b => s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+          .mkString(" + ")
+        s"""
+        WITH $OTOKS,
+        tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        h AS (SELECT doc_id, ${ohash("sim", "t")} AS hv FROM tok),
+        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+        SELECT doc_id, $assemble AS simhash
+        FROM bits
+        ORDER BY doc_id"""
+      }),
+
+    // B7: SimHash near-dup candidates by Hamming distance.
+    Q(
+      "q59_simhash_pairs",
+      (s, dir) => {
+        val sh = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
+        val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
+        val b = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
+        a.crossJoin(b).filter(col("a") < col("b"))
+          .select(col("a"), col("b"), Dedup.hamming(col("ha"), col("hb")).cast(IntegerType).as("dist"))
+          .orderBy(col("dist"), col("a"), col("b"))
+          .limit(50)
+      },
+      Some {
+        val bitSums = (0 until 32).map(b => s"SUM((((hv >> $b) & 1) * 2) - 1) AS s_$b").mkString(", ")
+        val assemble = (0 until 32)
+          .map(b => s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+          .mkString(" + ")
+        s"""
+        WITH $OTOKS,
+        tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        h AS (SELECT doc_id, ${ohash("sim", "t")} AS hv FROM tok),
+        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, $assemble AS simhash FROM bits)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+        FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        ORDER BY dist, a, b
+        LIMIT 50"""
+      })
+  )
 }

@@ -1,7 +1,183 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions._
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** Vector similarity + multimodal surface over embeddings/documents
+  * (SURVEY.md B29, B43, B44): norms, brute-force ANN, LSH-bucketed ANN,
+  * cosine near-dup pairs, multimodal joins and binary-column plumbing.
+  */
 object VectorQueries {
-  val qs: Seq[Q] = Seq()
+
+  /** DuckDB fragment: embeddings unnested to (vec_id, i, v) positions. */
+  private val OPOS =
+    """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             CAST(unnest(embedding) AS DOUBLE) AS v
+      |      FROM embeddings)""".stripMargin
+
+  val qs: Seq[Q] = Seq(
+    // B29/B43: per-vector norms and means.
+    Q(
+      "q60_vector_norms",
+      (s, dir) => {
+        val v = asDouble(col("embedding"))
+        Tables.embeddings(s, dir)
+          .select(
+            col("vec_id"), col("label"),
+            size(col("embedding")).as("dim"),
+            round(l2norm(v), 6).as("nrm"),
+            round(aggregate(v, lit(0.0), (a, x) => a + x) / size(col("embedding")), 6).as("mean"))
+          .orderBy("vec_id")
+      },
+      Some(s"""
+        WITH $OPOS
+        SELECT vec_id, ANY_VALUE(label) AS label, CAST(COUNT(*) AS INT) AS dim,
+               round(sqrt(SUM(v * v)), 6) AS nrm,
+               round(SUM(v) / COUNT(*), 6) AS mean
+        FROM e JOIN embeddings USING (vec_id)
+        GROUP BY vec_id
+        ORDER BY vec_id""")),
+
+    // B43: brute-force top-k cosine — the exact baseline (broadcast the
+    // query set, stream candidates once).
+    Q(
+      "q61_ann_bruteforce",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
+        val candidates = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        Similarity.topKCosine(queries, candidates, 5)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH $OPOS,
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        q AS (SELECT * FROM e WHERE vec_id < 10),
+        dots AS (SELECT q.vec_id AS qid, c.vec_id AS vid, SUM(q.v * c.v) AS d
+                 FROM q JOIN e c ON q.i = c.i AND q.vec_id <> c.vec_id
+                 GROUP BY 1, 2),
+        cos AS (SELECT qid, vid, round(d / (nq.nrm * nv.nrm), 6) AS cos_r
+                FROM dots
+                JOIN nrm nq ON nq.vec_id = qid
+                JOIN nrm nv ON nv.vec_id = vid),
+        rk AS (SELECT qid, vid, cos_r,
+                      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vid) AS INT) AS rank
+               FROM cos)
+        SELECT qid, rank, vid AS neighbor, cos_r
+        FROM rk WHERE rank <= 5
+        ORDER BY qid, rank""")),
+
+    // B43: LSH-bucketed ANN — the scale path (bucket-equi join instead of
+    // a cross join; deterministic md5-derived hyperplanes shared with the
+    // oracle as inline constants).
+    Q(
+      "q62_ann_lsh",
+      (s, dir) => {
+        val planes = Similarity.hyperplanes(4, 64)
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
+        val candidates = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        Similarity.topKCosineLsh(queries, candidates, planes, 3)
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val planes = Similarity.hyperplanes(4, 64)
+        val values = (for {
+          p <- 0 until 4
+          d <- 0 until 64
+        } yield f"($p, ${d + 1}, ${planes(p)(d)}%.3f)").mkString(", ")
+        s"""
+        WITH $OPOS,
+        w(p, i, wt) AS (SELECT * FROM (VALUES $values) t(p, i, wt)),
+        sig AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+                FROM (SELECT e.vec_id, w.p, SUM(e.v * CAST(w.wt AS DOUBLE)) AS s
+                      FROM e JOIN w ON e.i = w.i GROUP BY 1, 2)
+                GROUP BY 1),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        q AS (SELECT vec_id AS qid, bucket FROM sig WHERE vec_id < 10),
+        cand AS (SELECT q.qid, sig.vec_id AS vid
+                 FROM q JOIN sig ON q.bucket = sig.bucket AND sig.vec_id <> q.qid),
+        dots AS (SELECT cand.qid, cand.vid, SUM(a.v * b.v) AS d
+                 FROM cand
+                 JOIN e a ON a.vec_id = cand.qid
+                 JOIN e b ON b.vec_id = cand.vid AND b.i = a.i
+                 GROUP BY 1, 2),
+        cos AS (SELECT qid, vid, round(d / (nq.nrm * nv.nrm), 6) AS cos_r
+                FROM dots
+                JOIN nrm nq ON nq.vec_id = qid
+                JOIN nrm nv ON nv.vec_id = vid),
+        rk AS (SELECT qid, vid, cos_r,
+                      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vid) AS INT) AS rank
+               FROM cos)
+        SELECT qid, rank, vid AS neighbor, cos_r
+        FROM rk WHERE rank <= 3
+        ORDER BY qid, rank"""
+      }),
+
+    // B7/B43: embedding-cosine near-dup pairs (norms precomputed once).
+    Q(
+      "q63_cosine_pairs",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        Similarity.cosinePairs(v, "vec_id", "vec")
+          .orderBy(col("cos_r").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH $OPOS,
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        dots AS (SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS d
+                 FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                 GROUP BY 1, 2)
+        SELECT a, b, round(d / (na.nrm * nb.nrm), 6) AS cos_r
+        FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+        ORDER BY cos_r DESC, a, b
+        LIMIT 50""")),
+
+    // B44: multimodal join — text metadata x embedding labels.
+    Q(
+      "q64_multimodal_join",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+          .groupBy(col("lang"), col("label"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("n_chars")).as("sum_chars"),
+            round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 6).as("avg_chars"))
+          .orderBy("lang", "label"),
+      Some("""
+        SELECT lang, label, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+               round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
+        FROM documents JOIN embeddings ON doc_id = vec_id
+        GROUP BY lang, label
+        ORDER BY lang, label""")),
+
+    // B44: binary-column plumbing — text encoded to a binary payload,
+    // per-source byte stats + content hashing on the blob.
+    Q(
+      "q65_multimodal_binary",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("payload", encode(col("text"), "UTF-8"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(expr("octet_length(payload)")).as("total_bytes"),
+            countDistinct(md5(col("payload"))).as("n_distinct_payloads"))
+          .orderBy("source"),
+      Some("""
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(octet_length(encode(text))) AS total_bytes,
+               COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+        FROM documents
+        GROUP BY source
+        ORDER BY source"""))
+  )
 }
