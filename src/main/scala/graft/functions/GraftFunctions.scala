@@ -17,16 +17,25 @@ object GraftFunctions {
     * lowercase, trim, drop chars outside `[\w\s-]`, collapse whitespace runs
     * to `_`. Used there to derive per-commodity partition file names; here a
     * pure-column expression so it stays inside whole-stage codegen.
+    * Whitespace stripping is regex-based (`^\s+|\s+$`) — Python's strip()
+    * removes tabs/newlines too, which Spark's space-only trim() would miss.
     */
   def safeName(c: Column): Column =
-    regexp_replace(regexp_replace(lower(trim(c)), "[^\\w\\s-]", ""), "\\s+", "_")
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), "^\\s+|\\s+$", ""),
+        "[^\\w\\s-]", ""),
+      "\\s+", "_")
 
   /** UDF twin of [[safeName]] (B39). Prefer the column version in real
     * plans — a Scala UDF is an opaque black box to Catalyst.
     */
   val safeNameUdf: UserDefinedFunction = udf { (s: String) =>
     if (s == null) null
-    else s.toLowerCase.trim.replaceAll("[^\\w\\s-]", "").replaceAll("\\s+", "_")
+    else s.toLowerCase
+      .replaceAll("^\\s+|\\s+$", "")
+      .replaceAll("[^\\w\\s-]", "")
+      .replaceAll("\\s+", "_")
   }
 
   /** Portable 60-bit hash: `conv(substr(md5(x),1,15),16,10)` — bit-identical

@@ -58,15 +58,21 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos_r"))
   }
 
-  /** LSH-bucketed top-k: only candidates in the query's bucket are scored.
-    * Same output shape as [[topKCosine]] (a recall-vs-cost tradeoff).
+  /** LSH-bucketed top-k with multi-probe: each query scans its own bucket
+    * plus all buckets at Hamming distance 1 (probing 1+planes of the
+    * 2^planes buckets — the standard recall boost that costs probes/2^p of
+    * the data instead of a second hash table). Same output shape as
+    * [[topKCosine]]; recall-vs-cost is tunable via `planes`.
     */
   def topKCosineLsh(
       queries: DataFrame,
       candidates: DataFrame,
       planes: Array[Array[Double]],
       k: Int): DataFrame = {
+    val masks = 0 +: planes.indices.map(1 << _)
     val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val cb = candidates.withColumn("bucket", lshBucket(col("vec"), planes))
     val joined = cb.join(broadcast(qb), "bucket")
       .filter(col("vec_id") =!= col("qid"))

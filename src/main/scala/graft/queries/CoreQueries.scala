@@ -242,7 +242,7 @@ object CoreQueries {
           .limit(500),
       Some("""
         SELECT p_partkey,
-               regexp_replace(regexp_replace(lower(trim(p_brand || ' ' || p_name)), '[^\w\s-]', '', 'g'), '\s+', '_', 'g') AS safe,
+               regexp_replace(regexp_replace(regexp_replace(lower(p_brand || ' ' || p_name), '^\s+|\s+$', '', 'g'), '[^\w\s-]', '', 'g'), '\s+', '_', 'g') AS safe,
                upper(p_name) AS uname,
                substr(p_name, 1, 3) AS pre3,
                len(string_split(p_name, ' ')) AS n_words,

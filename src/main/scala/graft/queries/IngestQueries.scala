@@ -1,7 +1,118 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
+/** Layer-A ingestion semantics demonstrated over the driver's testdata
+  * (SURVEY.md A5-A9, B1, B39): coercion-to-null, drop-null filtering,
+  * key normalization, natural-key dedup. The oracles simulate the same
+  * coercions with CASE arms, proving the null-on-error semantics rather
+  * than assuming them.
+  */
 object IngestQueries {
-  val qs: Seq[Q] = Seq()
+
+  val qs: Seq[Q] = Seq(
+    // A9/B26: safe_name as the partition-key normalizer over a dirty
+    // synthetic commodity string built from part attributes.
+    Q(
+      "q70_safe_name_keys",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(safeName(concat(col("p_type"), lit("  ("), col("p_brand"), lit(") !"))).as("key"))
+          .groupBy("key")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("key"),
+      Some("""
+        SELECT regexp_replace(regexp_replace(regexp_replace(lower(p_type || '  (' || p_brand || ') !'),
+                              '^\s+|\s+$', '', 'g'), '[^\w\s-]', '', 'g'), '\s+', '_', 'g') AS key,
+               COUNT(*) AS cnt
+        FROM part
+        GROUP BY 1
+        ORDER BY key""")),
+
+    // A5: day-first date parsing with null-on-error. Dates are rendered
+    // dd/MM/yyyy (with an injected invalid 31/02 for every 97th order),
+    // parsed back day-first; the oracle simulates the identical round trip.
+    Q(
+      "q71_dayfirst_dates",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .withColumn("raw",
+            when(col("o_orderkey") % 97 === 0, lit("31/02/1999"))
+              .otherwise(date_format(col("o_orderdate"), "dd/MM/yyyy")))
+          // try_to_timestamp -> null on invalid dates regardless of the
+          // session's ANSI setting (A5's errors="coerce")
+          .withColumn("parsed", expr("try_to_timestamp(raw, 'd/M/yyyy')").cast(DateType))
+          .groupBy(year(col("parsed")).as("y"))
+          .agg(count(lit(1)).as("cnt"), count(col("parsed")).as("parsed_cnt"))
+          .orderBy(col("y").asc_nulls_first),
+      Some("""
+        SELECT CAST(year(parsed) AS INT) AS y, COUNT(*) AS cnt, COUNT(parsed) AS parsed_cnt
+        FROM (SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                          ELSE CAST(o_orderdate AS DATE) END AS parsed
+              FROM orders)
+        GROUP BY 1
+        ORDER BY y NULLS FIRST""")),
+
+    // A6: numeric try_cast with injected garbage -> null, then aggregate.
+    Q(
+      "q72_try_cast_numeric",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .withColumn("raw",
+            when(col("event_id") % 13 === 0, lit("N/A"))
+              .otherwise(format_number(col("value"), 2)))
+          .withColumn("v", expr("try_cast(replace(raw, ',', '') AS DOUBLE)"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("v")).as("n_parsed"),
+            sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v")),
+      Some("""
+        SELECT COUNT(*) AS n_rows, COUNT(v) AS n_parsed,
+               CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        FROM (SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                          ELSE round(value, 2) END AS v
+              FROM events)""")),
+
+    // A7: drop-null filter (na.drop) semantics.
+    Q(
+      "q73_dropna_filter",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .withColumn("maybe_prio", nullif(col("o_orderpriority"), lit("5-LOW")))
+          .withColumn("maybe_status", nullif(col("o_orderstatus"), lit("P")))
+          .na.drop(Seq("maybe_prio", "maybe_status"))
+          .groupBy("maybe_status")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("maybe_status"),
+      Some("""
+        SELECT maybe_status, COUNT(*) AS cnt
+        FROM (SELECT nullif(o_orderstatus, 'P') AS maybe_status,
+                     nullif(o_orderpriority, '5-LOW') AS maybe_prio
+              FROM orders)
+        WHERE maybe_status IS NOT NULL AND maybe_prio IS NOT NULL
+        GROUP BY 1
+        ORDER BY maybe_status""")),
+
+    // A3-repair/B6: natural-key dedup cardinality (keys vs raw rows) on a
+    // deliberately coarse key — the metric a checkpoint-replay healer
+    // monitors.
+    Q(
+      "q74_natural_key_dedup",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_keys"))
+          .select(
+            col("n_rows"), col("n_keys"),
+            (col("n_rows") - col("n_keys")).as("n_excess")),
+      Some("""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_keys,
+               COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_excess
+        FROM lineitem"""))
+  )
 }

@@ -1,7 +1,104 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.functions.{GraftFunctions, ModeAggregator}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
 
+/** User-defined function surface (SURVEY.md B39-B41) plus the multimodal
+  * decode demo: scalar UDF, Aggregator-based UDAF, generator (explode of
+  * a produced sequence), and the batched binary decode (rows-only check —
+  * the stub codec is not SQL-expressible, its correctness is pinned by
+  * MultimodalSpec).
+  */
 object UdxQueries {
-  val qs: Seq[Q] = Seq()
+
+  val qs: Seq[Q] = Seq(
+    // B40: exact-mode UDAF via Aggregator + functions.udaf.
+    Q(
+      "q80_udaf_mode",
+      (s, dir) => {
+        val mode = udaf(new ModeAggregator)
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            mode(col("o_orderpriority")).as("mode_prio"),
+            count(lit(1)).as("cnt"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        WITH freq AS (
+          SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+          FROM orders GROUP BY 1, 2),
+        ranked AS (
+          SELECT o_orderstatus, o_orderpriority,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY n DESC, o_orderpriority) AS rn
+          FROM freq),
+        tot AS (SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY 1)
+        SELECT o_orderstatus, o_orderpriority AS mode_prio, cnt
+        FROM ranked JOIN tot USING (o_orderstatus)
+        WHERE rn = 1
+        ORDER BY o_orderstatus""")),
+
+    // B39: scalar UDF registered and invoked through the SQL surface
+    // (column-expression twin q70 proves the same semantics natively).
+    Q(
+      "q81_udf_safe_name",
+      (s, dir) => {
+        s.udf.register("safe_name_udf", GraftFunctions.safeNameUdf)
+        Tables.part(s, dir).createOrReplaceTempView("part_udf")
+        s.sql("""
+          SELECT safe_name_udf(p_type || '  (' || p_brand || ') !') AS key, COUNT(*) AS cnt
+          FROM part_udf
+          GROUP BY 1
+          ORDER BY key""")
+      },
+      Some("""
+        SELECT regexp_replace(regexp_replace(regexp_replace(lower(p_type || '  (' || p_brand || ') !'),
+                              '^\s+|\s+$', '', 'g'), '[^\w\s-]', '', 'g'), '\s+', '_', 'g') AS key,
+               COUNT(*) AS cnt
+        FROM part
+        GROUP BY 1
+        ORDER BY key""")),
+
+    // B41: generator — one row per day of each order's first week.
+    Q(
+      "q82_generator_expand",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_orderkey") < 100)
+          .select(
+            col("o_orderkey"),
+            explode(sequence(
+              col("o_orderdate").cast("date"),
+              date_add(col("o_orderdate").cast("date"), 6))).as("day"))
+          .orderBy("o_orderkey", "day"),
+      Some("""
+        SELECT o_orderkey, CAST(unnest(generate_series(CAST(o_orderdate AS DATE),
+                                       CAST(o_orderdate AS DATE) + 6,
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+        FROM orders
+        WHERE o_orderkey < 100
+        ORDER BY o_orderkey, day""")),
+
+    // B44: batched binary decode via mapPartitions over Dataset[MediaRecord]
+    // — deterministic stub codec, so no SQL oracle (driver rows-only check);
+    // exact features are pinned by MultimodalSpec.
+    Q(
+      "q83_multimodal_decode",
+      (s, dir) => {
+        val media = Multimodal.fromDocuments(s, Tables.documents(s, dir))
+        Multimodal.decodeFeatures(media).toDF()
+          .groupBy(col("kind"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("size_bytes")).as("total_bytes"),
+            min(col("width")).as("min_w"),
+            max(col("height")).as("max_h"),
+            countDistinct(col("checksum")).as("n_distinct"))
+          .orderBy("kind")
+      },
+      None)
+  )
 }

@@ -99,9 +99,11 @@ object VectorQueries {
                       FROM e JOIN w ON e.i = w.i GROUP BY 1, 2)
                 GROUP BY 1),
         nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
-        q AS (SELECT vec_id AS qid, bucket FROM sig WHERE vec_id < 10),
-        cand AS (SELECT q.qid, sig.vec_id AS vid
-                 FROM q JOIN sig ON q.bucket = sig.bucket AND sig.vec_id <> q.qid),
+        q AS (SELECT vec_id AS qid,
+                     unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+              FROM sig WHERE vec_id < 10),
+        cand AS (SELECT DISTINCT q.qid, sig.vec_id AS vid
+                 FROM q JOIN sig ON q.probe = sig.bucket AND sig.vec_id <> q.qid),
         dots AS (SELECT cand.qid, cand.vid, SUM(a.v * b.v) AS d
                  FROM cand
                  JOIN e a ON a.vec_id = cand.qid

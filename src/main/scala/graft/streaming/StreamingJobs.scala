@@ -1,0 +1,99 @@
+package graft.streaming
+
+import graft.ingest.AgriPipeline
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured Streaming surface (SURVEY.md B33-B38): the reference's
+  * resumable paged ingest (A1/A3/A13) restated as checkpointed streams,
+  * plus event-time windows, watermarked late-data handling, streaming
+  * dedup and custom keyed state.
+  *
+  * All jobs use Trigger.AvailableNow so tests (and backfills) drain the
+  * available input and stop — the exact idiom for "cron-triggered
+  * incremental batch" that the reference's 3-hourly workflow implements
+  * by hand with progress.json (`run.yml:5-6`, `fetch_data.py:44-60`).
+  * Exactly-once file sink + checkpointLocation replaces the
+  * save-after-append checkpoint (and its duplicate window) wholesale.
+  */
+object StreamingJobs {
+
+  /** B33/A1+A3: checkpointed file-source ingest of agmarknet-shaped CSV
+    * pages into the partitioned parquet layout. Restart-safe: the
+    * checkpoint tracks consumed files; the file sink commits atomically.
+    */
+  def ingestStream(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("maxFilesPerTrigger", 8)
+      .schema(AgriPipeline.rawSchema)
+      .csv(srcDir)
+    val cleaned = AgriPipeline.dropInvalid(AgriPipeline.normalize(raw))
+    cleaned.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("commodity_key")
+      .trigger(Trigger.AvailableNow())
+      .outputMode(OutputMode.Append)
+      .start()
+  }
+
+  /** B34+B36: watermarked tumbling event-time counts. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("cnt"))
+
+  /** B35: session windows (30 min gap) per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
+  /** B37: streaming dedup after watermark (heals A3's duplicate window
+    * online instead of in a batch repair pass). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("event_id", "ts"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** B38: custom keyed state — running per-user counters via
+    * flatMapGroupsWithState (the progress-tracking shape of A3, but
+    * per-key, fault-tolerant and store-backed).
+    */
+  def runningCounters(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserStats(userId, n, tot)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+}

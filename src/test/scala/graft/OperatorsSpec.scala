@@ -1,0 +1,118 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.operators.{AsOfJoin, Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+/** Operator unit + property tests: safe_name column/UDF agreement,
+  * shingles, as-of join, dedup family on planted near-duplicates,
+  * LSH ANN recall vs the brute-force baseline.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("safeName column expression and UDF twin agree (seeded fuzz)") {
+    val rnd = new Random(42)
+    val alphabet = "aZ 9!@#$%^&*()-_=+[]{};:'\",.<>/?\\|`~\t增强"
+    val samples = (1 to 300).map { _ =>
+      (1 to rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    } :+ "" :+ "  leading and trailing  " :+ "Paddy(Dhan)(Common)"
+    val df = samples.toDF("s")
+      .select(safeName(col("s")).as("col_ver"), safeNameUdf(col("s")).as("udf_ver"))
+    assert(df.filter(not(col("col_ver") <=> col("udf_ver"))).count() === 0)
+  }
+
+  test("safeName is idempotent") {
+    val df = Seq("A  b!!C", "x-y_z", "??", "Já va").toDF("s")
+      .select(safeName(col("s")).as("once"))
+      .select(col("once"), safeName(col("once")).as("twice"))
+    assert(df.filter(not(col("once") <=> col("twice"))).count() === 0)
+  }
+
+  test("wordShingles: n-grams with fewer-than-n-token edge") {
+    val df = Seq("a b c d", "a b", "").toDF("text")
+      .select(TextAnalysis.wordShingles(col("text"), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0).toList)
+    assert(rows(0) === List("a b c", "b c d"))
+    assert(rows(1) === Nil)
+    assert(rows(2) === Nil)
+  }
+
+  test("asOf join picks latest right row at-or-before each left row") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, "r@10"), (1L, 15L, "r@15"), (1L, 25L, "r@25"), (2L, 9L, "r@9"))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("rv"))
+      .orderBy("k", "t")
+      .select("k", "t", "tag", "asof_rv")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(out.toList === List(
+      (1L, 10L, "p1", "r@10"),   // inclusive <=
+      (1L, 20L, "p2", "r@15"),   // skips r@25 (future)
+      (2L, 5L, "p3", null)))     // nothing at-or-before
+  }
+
+  test("dedup family flags planted near-duplicates") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val nearDup = base.replace("lazy", "sleepy") // one token differs
+    val other = "completely different content about spark shuffles and partitions " * 4
+    val docs = Seq((0L, base), (1L, nearDup), (2L, other)).toDF("doc_id", "text")
+
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+    val jacc = Dedup.jaccardPairs(idx, "doc_id")
+      .select("a", "b", "jacc").as[(Long, Long, Double)].collect().toList
+    val j01 = jacc.find(p => p._1 == 0 && p._2 == 1).map(_._3)
+    assert(j01.exists(_ > 0.5), s"planted near-dup pair not found: $jacc")
+    assert(!jacc.exists(p => p._2 == 2 && p._3 > 0.3))
+
+    val sig = Dedup.minhashSignatures(idx, "doc_id", 12)
+    val cands = Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4, 3), "doc_id")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)), "LSH missed the planted near-dup")
+
+    val sh = Dedup.simhash32(docs, "doc_id", "text")
+    val hs = sh.orderBy("doc_id").select("simhash").as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(1)) < ham(hs(0), hs(2)),
+      s"simhash: near-dup ${ham(hs(0), hs(1))} not closer than unrelated ${ham(hs(0), hs(2))}")
+  }
+
+  test("winnowing fingerprints overlap heavily for near-identical docs") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 8
+    val docs = Seq((0L, base), (1L, base.dropRight(3) + "XYZ"), (2L, base.reverse))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        TextAnalysis.winnowFingerprints("text", 8, 4).as("fps"))
+      .as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2.toSet)
+    val simNear = fps(0).intersect(fps(1)).size.toDouble / fps(0).union(fps(1)).size
+    val simFar = fps(0).intersect(fps(2)).size.toDouble / fps(0).union(fps(2)).size
+    assert(simNear > 0.8 && simFar < 0.2, s"near=$simNear far=$simFar")
+  }
+
+  test("LSH ANN recalls a usable fraction of brute-force neighbors") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
+    val cands = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val exact = Similarity.topKCosine(queries, cands, 3)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val planes = Similarity.hyperplanes(4, 64)
+    val approx = Similarity.topKCosineLsh(queries, cands, planes, 3)
+      .select("qid", "neighbor").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall $recall too low (approx=${approx.size})")
+    // sanity: every approx neighbor scored is a real candidate, none self
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("hash60 is non-negative and stable") {
+    val vals = Seq("a", "b", "a").toDF("s").select(hash60(col("s")).as("h"))
+      .as[Long].collect()
+    assert(vals.forall(_ >= 0L))
+    assert(vals(0) === vals(2))
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.StreamingJobs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Streaming surface (B33-B38) exercised with Trigger.AvailableNow +
+  * memory sinks — the batch-drain idiom the round harness can run
+  * without long-lived queries.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  test("checkpointed CSV ingest stream lands partitioned parquet (B33)") {
+    val src = tmp("stream_src")
+    val fixture = getClass.getResource("/agri_fixture.csv").getPath
+    Files.copy(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(s"$src/page0.csv"))
+    val out = tmp("stream_out")
+    val ckpt = tmp("stream_ckpt")
+
+    val q = StreamingJobs.ingestStream(spark, src, out, ckpt)
+    q.awaitTermination(60000)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === 8) // dropInvalid applied in-stream
+    assert(landed.filter(col("commodity_key") === "apple").count() === 2)
+
+    // restart with no new files: checkpoint prevents re-ingest
+    val q2 = StreamingJobs.ingestStream(spark, src, out, ckpt)
+    q2.awaitTermination(60000)
+    assert(spark.read.parquet(out).count() === 8)
+  }
+
+  test("watermarked tumbling window counts (B34/B36)") {
+    val events = MemoryStream[(Timestamp, String)](1, spark, None)
+    events.addData(
+      (Timestamp.valueOf("2024-01-01 00:10:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 00:40:00"), "click"),
+      (Timestamp.valueOf("2024-01-01 01:10:00"), "view"))
+    val df = StreamingJobs.windowedCounts(
+      events.toDF().toDF("ts", "event_type"))
+    val q = df.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("win_counts")
+      .select(date_format(col("win_start"), "HH:mm").as("h"), col("event_type"), col("cnt"))
+      .as[(String, String, Long)].collect().toSet
+    assert(rows === Set(("00:00", "click", 2L), ("01:00", "view", 1L)))
+  }
+
+  test("streaming dedup drops the reference's duplicate window (B37)") {
+    val events = MemoryStream[(Long, Timestamp)](2, spark, None)
+    events.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01")),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01")), // exact dup (replayed page)
+      (2L, Timestamp.valueOf("2024-01-01 00:00:02")))
+    val df = StreamingJobs.dedupStream(events.toDF().toDF("event_id", "ts"))
+    val q = df.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_out").count() === 2)
+  }
+
+  test("session windows group gap-separated activity (B35)") {
+    val events = MemoryStream[(Timestamp, Long)](3, spark, None)
+    events.addData(
+      (Timestamp.valueOf("2024-01-01 00:00:00"), 7L),
+      (Timestamp.valueOf("2024-01-01 00:10:00"), 7L),  // same session
+      (Timestamp.valueOf("2024-01-01 02:00:00"), 7L))  // new session after gap
+    val df = StreamingJobs.sessionCounts(events.toDF().toDF("ts", "user_id"))
+    val q = df.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sess_out").select("user_id", "n_events")
+      .as[(Long, Long)].collect().toList.sorted
+    assert(rows === List((7L, 1L), (7L, 2L)))
+  }
+
+  test("flatMapGroupsWithState keeps running per-key counters (B38)") {
+    val events = MemoryStream[StreamingJobs.UserEvent](4, spark, None)
+    val counted = StreamingJobs.runningCounters(events.toDS())
+    // one long-lived query, two micro-batches: state must carry across
+    val q = counted.toDF().writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      events.addData(
+        StreamingJobs.UserEvent(1L, "click", 2.0),
+        StreamingJobs.UserEvent(1L, "view", 3.0),
+        StreamingJobs.UserEvent(2L, "click", 5.0))
+      q.processAllAvailable()
+      events.addData(StreamingJobs.UserEvent(1L, "buy", 10.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Update-mode memory sink appends per-batch updates; the latest row
+    // per key is the running state
+    val latest = spark.table("state_out").as[StreamingJobs.UserStats].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+    assert(latest(1L).n_events === 3L && latest(1L).total_value === 15.0)
+    assert(latest(2L).n_events === 1L && latest(2L).total_value === 5.0)
+  }
+}
