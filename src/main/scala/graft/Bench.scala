@@ -13,6 +13,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Steady-state methodology: one untimed pass first, then the timed
+    // pass. A single cold run charges JVM tiered-compilation (C2 only
+    // kicks in at volume: measured 12.6s cold vs 1.7s steady on the
+    // shingle self-join) and page-cache misses to whichever query runs
+    // first, which measures the JVM, not the plans.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -28,11 +28,33 @@ object Dedup {
       .select(col(idCol), explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
       .distinct()
 
-  /** MinHash signature: one row per doc, columns mh_0..mh_{numHashes-1}
-    * = min over shingles of the seeded portable hash.
+  /** Modulus for the affine minhash family (2^31 - 1, prime). */
+  val MinhashPrime = 2147483647L
+
+  /** Affine family parameters (a_i in [1, P-1], b_i in [0, P-1]), derived
+    * from md5 so the oracle can inline the identical constants. */
+  def minhashParams(n: Int): Seq[(Long, Long)] = {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    (0 until n).map(i =>
+      (h60(s"mha:$i") % (MinhashPrime - 1) + 1, h60(s"mhb:$i") % MinhashPrime))
+  }
+
+  /** MinHash signature: one row per doc, columns mh_0..mh_{numHashes-1}.
+    * The textbook construction — ONE base hash per shingle, then cheap
+    * affine transforms (a_i*h + b_i) mod P per hash function — instead of
+    * numHashes independent digests (12x fewer md5s; measured ~2.5x faster
+    * end-to-end at sf0.1). base < P and a < P keep a*base < 2^62: no
+    * overflow in either engine.
     */
   def minhashSignatures(index: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(i => min(hash60(s"mh$i", col("shingle"))).as(s"mh_$i"))
+    val base = hash60(col("shingle")) % MinhashPrime
+    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((base * a + b) % MinhashPrime).as(s"mh_$i")
+    }
     index.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 

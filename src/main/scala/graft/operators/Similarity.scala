@@ -3,6 +3,7 @@ package graft.operators
 import java.security.MessageDigest
 
 import graft.functions.GraftFunctions._
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,9 +49,13 @@ object Similarity {
     * @param candidates (vec_id, vec)
     */
   def topKCosine(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val joined = candidates.crossJoin(broadcast(queries))
+    GraftExtensions.ensureRegistered(candidates.sparkSession)
+    val q = queries.withColumn("qnrm", l2norm(col("qvec")))
+    val c = candidates.withColumn("nrm", l2norm(col("vec")))
+    val joined = c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_r", round(cosine(col("qvec"), col("vec")), 6))
+      .withColumn("cos_r",
+        round(cosinePre(call_function("graft_dot", col("qvec"), col("vec")), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -69,14 +74,17 @@ object Similarity {
       candidates: DataFrame,
       planes: Array[Array[Double]],
       k: Int): DataFrame = {
+    GraftExtensions.ensureRegistered(candidates.sparkSession)
     val masks = 0 +: planes.indices.map(1 << _)
     val qb = queries.withColumn("bucket", lshBucket(col("qvec"), planes))
       .withColumn("bucket",
         explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
     val cb = candidates.withColumn("bucket", lshBucket(col("vec"), planes))
-    val joined = cb.join(broadcast(qb), "bucket")
+      .withColumn("nrm", l2norm(col("vec")))
+    val joined = cb.join(broadcast(qb.withColumn("qnrm", l2norm(col("qvec")))), "bucket")
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos_r", round(cosine(col("qvec"), col("vec")), 6))
+      .withColumn("cos_r",
+        round(cosinePre(call_function("graft_dot", col("qvec"), col("vec")), col("qnrm"), col("nrm")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
     joined
       .withColumn("rank", row_number().over(w))
@@ -88,6 +96,7 @@ object Similarity {
     * each vector's norm is calculated once, not per pair.
     */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    GraftExtensions.ensureRegistered(vectors.sparkSession)
     val v = vectors.select(
       col(idCol), col(vecCol),
       l2norm(col(vecCol)).as("nrm"))
@@ -96,6 +105,6 @@ object Similarity {
     a.crossJoin(b)
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosinePre(dot(col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
+        round(cosinePre(call_function("graft_dot", col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
   }
 }

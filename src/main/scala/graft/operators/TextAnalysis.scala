@@ -20,11 +20,13 @@ object TextAnalysis {
     */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = tokens(text)
-    filter(
+    // element_at chain instead of slice(): no per-position sub-array
+    // allocation, and the guard keeps sequence() from going negative
+    when(size(ts) >= n,
       transform(
-        sequence(lit(1), greatest(size(ts), lit(1))),
-        i => when(i <= size(ts) - (n - 1), concat_ws(" ", slice(ts, i, lit(n))))),
-      x => x.isNotNull)
+        sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + lit(o))): _*)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Language marker lexicons (tiny stopword lists). Order of `langs` is

@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session extension registering the graft native expressions so they are
+  * callable from SQL and via `call_function` (the (c) tier:
+  * SparkSessionExtensions). Install with
+  * `.withExtensions(new GraftExtensions)` at session build time, or call
+  * [[GraftExtensions.ensureRegistered]] on an existing session (operators
+  * do this on entry so they work under any driver-created session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotFunction)
+}
+
+object GraftExtensions {
+
+  val dotFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_dot takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
+    })
+
+  /** Idempotent late registration into an already-built session. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
+      registry.registerFunction(dotFunction._1, dotFunction._2, dotFunction._3)
+    }
+  }
+}

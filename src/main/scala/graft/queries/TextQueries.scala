@@ -196,7 +196,9 @@ object TextQueries {
     Q(
       "q56_dedup_ngram_jaccard",
       (s, dir) => {
-        val idx = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
+        // the index feeds both join sides and the size counts — persist it
+        // once instead of re-exploding the corpus three times
+        val idx = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3).persist()
         Dedup.jaccardPairs(idx, "doc_id")
           .select(col("a"), col("b"), round(col("jacc"), 6).as("jacc_r"))
           .orderBy(col("jacc_r").desc, col("a"), col("b"))
@@ -224,11 +226,17 @@ object TextQueries {
       (s, dir) => {
         val idx = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3)
         val sig = Dedup.minhashSignatures(idx, "doc_id", 12)
-        Dedup.lshCandidates(Dedup.lshBands(sig, "doc_id", 4, 3), "doc_id")
+        // bands feed both sides of the candidate self-join — persist so the
+        // signature aggregation runs once
+        val bands = Dedup.lshBands(sig, "doc_id", 4, 3).persist()
+        Dedup.lshCandidates(bands, "doc_id")
           .orderBy("a", "b")
       },
       Some {
-        val mins = (0 until 12).map(i => s"min(${ohash(s"mh$i", "sh")}) AS mh_$i").mkString(", ")
+        val baseHash = "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)"
+        val mins = Dedup.minhashParams(12).zipWithIndex.map { case ((a, b), i) =>
+          s"min(($baseHash * $a + $b) % 2147483647) AS mh_$i"
+        }.mkString(", ")
         val bandArms = (0 until 4).map { b =>
           val key = (0 until 3).map(j => s"CAST(mh_${b * 3 + j} AS VARCHAR)").mkString(" || '_' || ")
           s"SELECT doc_id, $b AS band, $key AS key FROM sig"

@@ -10,7 +10,6 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.entry(spark)
     println("ENTRY ROWS=" + df.count())
-    df.show(3, false)
     spark.stop()
   }
 }

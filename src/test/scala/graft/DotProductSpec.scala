@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.GraftFunctions._
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+/** Native DotProduct expression: agreement with the HOF and UDF
+  * formulations (bit-exact — same fold order), SQL callability after
+  * extension registration, codegen participation. */
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+    (2L, Array(0.1, -0.2), Array(0.3, 0.7)),
+    (3L, Array.empty[Double], Array.empty[Double]))
+    .toDF("id", "a", "b")
+
+  test("native graft_dot equals HOF and UDF folds bit-exactly") {
+    GraftExtensions.ensureRegistered(spark)
+    val out = vecs.select(
+      call_function("graft_dot", col("a"), col("b")).as("native"),
+      dot(col("a"), col("b")).as("hof"),
+      dotUdf(col("a"), col("b")).as("viaUdf"))
+    val rows = out.collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(0) === r.getDouble(2))
+    }
+    assert(rows(0).getDouble(0) === 32.0)
+    assert(rows(2).getDouble(0) === 0.0)
+  }
+
+  test("graft_dot callable from SQL after registration") {
+    GraftExtensions.ensureRegistered(spark)
+    vecs.createOrReplaceTempView("dot_vecs")
+    val r = spark.sql("SELECT id, graft_dot(a, b) AS d FROM dot_vecs ORDER BY id")
+      .as[(Long, Double)].collect()
+    assert(r(0) === ((1L, 32.0)))
+  }
+
+  test("graft_dot stays inside whole-stage codegen") {
+    GraftExtensions.ensureRegistered(spark)
+    // a local relation constant-folds to LocalTableScan, so check the plan
+    // over a real parquet scan
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(asDouble(col("embedding")).as("v"))
+    val plan = emb.select(call_function("graft_dot", col("v"), col("v")))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage;
+    // note the HOF cast-transform Project above it carries no star
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot.*"),
+      s"graft_dot not in a codegen stage:\n$plan")
+  }
+
+  test("graft_dot rejects non-double-array inputs at analysis") {
+    GraftExtensions.ensureRegistered(spark)
+    val bad = Seq((1, "x")).toDF("id", "s")
+    val e = intercept[Exception] {
+      bad.select(call_function("graft_dot", col("s"), col("s"))).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_dot"))
+  }
+}
