@@ -1,0 +1,64 @@
+package graft
+
+/** Plan-shape assertions — the 100 TB safety net. These pin the physical
+  * properties that make the queries scale (pushdown, pruning, broadcast,
+  * top-k) so a refactor that silently regresses one fails loudly.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String = {
+    val qe = QueryRegistry.byName(name).run(spark, dir).queryExecution
+    // formatted mode prints PushedFilters/ReadSchema untruncated
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
+      "\n" + qe.executedPlan.toString
+  }
+
+  test("q02: predicates push into the parquet scan") {
+    val p = plan("q02_filter_predicates")
+    assert(p.contains("GreaterThanOrEqual(p_size,10)"), s"p_size range not pushed:\n$p")
+    assert(p.contains("In(p_type"), s"p_type IN not pushed:\n$p")
+    assert(p.contains("StringContains(p_name,o)"), s"LIKE %o% not pushed:\n$p")
+  }
+
+  test("q03: column pruning reaches the scan (5 of 11 lineitem columns)") {
+    val p = plan("q03_projection")
+    val scanCols = "FileScan parquet \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse(fail(s"no FileScan in\n$p"))
+    val cols = scanCols.split(",").map(_.trim.split("#")(0)).toSet
+    assert(cols === Set("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_shipdate"),
+      s"scan reads wrong columns: $cols")
+  }
+
+  test("q21: small dims join via BroadcastHashJoin, no shuffle of the fact side") {
+    val p = plan("q21_join_broadcast")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"expected 2 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("q07: top-k plans as TakeOrderedAndProject (no full sort)") {
+    val p = plan("q07_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrderedAndProject:\n$p")
+  }
+
+  test("q22: merge hint yields SortMergeJoin for the large-large join") {
+    val p = plan("q22_join_sortmerge")
+    assert(p.contains("SortMergeJoin"), s"no SMJ:\n$p")
+  }
+
+  test("q26: tiny band table broadcasts under the non-equi join") {
+    val p = plan("q26_join_range_bands")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"range join shape:\n$p")
+  }
+
+  test("q01: aggregate is partial->final hash aggregate") {
+    val p = plan("q01_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q61: ANN scan broadcasts the query side, streams candidates once") {
+    val p = plan("q61_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set not broadcast:\n$p")
+  }
+}
