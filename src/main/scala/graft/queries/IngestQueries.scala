@@ -96,6 +96,62 @@ object IngestQueries {
         GROUP BY 1
         ORDER BY maybe_status""")),
 
+    // B1: RFC-4180 CSV round trip — write part (whose p_name values force
+    // quoting when concatenated with commas) to CSV, read it back with an
+    // explicit schema, aggregate. The oracle aggregates the original
+    // parquet: equality proves the CSV writer/reader are lossless.
+    Q(
+      "q75_csv_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("csv_rt").toString
+        Tables.part(s, dir)
+          .withColumn("noisy", concat(col("p_name"), lit(", \"x\" "), col("p_brand")))
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read
+          .option("header", "true")
+          .schema("p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING, p_size INT, p_retailprice DOUBLE, noisy STRING")
+          .csv(tmp)
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(length(col("noisy"))).as("noisy_chars"),
+            sum(col("p_retailprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, COUNT(*) AS cnt,
+               SUM(length(p_name || ', "x" ' || p_brand)) AS noisy_chars,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM part
+        GROUP BY p_brand
+        ORDER BY p_brand""")),
+
+    // B2/A8: value-partitioned parquet + partition pruning — write orders
+    // partitioned by status to a temp dir, read back only one partition.
+    // Oracle filters the original table; the plan-level pruning assertion
+    // lives in PlanQualitySpec.
+    Q(
+      "q76_partition_pruning",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("part_prune").toString
+        Tables.orders(s, dir)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS cnt,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // A3-repair/B6: natural-key dedup cardinality (keys vs raw rows) on a
     // deliberately coarse key — the metric a checkpoint-replay healer
     // monitors.

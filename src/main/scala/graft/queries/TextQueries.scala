@@ -191,6 +191,34 @@ object TextQueries {
         FROM w
         ORDER BY doc_id""")),
 
+    // B42: BPE-ish regex tokenization (letter runs / digit runs / symbol
+    // runs — the GPT-2-style pre-tokenizer shape) for token counting;
+    // regexp_extract_all exists in both engines with identical semantics
+    // for this ASCII pattern.
+    Q(
+      "q67_bpe_tokens",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]+', 0)").as("toks"))
+          .select(
+            col("doc_id"),
+            size(col("toks")).as("n_bpe_tokens"),
+            size(array_distinct(col("toks"))).as("n_unique"),
+            element_at(array_sort(col("toks")), 1).as("first_tok"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (SELECT doc_id,
+                          regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]+', 0) AS toks
+                   FROM documents)
+        SELECT doc_id,
+               CAST(len(toks) AS INT) AS n_bpe_tokens,
+               CAST(len(list_distinct(toks)) AS INT) AS n_unique,
+               list_sort(toks)[1] AS first_tok
+        FROM t
+        ORDER BY doc_id""")),
+
     // B7: n-gram Jaccard near-dup pairs via the shared-shingle inverted
     // index (docs with no common shingle never meet the comparator).
     Q(

@@ -56,6 +56,12 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q76: partition filter prunes at the source (PartitionFilters)") {
+    val p = plan("q76_partition_pruning")
+    assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
+      s"no partition pruning:\n$p")
+  }
+
   test("q61: ANN scan broadcasts the query side, streams candidates once") {
     val p = plan("q61_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
