@@ -151,6 +151,34 @@ object JoinQueries {
         GROUP BY band
         ORDER BY band""")),
 
+    // Skew mandate (SURVEY §7 risks): two-stage salted aggregation — the
+    // manual fallback when one key dominates and AQE's skew handling can't
+    // apply (e.g. a single hot commodity at 100 TB). Stage 1 aggregates
+    // (key, salt) partials; stage 2 combines per key. Result is identical
+    // to the direct groupBy, which is exactly what the oracle checks.
+    Q(
+      "q28_salted_agg",
+      (s, dir) => {
+        val salted = Tables.lineitem(s, dir)
+          .withColumn("salt", pmod(col("l_partkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(
+            count(lit(1)).as("pc"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"))
+        salted
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("pc")).as("cnt"),
+            sum(col("pq")).cast(DoubleType).as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS cnt,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // B14: interval overlap join — 30-day order windows vs promo periods.
     Q(
       "q27_join_interval_overlap",
