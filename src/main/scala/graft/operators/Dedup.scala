@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** (doc, shingle) inverted-index rows, distinct per doc. */
+  /** (doc, shingle) inverted-index rows, distinct per doc. Tokens are
+    * projected into a real column before shingling so the interpreted
+    * shingle lambda references a bound attribute instead of re-tokenizing
+    * per position. */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol), explode(TextAnalysis.wordShingles(col(textCol), n)).as("shingle"))
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .select(col(idCol), explode(TextAnalysis.shinglesFromTokens(col("__ts"), n)).as("shingle"))
       .distinct()
 
   /** Modulus for the affine minhash family (2^31 - 1, prime). */

@@ -18,8 +18,14 @@ object TextAnalysis {
   /** Word n-gram shingles: positions i = 1 .. size-n+1 joined with a
     * single space. Empty array when the document has fewer than n tokens.
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
+  def wordShingles(text: Column, n: Int): Column =
+    shinglesFromTokens(tokens(text), n)
+
+  /** Shingles from an ALREADY-PROJECTED tokens column — prefer this from
+    * operators (see the evaluation-order note on [[charGramHashes]]:
+    * inlining tokens(text) here re-tokenizes per shingle position when the
+    * expression runs interpreted). */
+  def shinglesFromTokens(ts: Column, n: Int): Column =
     // element_at chain instead of slice(): no per-position sub-array
     // allocation, and the guard keeps sequence() from going negative
     when(size(ts) >= n,
@@ -27,7 +33,6 @@ object TextAnalysis {
         sequence(lit(1), size(ts) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + lit(o))): _*)))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Language marker lexicons (tiny stopword lists). Order of `langs` is
     * the deterministic argmax tie-break (first wins).
@@ -63,15 +68,23 @@ object TextAnalysis {
     * hash every k-char gram, take the min of each sliding window of w
     * hashes, distinct the mins. Returns the fingerprint array (exact
     * integers — portable via [[hash60]]).
+    *
+    * IMPORTANT evaluation-order note: interpreted expression trees have no
+    * common-subexpression elimination, so referencing a derived array
+    * column inside a per-element lambda re-computes the whole subtree per
+    * element (measured O(grams^2) md5 calls when the hash array was
+    * inlined). Hence the two-step API: project [[charGramHashes]] into a
+    * real column first, then apply [[winnowMins]] to that bound column.
     */
-  def winnowFingerprints(textCol: String, k: Int, w: Int): Column = {
-    val grams = expr(
+  def charGramHashes(textCol: String, k: Int): Column =
+    expr(
       s"transform(sequence(1, greatest(char_length($textCol) - ${k - 1}, 1)), " +
-        s"i -> conv(substr(md5(substr($textCol, i, $k)), 1, 15), 16, 10))")
-    val hashes = transform(grams, g => g.cast("long"))
-    val mins = transform(
-      sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-      j => array_min(slice(hashes, j, lit(w))))
-    array_distinct(mins)
-  }
+        s"i -> cast(conv(substr(md5(substr($textCol, i, $k)), 1, 15), 16, 10) AS BIGINT))")
+
+  /** Distinct window-mins over an already-projected hash-array column. */
+  def winnowMins(hashes: Column, w: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+        j => array_min(slice(hashes, j, lit(w)))))
 }

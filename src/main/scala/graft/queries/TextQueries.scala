@@ -165,16 +165,19 @@ object TextQueries {
     // B42: winnowing fingerprints (rolling k-gram hash, window-min).
     Q(
       "q55_winnowing",
-      (s, dir) => {
-        val fps = TextAnalysis.winnowFingerprints("text", 8, 4)
+      (s, dir) =>
         Tables.documents(s, dir)
+          // two projections: gram hashes and fingerprints each land in a
+          // real column before being referenced repeatedly (interpreted
+          // HOFs have no CSE — see TextAnalysis.charGramHashes)
+          .select(col("doc_id"), TextAnalysis.charGramHashes("text", 8).as("__hs"))
+          .select(col("doc_id"), TextAnalysis.winnowMins(col("__hs"), 4).as("__fps"))
           .select(
             col("doc_id"),
-            size(fps).as("n_fp"),
-            array_min(fps).as("fp_min"),
-            array_max(fps).as("fp_max"))
-          .orderBy("doc_id")
-      },
+            size(col("__fps")).as("n_fp"),
+            array_min(col("__fps")).as("fp_min"),
+            array_max(col("__fps")).as("fp_max"))
+          .orderBy("doc_id"),
       Some("""
         WITH h AS (
           SELECT doc_id,

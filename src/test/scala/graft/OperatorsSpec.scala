@@ -85,8 +85,8 @@ class OperatorsSpec extends SparkSpec {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789" * 8
     val docs = Seq((0L, base), (1L, base.dropRight(3) + "XYZ"), (2L, base.reverse))
       .toDF("doc_id", "text")
-    val fps = docs.select(col("doc_id"),
-        TextAnalysis.winnowFingerprints("text", 8, 4).as("fps"))
+    val fps = docs.select(col("doc_id"), TextAnalysis.charGramHashes("text", 8).as("hs"))
+      .select(col("doc_id"), TextAnalysis.winnowMins(col("hs"), 4).as("fps"))
       .as[(Long, Seq[Long])].collect().sortBy(_._1).map(_._2.toSet)
     val simNear = fps(0).intersect(fps(1)).size.toDouble / fps(0).union(fps(1)).size
     val simFar = fps(0).intersect(fps(2)).size.toDouble / fps(0).union(fps(2)).size
