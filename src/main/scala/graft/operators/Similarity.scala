@@ -92,6 +92,53 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos_r"))
   }
 
+  /** IVF-style bucketed ANN (the coarse-quantizer scale path): every
+    * vector is assigned to its nearest centroid cell; each query probes
+    * only its `nprobe` nearest cells. With C cells and nprobe probes the
+    * candidate scan shrinks to ~nprobe/C of the corpus, and the cell
+    * assignment is one broadcast pass over the data (no iteration — the
+    * "training" here is centroid choice, which callers supply; a k-means
+    * refinement would slot in upstream without changing this operator).
+    *
+    * Cell assignment ranks by round(cosine, 6) with centroid-id
+    * tie-break, keeping assignments reproducible across engines.
+    *
+    * @param centroids (cid, cvec) — small; broadcast everywhere
+    */
+  def topKCosineIvf(
+      queries: DataFrame,
+      candidates: DataFrame,
+      centroids: DataFrame,
+      nprobe: Int,
+      k: Int): DataFrame = {
+    GraftExtensions.ensureRegistered(candidates.sparkSession)
+    def cells(df: DataFrame, vec: String, id: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(centroids))
+        .withColumn("ccos",
+          round(cosinePre(call_function("graft_dot", col(vec), col("cvec")),
+            l2norm(col(vec)), l2norm(col("cvec"))), 6))
+      val w = Window.partitionBy(col(id)).orderBy(col("ccos").desc, col("cid"))
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("cvec", "ccos", "crank")
+    }
+    val cCells = cells(candidates, "vec", "vec_id", keep = 1)
+      .withColumnRenamed("cid", "cell")
+      .withColumn("nrm", l2norm(col("vec")))
+    val qCells = cells(queries, "qvec", "qid", keep = nprobe)
+      .withColumnRenamed("cid", "cell")
+      .withColumn("qnrm", l2norm(col("qvec")))
+    val joined = cCells.join(broadcast(qCells), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos_r",
+        round(cosinePre(call_function("graft_dot", col("qvec"), col("vec")), col("qnrm"), col("nrm")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos_r"))
+  }
+
   /** All near-duplicate pairs (a<b) by cosine, with precomputed norms so
     * each vector's norm is calculated once, not per pair.
     */

@@ -151,6 +151,42 @@ object JoinQueries {
         GROUP BY band
         ORDER BY band""")),
 
+    // Bucketing mandate: co-located large-large join. Both fact tables are
+    // written CLUSTERED BY the join key into the same bucket count, so the
+    // join needs NO exchange on either side (PlanQualitySpec asserts it) —
+    // at 100 TB this is the difference between re-shuffling petabytes per
+    // query and shuffling once at write time.
+    Q(
+      "q29_bucketed_join",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
+        s.sql("DROP TABLE IF EXISTS graft_li_b")
+        s.sql("DROP TABLE IF EXISTS graft_ord_b")
+        Tables.lineitem(s, dir).createOrReplaceTempView("li_src")
+        Tables.orders(s, dir).createOrReplaceTempView("ord_src")
+        s.sql(s"""CREATE TABLE graft_li_b USING PARQUET
+                  CLUSTERED BY (l_orderkey) INTO 8 BUCKETS
+                  LOCATION '$tmp/li' AS SELECT * FROM li_src""")
+        s.sql(s"""CREATE TABLE graft_ord_b USING PARQUET
+                  CLUSTERED BY (o_orderkey) INTO 8 BUCKETS
+                  LOCATION '$tmp/ord' AS SELECT * FROM ord_src""")
+        // merge hint: at test SF the small side would auto-broadcast and
+        // ignore the bucket layout; at 100 TB neither side broadcasts and
+        // the bucketed SMJ below (zero exchanges) is exactly the plan
+        s.table("graft_li_b")
+          .hint("merge")
+          .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_lines"), dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
     // Skew mandate (SURVEY §7 risks): two-stage salted aggregation — the
     // manual fallback when one key dominates and AQE's skew handling can't
     // apply (e.g. a single hot commodity at 100 TB). Stage 1 aggregates

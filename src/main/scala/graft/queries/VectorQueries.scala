@@ -121,6 +121,56 @@ object VectorQueries {
         ORDER BY qid, rank"""
       }),
 
+    // B43: IVF-style bucketed ANN — nearest-centroid cells (8 fixed
+    // centroid vectors), queries probe their 2 nearest cells. The other
+    // scale path next to LSH: candidate scan shrinks to ~nprobe/C of the
+    // corpus.
+    Q(
+      "q66_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
+        val candidates = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        val centroids = emb.filter(col("vec_id").between(100, 107))
+          .select(col("vec_id").cast(IntegerType).as("cid"), asDouble(col("embedding")).as("cvec"))
+        Similarity.topKCosineIvf(queries, candidates, centroids, nprobe = 2, k = 3)
+          .orderBy("qid", "rank")
+      },
+      Some(s"""
+        WITH $OPOS,
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        cent AS (SELECT vec_id AS cid FROM embeddings WHERE vec_id BETWEEN 100 AND 107),
+        cdots AS (SELECT x.vec_id AS vid, c.cid, SUM(x.v * ce.v) AS d
+                  FROM e x CROSS JOIN cent c
+                  JOIN e ce ON ce.vec_id = c.cid AND ce.i = x.i
+                  GROUP BY 1, 2),
+        ccos AS (SELECT vid, cid, round(d / (nv.nrm * nc.nrm), 6) AS ccos
+                 FROM cdots
+                 JOIN nrm nv ON nv.vec_id = vid
+                 JOIN nrm nc ON nc.vec_id = cid),
+        ranked AS (SELECT vid, cid, ccos,
+                          row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, cid) AS rn
+                   FROM ccos),
+        assign AS (SELECT vid, cid AS cell FROM ranked WHERE rn = 1),
+        probes AS (SELECT vid AS qid, cid AS cell FROM ranked WHERE vid < 10 AND rn <= 2),
+        cand AS (SELECT p.qid, a.vid FROM probes p JOIN assign a ON a.cell = p.cell AND a.vid <> p.qid),
+        dots AS (SELECT cand.qid, cand.vid, SUM(qa.v * ca.v) AS d
+                 FROM cand
+                 JOIN e qa ON qa.vec_id = cand.qid
+                 JOIN e ca ON ca.vec_id = cand.vid AND ca.i = qa.i
+                 GROUP BY 1, 2),
+        cos AS (SELECT qid, vid, round(d / (nq.nrm * nv.nrm), 6) AS cos_r
+                FROM dots
+                JOIN nrm nq ON nq.vec_id = qid
+                JOIN nrm nv ON nv.vec_id = vid),
+        rk AS (SELECT qid, vid, cos_r,
+                      CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r DESC, vid) AS INT) AS rank
+               FROM cos)
+        SELECT qid, rank, vid AS neighbor, cos_r
+        FROM rk WHERE rank <= 3
+        ORDER BY qid, rank""")),
+
     // B7/B43: embedding-cosine near-dup pairs (norms precomputed once).
     Q(
       "q63_cosine_pairs",

@@ -56,6 +56,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q29: bucketed join runs with no exchange on either fact side") {
+    val df = QueryRegistry.byName("q29_bucketed_join").run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the join itself must sit directly on bucketed scans: the only
+    // exchange allowed in the plan is the one under the final aggregate
+    val joinPart = p.split("HashAggregate").last // below the aggs: join + scans
+    assert(joinPart.contains("SortMergeJoin") || joinPart.contains("ShuffledHashJoin"), p)
+    assert(!joinPart.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan not bucketed:\n$p")
+  }
+
   test("q76: partition filter prunes at the source (PartitionFilters)") {
     val p = plan("q76_partition_pruning")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
