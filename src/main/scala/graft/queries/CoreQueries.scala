@@ -377,6 +377,62 @@ object CoreQueries {
         ORDER BY metric""")),
 
     // ------------------------------------------------------------------
+    // Sketch-based join pruning: build a Bloom filter over the "hot" key
+    // set, prune the probe side before the exact join — the standard
+    // pattern for cutting a 100 TB probe-side scan when the build side is
+    // selective. Verified properties: zero false negatives (every exact
+    // match survives pruning) and a bounded false-positive rate.
+    Q(
+      "q16_bloom_prune",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val hot = li.filter(col("l_quantity") >= 49).select("l_orderkey")
+        val bf = hot.stat.bloomFilter("l_orderkey", 10000, 0.01)
+        val mightContain = udf((k: Long) => bf.mightContain(k))
+        val orders = Tables.orders(s, dir)
+        val prunedCnt = orders.filter(mightContain(col("o_orderkey"))).count()
+        val exact = orders.join(hot.distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        val exactCnt = exact.count()
+        val falseNeg = exact.filter(!mightContain(col("o_orderkey"))).count()
+        val total = orders.count()
+        import s.implicits._
+        Seq((exactCnt, falseNeg == 0,
+          (prunedCnt - exactCnt).toDouble / math.max(1L, total - exactCnt) <= 0.05))
+          .toDF("exact_cnt", "no_false_negatives", "fp_rate_ok")
+      },
+      Some("""
+        SELECT COUNT(*) AS exact_cnt, TRUE AS no_false_negatives, TRUE AS fp_rate_ok
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""")),
+
+    // Count-Min sketch frequency estimation: overestimates only, within a
+    // relative-error bound — the sketch that answers "how hot is this
+    // key" without a groupBy over 100 TB.
+    Q(
+      "q17_countmin",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val cms = li.stat.countMinSketch(col("l_returnflag"), 0.001, 0.99, 42)
+        val truth = li.groupBy("l_returnflag").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+        val rows = truth.map { case (flag, cnt) =>
+          val est = cms.estimateCount(flag)
+          (flag, cnt, est >= cnt, est <= (cnt * 1.05).toLong)
+        }
+        import s.implicits._
+        rows.toSeq.toDF("l_returnflag", "true_cnt", "never_underestimates", "within_5pct")
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS true_cnt,
+               TRUE AS never_underestimates, TRUE AS within_5pct
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
     // B29: array / higher-order functions over the embeddings table.
     // float->double casts are exact; the 8-element slice sum is a
     // sequential fold on both sides.
