@@ -1,9 +1,9 @@
 package graft.streaming
 
 import graft.ingest.AgriPipeline
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming surface (SURVEY.md B33-B38): the reference's
   * resumable paged ingest (A1/A3/A13) restated as checkpointed streams,
@@ -76,6 +76,44 @@ object StreamingJobs {
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** B38 (modern API): the same running counters as a
+    * `transformWithState` StatefulProcessor — Spark 4's successor to
+    * flatMapGroupsWithState with composable typed state (ValueState here;
+    * List/MapState and timers available), TTL support and RocksDB-backed
+    * stores. Requires the RocksDB state store provider on the session.
+    */
+  class RunningCounterProcessor extends StatefulProcessor[Long, UserEvent, UserStats] {
+    @transient private var stats: ValueState[UserStats] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[UserStats](
+        "stats", Encoders.product[UserStats], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[UserEvent],
+        timerValues: TimerValues): Iterator[UserStats] = {
+      val prev = Option(stats.get()).getOrElse(UserStats(key, 0L, 0.0))
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { e => n += 1; tot += e.value }
+      val next = UserStats(key, n, tot)
+      stats.update(next)
+      Iterator(next)
+    }
+  }
+
+  /** transformWithState wiring for [[RunningCounterProcessor]]. */
+  def runningCountersTws(events: Dataset[UserEvent]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(
+        new RunningCounterProcessor,
+        TimeMode.None(),
+        OutputMode.Update())
+  }
 
   /** B38: custom keyed state — running per-user counters via
     * flatMapGroupsWithState (the progress-tracking shape of A3, but

@@ -81,6 +81,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows === List((7L, 1L), (7L, 2L)))
   }
 
+  test("transformWithState (Spark 4 API) keeps running per-key counters (B38)") {
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val events = MemoryStream[StreamingJobs.UserEvent](5, spark, None)
+      val counted = StreamingJobs.runningCountersTws(events.toDS())
+      val q = counted.toDF().writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        events.addData(
+          StreamingJobs.UserEvent(1L, "click", 2.0),
+          StreamingJobs.UserEvent(1L, "view", 3.0))
+        q.processAllAvailable()
+        events.addData(StreamingJobs.UserEvent(1L, "buy", 10.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val latest = spark.table("tws_out").as[StreamingJobs.UserStats].collect()
+        .groupBy(_.user_id).map { case (k, v) => k -> v.maxBy(_.n_events) }
+      assert(latest(1L).n_events === 3L && latest(1L).total_value === 15.0)
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState keeps running per-key counters (B38)") {
     val events = MemoryStream[StreamingJobs.UserEvent](4, spark, None)
     val counted = StreamingJobs.runningCounters(events.toDS())
