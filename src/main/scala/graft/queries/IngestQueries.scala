@@ -126,6 +126,54 @@ object IngestQueries {
         GROUP BY p_brand
         ORDER BY p_brand""")),
 
+    // B3/A4: JSON round trip — write events (with its embedded-JSON props
+    // string) to JSON lines, read back with an explicit schema, aggregate.
+    Q(
+      "q77_json_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("json_rt").toString
+        Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("overwrite").json(tmp)
+        s.read
+          .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+          .json(tmp)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"),
+            sum(from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+              .getField("k")).as("sum_k"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS sum_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // B1-adjacent: ORC round trip (the third columnar/wire format).
+    Q(
+      "q78_orc_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("orc_rt").toString
+        Tables.supplier(s, dir).write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS cnt,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey""")),
+
     // B2/A8: value-partitioned parquet + partition pruning — write orders
     // partitioned by status to a temp dir, read back only one partition.
     // Oracle filters the original table; the plan-level pruning assertion
