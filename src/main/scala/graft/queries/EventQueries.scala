@@ -208,6 +208,30 @@ object EventQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // B32: stratified sampling (sampleBy) — per-stratum fractions with a
+    // seed; verified by per-stratum tolerance bands (engine-specific row
+    // picks, same contract as q48).
+    Q(
+      "q49_stratified_sample",
+      (s, dir) => {
+        val fracs = Map("F" -> 0.5, "O" -> 0.2, "P" -> 1.0)
+        val orders = Tables.orders(s, dir)
+        val sampled = orders.stat.sampleBy("o_orderstatus", fracs, 42L)
+          .groupBy("o_orderstatus").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val totals = orders.groupBy("o_orderstatus").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        import s.implicits._
+        fracs.toSeq.sortBy(_._1).map { case (k, f) =>
+          val got = sampled.getOrElse(k, 0L).toDouble / totals(k)
+          (k, math.abs(got - f) <= 0.1)
+        }.toDF("o_orderstatus", "fraction_in_tolerance")
+      },
+      Some("""
+        SELECT o_orderstatus, TRUE AS fraction_in_tolerance
+        FROM (SELECT DISTINCT o_orderstatus FROM orders)
+        ORDER BY o_orderstatus""")),
+
     // B32: seeded sampling — inherently engine-specific row pick, so the
     // oracle-free contract is: the sampled fraction lands in a tolerance
     // band (checked in ScalaTest); here we surface the sample size only.
