@@ -39,7 +39,7 @@ object Similarity {
     */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (w, p) =>
-      val wCol = array(w.map(lit): _*)
+      val wCol = array(w.toIndexedSeq.map(lit): _*)
       when(dot(vec, wCol) > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 

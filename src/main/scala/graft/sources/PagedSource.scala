@@ -175,7 +175,8 @@ class PagedReader(
   }
 
   override def get(): InternalRow =
-    InternalRow.fromSeq(page.next().map(s => if (s.isEmpty) null else UTF8String.fromString(s)))
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      page.next().map(s => if (s.isEmpty) null else UTF8String.fromString(s))))
 
   override def close(): Unit = ()
 }
