@@ -14,8 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * do this on entry so they work under any driver-created session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }
 
 object GraftExtensions {
@@ -28,11 +30,18 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
-  /** Idempotent late registration into an already-built session. */
+  /** Idempotent late registration into an already-built session: the
+    * graft_dot function plus the HOF-dot rewrite rule (via the public
+    * `experimental.extraOptimizations` hook, since extensions can only be
+    * installed at session build time). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
       registry.registerFunction(dotFunction._1, dotFunction._2, dotFunction._3)
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteDotProduct
     }
   }
 }

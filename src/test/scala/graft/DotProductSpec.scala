@@ -53,6 +53,22 @@ class DotProductSpec extends SparkSpec {
       s"graft_dot not in a codegen stage:\n$plan")
   }
 
+  test("optimizer rule rewrites the HOF aggregate/zip_with dot to native") {
+    GraftExtensions.ensureRegistered(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val hof = emb.select(col("vec_id"), dot(col("v"), col("v")).as("d"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), s"rule did not fire:\n$optimized")
+    // and the rewrite preserves values exactly vs the un-rewritten UDF fold
+    val viaUdf = emb.select(col("vec_id"), dotUdf(col("v"), col("v")).as("d"))
+    assert(hof.exceptAll(viaUdf).count() === 0)
+    // a non-dot aggregate is left alone
+    val notDot = emb.select(
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x + y), lit(0.0), (a, x) => a + x).as("s"))
+    assert(!notDot.queryExecution.optimizedPlan.toString.contains("graft_dot"))
+  }
+
   test("graft_dot rejects non-double-array inputs at analysis") {
     GraftExtensions.ensureRegistered(spark)
     val bad = Seq((1, "x")).toDF("id", "s")
