@@ -376,6 +376,62 @@ object CoreQueries {
         GROUP BY metric
         ORDER BY metric""")),
 
+    // B26: second string batch — pad/translate/reverse/repeat/position.
+    Q(
+      "q18_string_extras",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(
+            col("c_custkey"),
+            lpad(col("c_name"), 25, "*").as("padded"),
+            translate(col("c_name"), "Cust#", "Kd_").as("translated"),
+            reverse(col("c_name")).as("reversed"),
+            expr("repeat('ab', 3)").as("repeated"),
+            expr("position('#' IN c_name)").as("hash_pos"),
+            split_part(col("c_name"), lit("#"), lit(2)).as("cust_num"))
+          .orderBy("c_custkey")
+          .limit(400),
+      Some("""
+        SELECT c_custkey,
+               lpad(c_name, 25, '*') AS padded,
+               -- translate drops chars with no counterpart: 'Cust#'->'Kd_'
+               translate(c_name, 'Cust#', 'Kd_') AS translated,
+               reverse(c_name) AS reversed,
+               repeat('ab', 3) AS repeated,
+               CAST(position('#' IN c_name) AS INT) AS hash_pos,
+               split_part(c_name, '#', 2) AS cust_num
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 400""")),
+
+    // B27: second datetime batch — quarter, ISO week, unix round trip,
+    // months_between-equivalent arithmetic, next_day.
+    Q(
+      "q19_datetime_extras",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            quarter(col("o_orderdate")).as("q"),
+            weekofyear(col("o_orderdate")).as("iso_week"),
+            unix_timestamp(col("o_orderdate")).as("epoch_s"),
+            from_unixtime(unix_timestamp(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("rt"),
+            ((year(col("o_orderdate")) - 1995) * 12 + month(col("o_orderdate")) - 1).as("months_since"),
+            next_day(col("o_orderdate").cast(DateType), "Mon").as("next_monday"))
+          .orderBy("o_orderkey")
+          .limit(400),
+      Some("""
+        SELECT o_orderkey,
+               CAST(quarter(o_orderdate) AS INT) AS q,
+               CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+               CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS rt,
+               CAST((year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS INT) AS months_since,
+               CAST(CAST(o_orderdate AS DATE) + CAST((7 - dayofweek(o_orderdate)) % 7 + 1 AS INT) AS DATE) AS next_monday
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 400""")),
+
     // ------------------------------------------------------------------
     // Sketch-based join pruning: build a Bloom filter over the "hot" key
     // set, prune the probe side before the exact join — the standard

@@ -215,6 +215,33 @@ object JoinQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // Skew join fallback: salted replication join. The fact side gets a
+    // deterministic salt; the dimension side is replicated once per salt
+    // value, so one hot key spreads over `SALT` reducers instead of one.
+    // The oracle is the plain join — salting must not change results.
+    Q(
+      "q36_salted_join",
+      (s, dir) => {
+        val SALT = 8
+        val fact = Tables.lineitem(s, dir)
+          .withColumn("__salt", pmod(xxhash64(col("l_partkey"), col("l_suppkey")), lit(SALT)))
+        val dim = Tables.orders(s, dir)
+          .withColumn("__salt", explode(array((0 until SALT).map(lit): _*)))
+        fact.join(dim,
+            fact("l_orderkey") === dim("o_orderkey") && fact("__salt") === dim("__salt"))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            dsum(col("l_extendedprice")).as("sum_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
     // B14: interval overlap join — 30-day order windows vs promo periods.
     Q(
       "q27_join_interval_overlap",

@@ -111,6 +111,39 @@ object WindowQueries {
         ORDER BY d
         LIMIT 1000""")),
 
+    // B20/B21 extras: percent_rank, cume_dist, first/last/nth value over
+    // explicit frames (int/exact-ratio outputs — cross-engine safe).
+    Q(
+      "q35_window_extras",
+      (s, dir) => {
+        val wOrd = Window.partitionBy(col("c_mktsegment"))
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        val wFrame = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.customer(s, dir)
+          .select(
+            col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+            round(percent_rank().over(wOrd), 9).as("pr"),
+            round(cume_dist().over(wOrd), 9).as("cd"),
+            first(col("c_custkey")).over(wFrame).as("richest_so_far"),
+            nth_value(col("c_custkey"), 2).over(wFrame).as("second_richest"))
+          .filter(col("pr") <= 0.01)
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""
+        SELECT c_mktsegment, c_custkey, c_acctbal, pr, cd, richest_so_far, second_richest
+        FROM (
+          SELECT c_mktsegment, c_custkey, c_acctbal,
+                 round(percent_rank() OVER w, 9) AS pr,
+                 round(cume_dist() OVER w, 9) AS cd,
+                 first_value(c_custkey) OVER wf AS richest_so_far,
+                 nth_value(c_custkey, 2) OVER wf AS second_richest
+          FROM customer
+          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+                 wf AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        WHERE pr <= 0.01
+        ORDER BY c_mktsegment, c_custkey""")),
+
     // B6: deterministic keep-first dedup (the downstream repair for the
     // reference's at-least-once checkpoint window, fetch_data.py:143-162).
     Q(
