@@ -91,9 +91,19 @@ object AgriPipeline {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** A8/A10: value-partitioned parquet sink (dir per commodity_key). */
+  /** A8/A10: value-partitioned parquet sink (dir per commodity_key).
+    *
+    * The pre-write `repartition(commodity_key)` matters at scale: without
+    * it every one of N shuffle tasks opens a file for every key it sees
+    * (N x keys small files per batch — the classic partitionBy
+    * small-files failure). With it each key lands in one task, one file
+    * per key per batch. A pathologically hot key would then bottleneck
+    * one task — split it further by salting the repartition columns
+    * (cf. q36_salted_join) if the corpus develops one.
+    */
   def writePartitioned(df: DataFrame, outDir: String, mode: String = "append"): Unit =
-    df.write.mode(mode).partitionBy("commodity_key").parquet(outDir)
+    df.repartition(col("commodity_key"))
+      .write.mode(mode).partitionBy("commodity_key").parquet(outDir)
 
   /** Full batch pass: read -> normalize -> filter -> dedup -> write. */
   def runBatch(spark: SparkSession, csvPath: String, outDir: String): Long = {

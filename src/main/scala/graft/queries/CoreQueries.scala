@@ -488,6 +488,30 @@ object CoreQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into a join
+    // (RewriteCorrelatedScalarSubquery; SURVEY §4). Written via the SQL
+    // surface to exercise the analyzer path a reference user would hit.
+    Q(
+      "q37_correlated_subquery",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("cust_cs")
+        Tables.orders(s, dir).createOrReplaceTempView("ord_cs")
+        s.sql("""
+          SELECT c_custkey,
+                 (SELECT COUNT(*) FROM ord_cs o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+                 (SELECT MAX(o_totalprice) FROM ord_cs o WHERE o.o_custkey = c.c_custkey) AS max_spent
+          FROM cust_cs c
+          ORDER BY c_custkey
+          LIMIT 500""")
+      },
+      Some("""
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT MAX(o_totalprice) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_spent
+        FROM customer c
+        ORDER BY c_custkey
+        LIMIT 500""")),
+
     // ------------------------------------------------------------------
     // B29: array / higher-order functions over the embeddings table.
     // float->double casts are exact; the 8-element slice sum is a

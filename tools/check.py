@@ -31,6 +31,18 @@ def norm(v):
     return repr(v)
 
 fails, passes = [], []
+# rows-only check for queries without an oracle (mirrors the driver's
+# weaker check): output parquet must exist and be readable
+import glob as _glob
+no_oracle = sorted(
+    d.split("/")[-1] for d in _glob.glob(f"{outdir}/q*") if d.split("/")[-1] not in oracle)
+for name in no_oracle:
+    try:
+        n = con.sql(f"SELECT COUNT(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
+        passes.append((f"{name} [rows-only]", n))
+    except Exception as e:
+        fails.append((name, f"rows-only ERROR: {e}"))
+
 for name in sorted(oracle):
     sql = oracle[name]
     try:
