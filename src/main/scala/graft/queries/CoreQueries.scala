@@ -488,6 +488,39 @@ object CoreQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // B15 extras: predicate aggregates, distinct-set aggregation, and a
+    // tie-proof argmax via struct-max (min_by/max_by tie-break is
+    // undefined in both engines; max(struct(value, key)) is total).
+    Q(
+      "q38_agg_extras",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count_if(col("o_totalprice") > 100000).as("n_big"),
+            bool_and(col("o_totalprice") > 0).as("all_positive"),
+            bool_or(col("o_orderpriority") === "1-URGENT").as("any_urgent"),
+            array_join(array_sort(collect_set(col("o_orderpriority"))), ",").as("prios"),
+            max(struct(col("o_totalprice"), col("o_orderkey")))
+              .getField("o_orderkey").as("argmax_key"))
+          .orderBy("o_orderstatus"),
+      Some("""
+        WITH am AS (
+          SELECT o_orderstatus, o_orderkey,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+          FROM orders)
+        SELECT o.o_orderstatus,
+               count_if(o.o_totalprice > 100000) AS n_big,
+               bool_and(o.o_totalprice > 0) AS all_positive,
+               bool_or(o.o_orderpriority = '1-URGENT') AS any_urgent,
+               array_to_string(list_sort(list_distinct(list(o.o_orderpriority))), ',') AS prios,
+               ANY_VALUE(am.o_orderkey) AS argmax_key
+        FROM orders o
+        JOIN am ON am.o_orderstatus = o.o_orderstatus AND am.rn = 1
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus""")),
+
     // Correlated scalar subquery — Catalyst decorrelates it into a join
     // (RewriteCorrelatedScalarSubquery; SURVEY §4). Written via the SQL
     // surface to exercise the analyzer path a reference user would hit.
