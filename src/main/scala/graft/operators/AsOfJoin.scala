@@ -20,6 +20,35 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Native path: plans through [[graft.plans.AsOfJoinNode]] into the
+    * custom sort-merge [[graft.plans.AsOfJoinExec]] (one shuffle + sort
+    * per side, O(1) merge state — vs the union+window formulation below,
+    * which pays a wider union shuffle and window buffering). Output is
+    * left.* ++ right.* (rename clashing right columns beforehand);
+    * unmatched left rows null-fill the right side.
+    */
+  def asOfNative(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      leftKeys.map(attr(lPlan, _)), rightKeys.map(attr(rPlan, _)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime))
+    org.apache.spark.sql.classic.GraftBridge.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], node)
+  }
+
   /** @param left       rows to enrich; all its columns are preserved
     * @param right      lookup stream
     * @param keys       equality key columns present on both sides

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
 
@@ -42,6 +43,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    }
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
   }
 }

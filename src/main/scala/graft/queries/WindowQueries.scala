@@ -165,6 +165,34 @@ object WindowQueries {
         WHERE rn = 1
         ORDER BY user_id, event_type""")),
 
+    // B13 (native operator): the same as-of semantics through the custom
+    // LogicalPlan -> AsOfJoinStrategy -> sort-merge AsOfJoinExec
+    // (graft.plans) — one shuffle+sort per side, O(1) merge state.
+    Q(
+      "q39_asof_native",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+        AsOfJoin.asOfNative(purchases, views,
+            Seq("user_id"), Seq("v_user"), "ts", "view_ts")
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+            date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("last_view_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT p.event_id, p.user_id,
+               strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(CAST(v.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS last_view_ts
+        FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id""")),
+
     // B13: as-of join — each purchase picks up the user's latest view at
     // or before it (union+window formulation; oracle uses DuckDB ASOF).
     Q(
