@@ -82,6 +82,52 @@ object UdxQueries {
         WHERE o_orderkey < 100
         ORDER BY o_orderkey, day""")),
 
+    // B41: generator through the SQL surface — LATERAL VIEW explode.
+    Q(
+      "q84_lateral_view",
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("docs_lv")
+        s.sql("""
+          SELECT lang, tok, COUNT(*) AS cnt
+          FROM docs_lv
+          LATERAL VIEW explode(filter(split(trim(text), '\\s+'), t -> t != '')) AS tok
+          WHERE tok LIKE 's%'
+          GROUP BY lang, tok
+          ORDER BY lang, tok""")
+      },
+      Some("""
+        SELECT lang, tok, COUNT(*) AS cnt
+        FROM (SELECT lang, unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS tok
+              FROM documents)
+        WHERE tok LIKE 's%'
+        GROUP BY lang, tok
+        ORDER BY lang, tok""")),
+
+    // B29: higher-order predicates — exists / forall / filter / reduce.
+    Q(
+      "q85_hof_predicates",
+      (s, dir) => {
+        val toks = graft.functions.GraftFunctions.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), toks.as("ts"))
+          .select(
+            col("doc_id"),
+            exists(col("ts"), t => t === "the").as("has_the"),
+            forall(col("ts"), t => length(t) < 12).as("all_short"),
+            size(filter(col("ts"), t => length(t) === 4)).as("n_len4"),
+            aggregate(col("ts"), lit(0L), (a, t) => a + length(t).cast("long")).as("total_len"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               len(list_filter(ts, t -> t = 'the')) > 0 AS has_the,
+               len(list_filter(ts, t -> length(t) >= 12)) = 0 AS all_short,
+               CAST(len(list_filter(ts, t -> length(t) = 4)) AS INT) AS n_len4,
+               CAST(list_sum(list_transform(ts, t -> length(t))) AS BIGINT) AS total_len
+        FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+              FROM documents)
+        ORDER BY doc_id""")),
+
     // B44: batched binary decode via mapPartitions over Dataset[MediaRecord]
     // — deterministic stub codec, so no SQL oracle (driver rows-only check);
     // exact features are pinned by MultimodalSpec.

@@ -65,6 +65,20 @@ class AgriPipelineSpec extends SparkSpec {
     assert(keys("Green Chilli") === "green_chilli")
   }
 
+  test("JSON page decode with explicit schema (A4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("agri_json")
+    val page = """{"State":"Odisha","District":"Angul","Market":"Angul","Commodity":"Egg","Variety":"Other","Grade":"FAQ","Arrival_Date":"07/06/2021","Min_Price":"550","Max_Price":"600","Modal_Price":"575","Commodity_Code":"367"}
+      |{"State":"Kerala","District":"Idukki","Market":"Munnar","Commodity":"Cardamoms","Variety":"Other","Grade":"Small","Arrival_Date":"31/11/2021","Min_Price":"n/a","Max_Price":"1500","Modal_Price":"1450.5","Commodity_Code":"110"}""".stripMargin
+    java.nio.file.Files.writeString(tmp.resolve("page0.json"), page)
+    val n = AgriPipeline.normalize(AgriPipeline.readJson(spark, tmp.toString))
+    val rows = n.orderBy("commodity").collect()
+    assert(rows.length === 2)
+    assert(rows(1).getAs[java.sql.Date]("arrival_date").toString === "2021-06-07")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("arrival_date"))) // 31/11 invalid
+    assert(rows(0).isNullAt(rows(0).fieldIndex("min_price")))    // "n/a"
+    assert(rows(0).getAs[Double]("modal_price") === 1450.5)
+  }
+
   test("partitioned write produces dir-per-commodity layout (A8/A10)") {
     val out = Files.createTempDirectory("agri_out").toString
     val n = AgriPipeline.runBatch(spark, fixture, out)
