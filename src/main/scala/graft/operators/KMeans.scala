@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.GraftFunctions._
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lloyd's k-means over embedding columns — the coarse-quantizer trainer
+  * for IVF ANN (SURVEY.md B43 scale path).
+  *
+  * Distribution shape per iteration: one broadcast pass assigns every
+  * vector to its nearest centroid (k dot products per row, native
+  * graft_dot), then one aggregation computes per-cell per-dimension sums
+  * (posexplode -> groupBy(cell, dim)) and only the k x dims means are
+  * collected — the driver never sees data rows, so the loop scales to
+  * arbitrary corpus size with k*dims driver state.
+  *
+  * Deterministic: init picks the k lowest-id vectors, assignment breaks
+  * distance ties on the lower cell id.
+  */
+object KMeans {
+
+  /** Squared L2 distance of a vector column to a centroid literal. */
+  private def sqDist(vec: Column, c: Array[Double]): Column = {
+    val cCol = array(c.toIndexedSeq.map(lit): _*)
+    // |v-c|^2 = |v|^2 - 2<v,c> + |c|^2; dot is the native expression
+    call_function("graft_dot", vec, vec) -
+      lit(2.0) * call_function("graft_dot", vec, cCol) +
+      lit(c.map(x => x * x).sum)
+  }
+
+  /** Cell assignment column for a fixed set of centroids. */
+  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(round(sqDist(vec, c), 9).as("d"), lit(i).as("cell"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** @param vectors (idCol, vecCol: array<double>)
+    * @return (centroids, inertia per iteration)
+    */
+  def fit(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): (Array[Array[Double]], Seq[Double]) = {
+    GraftExtensions.ensureRegistered(vectors.sparkSession)
+    val v = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v")).persist()
+    val dims = v.select(size(col("__v"))).head().getInt(0)
+
+    val w = Window.orderBy(col("__id"))
+    var centroids: Array[Array[Double]] = v
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .orderBy("__id")
+      .select("__v").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+    val inertias = (1 to iters).map { _ =>
+      val assigned = v.withColumn("__cell", assignCell(col("__v"), centroids))
+      val inertia = assigned
+        .select(
+          centroids.zipWithIndex.map { case (c, i) =>
+            when(col("__cell") === i, sqDist(col("__v"), c)).otherwise(lit(0.0))
+          }.reduce(_ + _).as("d"))
+        .agg(sum(col("d"))).head().getDouble(0)
+      // per-cell per-dimension means (k*dims rows collected, never data)
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy(col("__cell"), col("__dim"))
+        .agg(avg(col("__x")).as("__m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach { r =>
+        next(r.getAs[Int]("__cell"))(r.getAs[Int]("__dim")) = r.getAs[Double]("__m")
+      }
+      centroids = next
+      inertia
+    }
+    v.unpersist()
+    (centroids, inertias)
+  }
+}

@@ -192,6 +192,23 @@ object VectorQueries {
         ORDER BY cos_r DESC, a, b
         LIMIT 50""")),
 
+    // B43: trained IVF — Lloyd's k-means coarse quantizer (distributed
+    // assignment, k x dims driver state) then cell occupancy. Float means
+    // make exact cross-engine assignment unverifiable, so this is a
+    // rows-only entry; KMeansSpec pins inertia monotonicity/determinism.
+    Q(
+      "q86_ivf_kmeans",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val (centroids, _) = graft.operators.KMeans.fit(v, "vec_id", "v", k = 8, iters = 3)
+        v.withColumn("cell", graft.operators.KMeans.assignCell(col("v"), centroids))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vectors"))
+          .orderBy("cell")
+      },
+      None),
+
     // B44: multimodal join — text metadata x embedding labels.
     Q(
       "q64_multimodal_join",
