@@ -200,6 +200,34 @@ object IngestQueries {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority""")),
 
+    // Data-quality sweep: one-pass per-column profile of events (null
+    // counts, exact distincts, numeric ranges) — the first job any
+    // training-data pipeline runs on a new drop.
+    Q(
+      "q79_profile_columns",
+      (s, dir) =>
+        graft.operators.Profiler.profile(
+          Tables.events(s, dir).select("event_id", "user_id", "event_type", "value"))
+          .orderBy("col_name"),
+      Some("""
+        SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(event_id) AS n_nulls,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               CAST(MIN(event_id) AS DOUBLE) AS min_val, CAST(MAX(event_id) AS DOUBLE) AS max_val
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+               COUNT(DISTINCT event_type), NULL, NULL FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+               COUNT(DISTINCT user_id),
+               CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE) FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+               COUNT(DISTINCT value),
+               CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE) FROM events
+        ORDER BY col_name""")),
+
     // A3-repair/B6: natural-key dedup cardinality (keys vs raw rows) on a
     // deliberately coarse key — the metric a checkpoint-replay healer
     // monitors.
