@@ -309,12 +309,7 @@ object TextQueries {
       "q59_simhash_pairs",
       (s, dir) => {
         val sh = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
-        val a = sh.select(col("doc_id").as("a"), col("simhash").as("ha"))
-        val b = sh.select(col("doc_id").as("b"), col("simhash").as("hb"))
-        a.crossJoin(b).filter(col("a") < col("b"))
-          .select(col("a"), col("b"), Dedup.hamming(col("ha"), col("hb")).cast(IntegerType).as("dist"))
-          .orderBy(col("dist"), col("a"), col("b"))
-          .limit(50)
+        Dedup.simhashTopPairs(sh, "doc_id", "simhash", 50)
       },
       Some {
         val bitSums = (0 until 32).map(b => s"SUM((((hv >> $b) & 1) * 2) - 1) AS s_$b").mkString(", ")
