@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Session extension registering the graft native expressions so they are
   * callable from SQL and via `call_function` (the (c) tier:
@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -31,6 +32,24 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  /** graft_top_k(col, k[, capacity]) — Space-Saving heavy hitters. */
+  val topKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_top_k"),
+    new ExpressionInfo(classOf[SpaceSavingTopK].getName, "graft_top_k"),
+    (children: Seq[Expression]) => {
+      def intLit(e: Expression, what: String): Int = e match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(s"graft_top_k $what must be an int literal, got $other")
+      }
+      children match {
+        case Seq(c, k) =>
+          val kk = intLit(k, "k"); SpaceSavingTopK(c, kk, math.max(kk * 4, 64)).toAggregateExpression()
+        case Seq(c, k, cap) =>
+          SpaceSavingTopK(c, intLit(k, "k"), intLit(cap, "capacity")).toAggregateExpression()
+        case _ => throw new IllegalArgumentException("graft_top_k takes (col, k[, capacity])")
+      }
+    })
+
   /** Idempotent late registration into an already-built session: the
     * graft_dot function plus the HOF-dot rewrite rule (via the public
     * `experimental.extraOptimizations` hook, since extensions can only be
@@ -39,6 +58,9 @@ object GraftExtensions {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
       registry.registerFunction(dotFunction._1, dotFunction._2, dotFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_top_k"))) {
+      registry.registerFunction(topKFunction._1, topKFunction._2, topKFunction._3)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =

@@ -82,6 +82,36 @@ object UdxQueries {
         WHERE o_orderkey < 100
         ORDER BY o_orderkey, day""")),
 
+    // B40 (raw-buffer tier): Space-Saving heavy hitters as a
+    // TypedImperativeAggregate — exact while distinct <= capacity, so the
+    // oracle checks true top-k counts per group; graceful approximation
+    // beyond (the 100 TB "dominant sources" sweep).
+    Q(
+      "q87_heavy_hitters",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        Tables.events(s, dir).createOrReplaceTempView("events_hh")
+        s.sql("""
+          SELECT user_bucket, hh.value AS event_type, hh.cnt
+          FROM (
+            SELECT CAST(user_id % 4 AS INT) AS user_bucket,
+                   graft_top_k(event_type, 3) AS tops
+            FROM events_hh
+            GROUP BY 1) t
+          LATERAL VIEW explode(t.tops) AS hh
+          ORDER BY user_bucket, cnt DESC, event_type""")
+      },
+      Some("""
+        SELECT user_bucket, event_type, cnt FROM (
+          SELECT CAST(user_id % 4 AS INT) AS user_bucket, event_type,
+                 COUNT(*) AS cnt,
+                 row_number() OVER (PARTITION BY CAST(user_id % 4 AS INT)
+                                    ORDER BY COUNT(*) DESC, event_type) AS rn
+          FROM events
+          GROUP BY 1, 2)
+        WHERE rn <= 3
+        ORDER BY user_bucket, cnt DESC, event_type""")),
+
     // B41: generator through the SQL surface — LATERAL VIEW explode.
     Q(
       "q84_lateral_view",
