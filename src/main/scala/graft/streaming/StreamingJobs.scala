@@ -74,6 +74,23 @@ object StreamingJobs {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(Seq("event_id", "ts"))
 
+  /** Stream-stream event-time interval join: attribute each purchase to
+    * the views by the same user within the preceding hour. Watermarks on
+    * both sides bound the join state (views older than the watermark +
+    * interval are dropped from the state store) — the streaming twin of
+    * the batch as-of/interval joins (B13/B14).
+    */
+  def purchaseAttribution(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "1 hour")
+    val v = views.withWatermark("v_ts", "2 hours")
+    p.join(
+      v,
+      expr("""
+        p_user = v_user AND
+        v_ts >= p_ts - INTERVAL 1 HOUR AND
+        v_ts <= p_ts"""))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 

@@ -109,6 +109,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join attributes purchases to recent views") {
+    val purchases = MemoryStream[(Long, Timestamp)](6, spark, None)
+    val views = MemoryStream[(Long, Timestamp)](7, spark, None)
+    val joined = StreamingJobs.purchaseAttribution(
+      purchases.toDF().toDF("p_user", "p_ts"),
+      views.toDF().toDF("v_user", "v_ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        (1L, Timestamp.valueOf("2024-01-01 00:30:00")),   // within 1h of purchase
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00")),   // unrelated later view
+        (2L, Timestamp.valueOf("2024-01-01 00:45:00")))   // other user
+      purchases.addData((1L, Timestamp.valueOf("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib_out")
+      .select(col("p_user"), date_format(col("v_ts"), "HH:mm").as("v"))
+      .as[(Long, String)].collect().toSet
+    assert(rows === Set((1L, "00:30")))
+  }
+
   test("flatMapGroupsWithState keeps running per-key counters (B38)") {
     val events = MemoryStream[StreamingJobs.UserEvent](4, spark, None)
     val counted = StreamingJobs.runningCounters(events.toDS())
