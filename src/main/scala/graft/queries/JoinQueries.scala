@@ -242,6 +242,57 @@ object JoinQueries {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
+    // B11: full outer join — customer slice vs order-aggregate slice with
+    // deliberate mismatches on both sides.
+    Q(
+      "q90_full_outer",
+      (s, dir) => {
+        val custs = Tables.customer(s, dir)
+          .filter(col("c_custkey") < 800)
+          .select("c_custkey", "c_mktsegment")
+        val spenders = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"))
+          .filter(col("o_custkey") >= 700 && col("o_custkey") < 1200)
+        custs.join(spenders, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_mktsegment"), col("n_orders"))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, n_orders
+        FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 800) c
+        FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                         WHERE o_custkey >= 700 AND o_custkey < 1200
+                         GROUP BY o_custkey) o
+          ON c_custkey = o_custkey
+        ORDER BY custkey""")),
+
+    // B25: duplicate-sensitive set-op variants (unionAll/intersectAll/
+    // exceptAll) — cardinalities distinguish them from the distinct forms.
+    Q(
+      "q91_setops_all",
+      (s, dir) => {
+        val a = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45).select("l_returnflag")
+        val b = Tables.lineitem(s, dir).filter(col("l_extendedprice") > 90000).select("l_returnflag")
+        import s.implicits._
+        Seq(
+          ("union_all", a.unionAll(b).count()),
+          ("intersect_all", a.intersectAll(b).count()),
+          ("except_all", a.exceptAll(b).count()),
+          ("union_distinct", a.union(b).distinct().count())
+        ).toDF("op", "cnt").orderBy("op")
+      },
+      Some("""
+        WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity >= 45),
+             b AS (SELECT l_returnflag FROM lineitem WHERE l_extendedprice > 90000)
+        SELECT 'union_all' AS op, (SELECT COUNT(*) FROM (SELECT * FROM a UNION ALL SELECT * FROM b)) AS cnt
+        UNION ALL SELECT 'intersect_all', (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b))
+        UNION ALL SELECT 'except_all', (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        UNION ALL SELECT 'union_distinct', (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+        ORDER BY op""")),
+
     // B14: interval overlap join — 30-day order windows vs promo periods.
     Q(
       "q27_join_interval_overlap",

@@ -140,6 +140,66 @@ object TextQueries {
         ORDER BY doc_id"""
       }),
 
+    // B42: suffix-stripping normalizer (stemming-lite) before term
+    // counting — vocabulary compression ahead of dedup/tf.
+    Q(
+      "q88_stemmed_terms",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(explode(tokens(lower(col("text")))).as("t"))
+          .select(regexp_replace(col("t"), "(ing|edly|ed|es|s)$", "").as("stem"))
+          .filter(length(col("stem")) >= 2)
+          .groupBy("stem")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("stem"))
+          .limit(25),
+      Some("""
+        SELECT stem, COUNT(*) AS cnt FROM (
+          SELECT regexp_replace(t, '(ing|edly|ed|es|s)$', '') AS stem
+          FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+                FROM documents))
+        WHERE length(stem) >= 2
+        GROUP BY stem
+        ORDER BY cnt DESC, stem
+        LIMIT 25""")),
+
+    // B42: the corpus-cleaning filter funnel — every document classified
+    // by its first failing rule (too short, low stopword signal, low
+    // alpha ratio) or kept; the counts-by-reason report every
+    // training-data pipeline emits.
+    Q(
+      "q89_filter_funnel",
+      (s, dir) => {
+        val ts = tokens(col("text"))
+        val stop = TextAnalysis.markerCount(ts, TextAnalysis.markers.toMap.apply("en"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            when(size(ts) < 30, "too_short")
+              .when(stop.cast(DoubleType) / size(ts) < 0.01, "no_stopwords")
+              .when(TextAnalysis.punctCount(col("text")).cast(DoubleType) / length(col("text")) > 0.1,
+                "too_much_punct")
+              .otherwise("kept").as("verdict"))
+          .groupBy("verdict")
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("verdict")
+      },
+      Some {
+        val en = TextAnalysis.markers.toMap.apply("en").map(w => s"'$w'").mkString(",")
+        s"""
+        WITH $OTOKS
+        SELECT verdict, COUNT(*) AS cnt FROM (
+          SELECT CASE
+            WHEN len(ts) < 30 THEN 'too_short'
+            WHEN CAST(len(list_filter(ts, t -> t IN ($en))) AS DOUBLE) / len(ts) < 0.01 THEN 'no_stopwords'
+            WHEN CAST(length(d.text) - length(regexp_replace(d.text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+                 / length(d.text) > 0.1 THEN 'too_much_punct'
+            ELSE 'kept' END AS verdict
+          FROM toks JOIN documents d USING (doc_id))
+        GROUP BY verdict
+        ORDER BY verdict"""
+      }),
+
     // B6/B42: exact content dedup via normalized md5 fingerprint.
     Q(
       "q54_exact_dedup_stats",
