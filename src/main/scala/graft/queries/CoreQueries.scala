@@ -303,9 +303,13 @@ object CoreQueries {
           .groupBy(col("l_returnflag"))
           .agg(
             n.cast(LongType).as("n"),
-            sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("std_qty"),
-            ((sxy - sx * sy / n) / (n - lit(1.0))).as("covar_qty_price"),
-            ((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))).as("corr_qty_price"))
+            // the squared-sum moments overflow 2^53 unscaled, so their
+            // double renderings can differ by 1 ulp between engines
+            // (DuckDB int128->double double-rounds); round the derived
+            // statistics coarsely enough to absorb that wobble
+            round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 6).as("std_qty"),
+            round((sxy - sx * sy / n) / (n - lit(1.0)), 4).as("covar_qty_price"),
+            round((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9).as("corr_qty_price"))
           .orderBy("l_returnflag")
       },
       Some("""
@@ -320,9 +324,9 @@ object CoreQueries {
                  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy
           FROM lineitem GROUP BY l_returnflag)
         SELECT l_returnflag, cnt AS n,
-               sqrt((sxx - sx * sx / n) / (n - 1.0)) AS std_qty,
-               (sxy - sx * sy / n) / (n - 1.0) AS covar_qty_price,
-               (sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_price
+               round(sqrt((sxx - sx * sx / n) / (n - 1.0)), 6) AS std_qty,
+               round((sxy - sx * sy / n) / (n - 1.0), 4) AS covar_qty_price,
+               round((sxy - sx * sy / n) / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 9) AS corr_qty_price
         FROM m
         ORDER BY l_returnflag""")),
 
