@@ -525,6 +525,39 @@ object CoreQueries {
         GROUP BY o.o_orderstatus
         ORDER BY o.o_orderstatus""")),
 
+    // B5/B26: null-handling function family — coalesce/nullif/nvl2-shape,
+    // NaN detection and replacement, null-safe equality.
+    Q(
+      "q92_null_funcs",
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(
+            col("c_custkey"),
+            nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+            coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(bldg)")).as("seg_filled"),
+            when(col("c_acctbal") < 0, lit(Double.NaN)).otherwise(col("c_acctbal")).as("bal_nan"),
+            isnan(when(col("c_acctbal") < 0, lit(Double.NaN)).otherwise(col("c_acctbal"))).as("is_nan"),
+            nanvl(when(col("c_acctbal") < 0, lit(Double.NaN)).otherwise(col("c_acctbal")), lit(0.0)).as("bal_clean"),
+            (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit(null)).as("nullsafe_eq_null"))
+          .filter(col("is_nan") || col("nullsafe_eq_null"))
+          .drop("bal_nan")
+          .orderBy("c_custkey")
+          .limit(500),
+      Some("""
+        SELECT c_custkey, seg_nb, seg_filled, is_nan, bal_clean, nullsafe_eq_null
+        FROM (
+          SELECT c_custkey,
+                 nullif(c_mktsegment, 'BUILDING') AS seg_nb,
+                 coalesce(nullif(c_mktsegment, 'BUILDING'), '(bldg)') AS seg_filled,
+                 isnan(CASE WHEN c_acctbal < 0 THEN 'NaN'::DOUBLE ELSE c_acctbal END) AS is_nan,
+                 CASE WHEN isnan(CASE WHEN c_acctbal < 0 THEN 'NaN'::DOUBLE ELSE c_acctbal END)
+                      THEN 0.0 ELSE c_acctbal END AS bal_clean,
+                 nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS nullsafe_eq_null
+          FROM customer)
+        WHERE is_nan OR nullsafe_eq_null
+        ORDER BY c_custkey
+        LIMIT 500""")),
+
     // Correlated scalar subquery — Catalyst decorrelates it into a join
     // (RewriteCorrelatedScalarSubquery; SURVEY §4). Written via the SQL
     // surface to exercise the analyzer path a reference user would hit.
