@@ -46,6 +46,39 @@ object StreamingJobs {
       .start()
   }
 
+  /** foreachBatch sink: the escape hatch for sinks Structured Streaming
+    * lacks natively (idempotent upserts, JDBC merges, multi-sink fanout).
+    * Each micro-batch arrives as a plain DataFrame with its batch id; the
+    * handler here does an overwrite-partition upsert into parquet keyed
+    * by the batch's commodity partitions — replayed batches (checkpoint
+    * recovery) overwrite instead of duplicating.
+    */
+  def ingestForeachBatch(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .schema(AgriPipeline.rawSchema)
+      .csv(srcDir)
+    val cleaned = AgriPipeline.dropInvalid(AgriPipeline.normalize(raw))
+    cleaned.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("__batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("commodity_key")
+          .parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** B34+B36: watermarked tumbling event-time counts. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -36,6 +36,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 8)
   }
 
+  test("foreachBatch sink lands dynamic-overwrite partitions") {
+    val src = tmp("fb_src")
+    val fixture = getClass.getResource("/agri_fixture.csv").getPath
+    Files.copy(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(s"$src/page0.csv"))
+    val out = tmp("fb_out")
+    val ckpt = tmp("fb_ckpt")
+    val q = StreamingJobs.ingestForeachBatch(spark, src, out, ckpt)
+    q.awaitTermination(60000)
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === 8)
+    assert(landed.select("__batch_id").distinct().count() === 1)
+    assert(landed.filter(col("commodity_key") === "apple").count() === 2)
+  }
+
+  test("observe() exposes runtime ingest metrics on a batch pass") {
+    val fixture = getClass.getResource("/agri_fixture.csv").getPath
+    val observed = graft.ingest.AgriPipeline
+      .normalize(graft.ingest.AgriPipeline.readCsv(spark, fixture))
+      .observe("ingest_metrics",
+        count(lit(1)).as("rows"),
+        sum(when(col("arrival_date").isNull, 1L).otherwise(0L)).as("bad_dates"),
+        sum(when(col("modal_price").isNull, 1L).otherwise(0L)).as("bad_prices"))
+    observed.collect()
+    val metrics = observed.queryExecution.observedMetrics("ingest_metrics")
+    assert(metrics.getAs[Long]("rows") === 10L)
+    assert(metrics.getAs[Long]("bad_dates") === 2L)
+    assert(metrics.getAs[Long]("bad_prices") === 1L)
+  }
+
   test("watermarked tumbling window counts (B34/B36)") {
     val events = MemoryStream[(Timestamp, String)](1, spark, None)
     events.addData(
