@@ -144,6 +144,40 @@ object WindowQueries {
         WHERE pr <= 0.01
         ORDER BY c_mktsegment, c_custkey""")),
 
+    // B22: value-based RANGE frame — a true 7-calendar-day trailing sum
+    // (unlike the ROWS frame of q32, gaps in the date series don't
+    // stretch the window). Ordering key is integer day-number; the summed
+    // measure stays decimal through the frame for exactness.
+    Q(
+      "q93_window_range_frame",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast(DateType).as("d"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+          .withColumn("day_num", datediff(col("d"), lit("1995-01-01").cast(DateType)))
+        val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        daily
+          .select(
+            col("d"),
+            sum(col("rev_dec")).over(w).cast(DoubleType).as("trailing_7d"),
+            count(lit(1)).over(w).as("days_present"))
+          .orderBy("d")
+          .limit(1000)
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d,
+                 SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+                 datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_num
+          FROM orders GROUP BY 1, 3)
+        SELECT d,
+               CAST(SUM(rev_dec) OVER w AS DOUBLE) AS trailing_7d,
+               COUNT(*) OVER w AS days_present
+        FROM daily
+        WINDOW w AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ORDER BY d
+        LIMIT 1000""")),
+
     // B6: deterministic keep-first dedup (the downstream repair for the
     // reference's at-least-once checkpoint window, fetch_data.py:143-162).
     Q(
