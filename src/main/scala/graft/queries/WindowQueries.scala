@@ -178,6 +178,36 @@ object WindowQueries {
         ORDER BY d
         LIMIT 1000""")),
 
+    // B21: first/last with ignoreNulls over frames — carry-forward of the
+    // most recent non-null value (the gap-fill idiom for sparse series).
+    Q(
+      "q94_last_ignore_nulls",
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .withColumn("maybe_prio",
+            when(col("o_orderkey") % 3 === 0, col("o_orderpriority")))
+          .select(
+            col("o_orderstatus"), col("o_orderkey"), col("maybe_prio"),
+            last(col("maybe_prio"), ignoreNulls = true).over(w).as("prio_filled"),
+            first(col("maybe_prio"), ignoreNulls = true).over(w).as("prio_first"))
+          .orderBy("o_orderstatus", "o_orderkey")
+          .limit(1000)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderkey, maybe_prio,
+               last_value(maybe_prio IGNORE NULLS) OVER w AS prio_filled,
+               first_value(maybe_prio IGNORE NULLS) OVER w AS prio_first
+        FROM (SELECT o_orderstatus, o_orderkey,
+                     CASE WHEN o_orderkey % 3 = 0 THEN o_orderpriority END AS maybe_prio
+              FROM orders)
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_orderstatus, o_orderkey
+        LIMIT 1000""")),
+
     // B6: deterministic keep-first dedup (the downstream repair for the
     // reference's at-least-once checkpoint window, fetch_data.py:143-162).
     Q(
