@@ -19,13 +19,17 @@ object GraftFunctions {
     * pure-column expression so it stays inside whole-stage codegen.
     * Whitespace stripping is regex-based (`^\s+|\s+$`) — Python's strip()
     * removes tabs/newlines too, which Spark's space-only trim() would miss.
+    * The `(?U)` flag makes Java's `\w`/`\s` Unicode-aware to match Python's
+    * re semantics: a non-ASCII word character (e.g. an accented commodity
+    * name) is KEPT by the reference's safe_name, so it must be kept here
+    * too or partition keys diverge.
     */
   def safeName(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(lower(c), "^\\s+|\\s+$", ""),
-        "[^\\w\\s-]", ""),
-      "\\s+", "_")
+        regexp_replace(lower(c), "(?U)^\\s+|\\s+$", ""),
+        "(?U)[^\\w\\s-]", ""),
+      "(?U)\\s+", "_")
 
   /** UDF twin of [[safeName]] (B39). Prefer the column version in real
     * plans — a Scala UDF is an opaque black box to Catalyst.
@@ -33,9 +37,9 @@ object GraftFunctions {
   val safeNameUdf: UserDefinedFunction = udf { (s: String) =>
     if (s == null) null
     else s.toLowerCase
-      .replaceAll("^\\s+|\\s+$", "")
-      .replaceAll("[^\\w\\s-]", "")
-      .replaceAll("\\s+", "_")
+      .replaceAll("(?U)^\\s+|\\s+$", "")
+      .replaceAll("(?U)[^\\w\\s-]", "")
+      .replaceAll("(?U)\\s+", "_")
   }
 
   /** Portable 60-bit hash: `conv(substr(md5(x),1,15),16,10)` — bit-identical

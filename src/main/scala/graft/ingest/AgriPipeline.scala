@@ -69,8 +69,13 @@ object AgriPipeline {
       col("Variety").as("variety"),
       col("Grade").as("grade"),
       // try_to_date: null on invalid input under any ANSI setting (A5's
-      // errors="coerce")
-      expr("try_to_date(Arrival_Date, 'd/M/yyyy')").as("arrival_date"),
+      // errors="coerce"). Pandas dayfirst=True (`fetch_data.py:149-153`)
+      // is a *preference*, not a strict format — it still absorbs ISO
+      // yyyy-MM-dd strings. Coalescing the two formats matches that
+      // observed behavior instead of silently nulling ISO rows.
+      coalesce(
+        expr("try_to_date(Arrival_Date, 'd/M/yyyy')"),
+        expr("try_to_date(Arrival_Date, 'yyyy-M-d')")).as("arrival_date"),
       expr("try_cast(Min_Price AS DOUBLE)").as("min_price"),
       expr("try_cast(Max_Price AS DOUBLE)").as("max_price"),
       expr("try_cast(Modal_Price AS DOUBLE)").as("modal_price"),

@@ -64,33 +64,40 @@ object AsOfJoin {
       rightTime: String,
       rightVals: Seq[String]): DataFrame = {
 
+    // All carried right columns travel as ONE struct: the struct is
+    // non-null exactly on right rows, so last(ignoreNulls) carries the
+    // latest *row* forward even when its member values are NULL — a
+    // per-column carry would skip a null-valued match and leak an older
+    // row's value, and couldn't distinguish "no match" from "matched row
+    // with null value". One window expression instead of N is also
+    // cheaper to evaluate.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+
     val leftCols = left.columns.toSeq
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select((keys.map(col) :+ col("__t") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) ++
-        rightVals.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => col(c).as(s"__l_$c")) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val r = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select((keys.map(col) :+ col("__t") :+ col("__side")) ++
-        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) ++
-        rightVals.map(c => col(c).as(s"__r_$c")): _*)
+        leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
+        struct(rightVals.map(c => col(c).as(c)): _*).as("__r"): _*)
 
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val carried = rightVals.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-
-    carried
+    l.unionByName(r)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++
-        rightVals.map(c => col(s"__asof_$c").as(s"asof_$c")): _*)
+        rightVals.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 }

@@ -87,11 +87,29 @@ object Dedup {
 
   /** Exact pairwise n-gram Jaccard over the shared-shingle candidates:
     * |A ∩ B| / (|A| + |B| - |A ∩ B|).
+    *
+    * `maxDf` is the stop-shingle cap (standard LSH hygiene): a shingle
+    * present in more than maxDf documents is a stop-phrase that
+    * contributes ~df² rows to the self-join while carrying no near-dup
+    * signal — one ultra-common shingle would otherwise explode the join
+    * at 100× scale. Capped shingles are dropped from the shingle universe
+    * entirely (both the intersection and the per-doc counts), so when no
+    * shingle exceeds the cap the result is bit-identical to the uncapped
+    * run, and per-shingle join fan-out is bounded by maxDf².
     */
-  def jaccardPairs(index: DataFrame, idCol: String): DataFrame = {
-    val counts = index.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val x = index.select(col(idCol).as("a"), col("shingle"))
-    val y = index.select(col(idCol).as("b"), col("shingle"))
+  def jaccardPairs(index: DataFrame, idCol: String, maxDf: Long = Long.MaxValue): DataFrame = {
+    val kept =
+      if (maxDf == Long.MaxValue) index
+      else {
+        val hot = index.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxDf)
+          .select("shingle")
+        // hot set is tiny (it's the >maxDf tail) — anti-join broadcasts
+        index.join(hot, Seq("shingle"), "left_anti")
+      }
+    val counts = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val x = kept.select(col(idCol).as("a"), col("shingle"))
+    val y = kept.select(col(idCol).as("b"), col("shingle"))
     x.join(y, "shingle")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
@@ -134,10 +152,27 @@ object Dedup {
     * the two-phase select is exact. At sketch sizes beyond driver memory
     * the banding candidates of [[lshCandidates]] are the scale path.
     */
-  def simhashTopPairs(sketches: DataFrame, idCol: String, hashCol: String, k: Int): DataFrame = {
+  /** Default routing threshold for [[simhashTopPairs]]: 4M sketches
+    * ≈ 64 MB of (id, hash) pairs — comfortably broadcastable; above it
+    * the driver-collect path is replaced by [[simhashBandedTopPairs]].
+    */
+  val SimhashBroadcastLimit: Long = 4L * 1000 * 1000
+
+  def simhashTopPairs(
+      sketches: DataFrame,
+      idCol: String,
+      hashCol: String,
+      k: Int,
+      broadcastLimit: Long = SimhashBroadcastLimit): DataFrame = {
     val spark = sketches.sparkSession
     import spark.implicits._
     val ds = sketches.select(col(idCol).cast("long"), col(hashCol).cast("long")).as[(Long, Long)]
+    // Size guard: beyond the broadcast budget the all-pairs scan is both
+    // an OOM (driver array) and quadratic work — route to the banded
+    // candidate join, which finds every pair at Hamming distance < bands
+    // without materializing the sketch table anywhere.
+    if (ds.limit((broadcastLimit + 1).min(Int.MaxValue).toInt).count() > broadcastLimit)
+      return simhashBandedTopPairs(sketches, idCol, hashCol, k)
     val all = ds.collect().sortBy(_._1)
     val ids = all.map(_._1)
     val hs = all.map(_._2)
@@ -159,6 +194,44 @@ object Dedup {
         heap.iterator.map { case (d, x, y) => (x, y, d) }
       }
     }.toDF("a", "b", "dist")
+      .orderBy(col("dist"), col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Distributed top-k simhash pairs via banding — the scale path of
+    * [[simhashTopPairs]]. The 32-bit sketch is split into `bands`
+    * equal-width sub-keys; by pigeonhole, any pair at Hamming distance
+    * < bands agrees on at least one band, so the band-key equi-join finds
+    * every such pair exactly (recall is exact for dist ≤ bands-1; more
+    * distant pairs — which near-dup dedup doesn't want anyway — may be
+    * missed). Shape: explode to bands rows/doc, shuffle on (band, key),
+    * per-bucket join, exact Hamming verify, global top-k. No collect, no
+    * cross join; skew is bounded because a band bucket only contains
+    * near-identical sketches.
+    */
+  def simhashBandedTopPairs(
+      sketches: DataFrame,
+      idCol: String,
+      hashCol: String,
+      k: Int,
+      bands: Int = 8): DataFrame = {
+    require(32 % bands == 0, s"bands must divide 32, got $bands")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val s = sketches.select(col(idCol).cast("long").as("__id"), col(hashCol).cast("long").as("__h"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__h"), b * width).bitwiseAND(lit(mask)).as("key"))
+    }
+    val banded = s
+      .select(col("__id"), col("__h"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("__id"), col("__h"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val x = banded.select(col("__id").as("a"), col("__h").as("ha"), col("band"), col("key"))
+    val y = banded.select(col("__id").as("b"), col("__h").as("hb"), col("band"), col("key"))
+    x.join(y, Seq("band", "key"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), hamming(col("ha"), col("hb")).cast("int").as("dist"))
+      .distinct()
       .orderBy(col("dist"), col("a"), col("b"))
       .limit(k)
   }

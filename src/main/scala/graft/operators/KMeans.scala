@@ -3,7 +3,6 @@ package graft.operators
 import graft.functions.GraftFunctions._
 import graft.plans.GraftExtensions
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Lloyd's k-means over embedding columns — the coarse-quantizer trainer
@@ -38,6 +37,15 @@ object KMeans {
     array_min(array(scored.toIndexedSeq: _*)).getField("cell")
   }
 
+  /** Init plan: the k lowest-id vectors via orderBy+limit — executes as
+    * TakeOrderedAndProject (per-partition top-k, only k rows reach the
+    * driver). A global row_number() window here would force the whole
+    * corpus through one task; this shape survives a 100x scale-up.
+    * Package-visible so the spec can assert the physical plan.
+    */
+  private[graft] def initPlan(v: DataFrame, k: Int): DataFrame =
+    v.orderBy("__id").limit(k).select("__v")
+
   /** @param vectors (idCol, vecCol: array<double>)
     * @return (centroids, inertia per iteration)
     */
@@ -51,12 +59,8 @@ object KMeans {
     val v = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v")).persist()
     val dims = v.select(size(col("__v"))).head().getInt(0)
 
-    val w = Window.orderBy(col("__id"))
-    var centroids: Array[Array[Double]] = v
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .orderBy("__id")
-      .select("__v").collect()
+    var centroids: Array[Array[Double]] = initPlan(v, k)
+      .collect()
       .map(_.getSeq[Double](0).toArray)
 
     val inertias = (1 to iters).map { _ =>

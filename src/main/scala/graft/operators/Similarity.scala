@@ -141,6 +141,10 @@ object Similarity {
 
   /** All near-duplicate pairs (a<b) by cosine, with precomputed norms so
     * each vector's norm is calculated once, not per pair.
+    *
+    * NOTE: inherently O(n²) — this is the small-corpus exact baseline.
+    * At scale use [[cosinePairsLsh]], whose candidates come from the
+    * hyperplane buckets instead of a cross join.
     */
   def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
@@ -151,6 +155,46 @@ object Similarity {
     val b = v.select(col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)
       .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosinePre(call_function("graft_dot", col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
+  }
+
+  /** Candidate-pruned near-dup pairs — the scale path of [[cosinePairs]].
+    *
+    * Candidates are id pairs sharing an LSH bucket, with multi-probe
+    * (each vector also probes the `planes` buckets at Hamming distance 1),
+    * so highly-similar pairs split across adjacent buckets still meet.
+    * The exact cosine is then computed only for candidates, and any pair
+    * it does emit carries the identical cos_r the exact operator would —
+    * pruning affects recall of *dissimilar* pairs only.
+    *
+    * Plan shape: one narrow pass to bucket ids, a bucket equi-join over
+    * ids only (no vectors travel through the candidate join), distinct on
+    * (a,b), then two id-equi joins to re-attach vectors+norms. No cross
+    * join anywhere — candidate volume is sum over buckets of |bucket|²
+    * instead of n².
+    */
+  def cosinePairsLsh(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    GraftExtensions.ensureRegistered(vectors.sparkSession)
+    val v = vectors.select(
+      col(idCol).as("__id"), col(vecCol).as("__v"),
+      l2norm(col(vecCol)).as("__nrm"),
+      lshBucket(col(vecCol), planes).as("__bucket")).persist()
+    val masks = 0 +: planes.indices.map(1 << _)
+    val probes = v.select(col("__id").as("a"),
+      explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
+    val others = v.select(col("__id").as("b"), col("__bucket"))
+    val cand = probes.join(others, "__bucket")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    cand
+      .join(v.select(col("__id").as("a"), col("__v").as("va"), col("__nrm").as("na")), "a")
+      .join(v.select(col("__id").as("b"), col("__v").as("vb"), col("__nrm").as("nb")), "b")
       .select(col("a"), col("b"),
         round(cosinePre(call_function("graft_dot", col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
   }

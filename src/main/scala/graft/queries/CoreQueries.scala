@@ -245,9 +245,9 @@ object CoreQueries {
                regexp_replace(regexp_replace(regexp_replace(lower(p_brand || ' ' || p_name), '^\s+|\s+$', '', 'g'), '[^\w\s-]', '', 'g'), '\s+', '_', 'g') AS safe,
                upper(p_name) AS uname,
                substr(p_name, 1, 3) AS pre3,
-               len(string_split(p_name, ' ')) AS n_words,
-               levenshtein(p_name, 'red widget') AS lev,
-               length(p_name) AS len
+               CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+               CAST(levenshtein(p_name, 'red widget') AS INT) AS lev,
+               CAST(length(p_name) AS INT) AS len
         FROM part
         ORDER BY p_partkey
         LIMIT 500""")),
@@ -515,7 +515,7 @@ object CoreQueries {
                                     ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
           FROM orders)
         SELECT o.o_orderstatus,
-               count_if(o.o_totalprice > 100000) AS n_big,
+               CAST(count_if(o.o_totalprice > 100000) AS BIGINT) AS n_big,
                bool_and(o.o_totalprice > 0) AS all_positive,
                bool_or(o.o_orderpriority = '1-URGENT') AS any_urgent,
                array_to_string(list_sort(list_distinct(list(o.o_orderpriority))), ',') AS prios,

@@ -30,7 +30,7 @@ object EventQueries {
           .orderBy("event_type"),
       Some("""
         SELECT event_type, COUNT(*) AS cnt,
-               SUM(k) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+               CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
         FROM (SELECT event_type,
                      CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
               FROM events)

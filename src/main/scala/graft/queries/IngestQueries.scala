@@ -120,7 +120,7 @@ object IngestQueries {
       },
       Some("""
         SELECT p_brand, COUNT(*) AS cnt,
-               SUM(length(p_name || ', "x" ' || p_brand)) AS noisy_chars,
+               CAST(SUM(length(p_name || ', "x" ' || p_brand)) AS BIGINT) AS noisy_chars,
                CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         FROM part
         GROUP BY p_brand
@@ -149,7 +149,7 @@ object IngestQueries {
       Some("""
         SELECT event_type, COUNT(*) AS cnt,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
-               SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS sum_k
+               CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type""")),

@@ -276,13 +276,29 @@ object JoinQueries {
       (s, dir) => {
         val a = Tables.lineitem(s, dir).filter(col("l_quantity") >= 45).select("l_returnflag")
         val b = Tables.lineitem(s, dir).filter(col("l_extendedprice") > 90000).select("l_returnflag")
-        import s.implicits._
-        Seq(
-          ("union_all", a.unionAll(b).count()),
-          ("intersect_all", a.intersectAll(b).count()),
-          ("except_all", a.exceptAll(b).count()),
-          ("union_distinct", a.union(b).distinct().count())
-        ).toDF("op", "cnt").orderBy("op")
+        // One plan, one job: per-key counts on each side, full-outer join,
+        // and all four multiset cardinalities fall out of a single final
+        // aggregate (UNION ALL = ca+cb, INTERSECT ALL = min, EXCEPT ALL =
+        // max(ca-cb,0), UNION DISTINCT = #keys). Replaces 4 driver-side
+        // .count() actions with zero extra scans of lineitem.
+        val ca = a.groupBy("l_returnflag").agg(count(lit(1)).as("ca"))
+        val cb = b.groupBy("l_returnflag").agg(count(lit(1)).as("cb"))
+        ca.join(cb, Seq("l_returnflag"), "full_outer")
+          .select(
+            coalesce(col("ca"), lit(0L)).as("ca"),
+            coalesce(col("cb"), lit(0L)).as("cb"))
+          .agg(
+            coalesce(sum(col("ca") + col("cb")), lit(0L)).as("union_all"),
+            coalesce(sum(least(col("ca"), col("cb"))), lit(0L)).as("intersect_all"),
+            coalesce(sum(greatest(col("ca") - col("cb"), lit(0L))), lit(0L)).as("except_all"),
+            count(lit(1)).as("union_distinct"))
+          .select(expr(
+            """stack(4,
+               'union_all', union_all,
+               'intersect_all', intersect_all,
+               'except_all', except_all,
+               'union_distinct', union_distinct) AS (op, cnt)"""))
+          .orderBy("op")
       },
       Some("""
         WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity >= 45),

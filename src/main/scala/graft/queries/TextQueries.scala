@@ -217,8 +217,8 @@ object TextQueries {
           SELECT md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> ''), ' ')) AS fp
           FROM documents),
         g AS (SELECT fp, COUNT(*) AS cnt FROM fp GROUP BY fp)
-        SELECT SUM(cnt) AS n_docs, COUNT(*) AS n_unique,
-               SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_docs, COUNT(*) AS n_unique,
+               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
                MAX(cnt) AS max_group
         FROM g""")),
 
@@ -290,7 +290,11 @@ object TextQueries {
         // the index feeds both join sides and the size counts — persist it
         // once instead of re-exploding the corpus three times
         val idx = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3).persist()
-        Dedup.jaccardPairs(idx, "doc_id")
+        // maxDf=100: stop-shingle cap (no shingle reaches it in this
+        // corpus — max df is 7 at sf0.01, 25 at sf0.1 — so the result is
+        // bit-identical to uncapped, while a pathological stop-phrase at
+        // scale is bounded). The oracle applies the identical cap.
+        Dedup.jaccardPairs(idx, "doc_id", maxDf = 100)
           .select(col("a"), col("b"), round(col("jacc"), 6).as("jacc_r"))
           .orderBy(col("jacc_r").desc, col("a"), col("b"))
           .limit(30)
@@ -298,9 +302,11 @@ object TextQueries {
       Some(s"""
         WITH $OTOKS,
         $OSHINGLES,
-        cnt AS (SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY 1),
+        keep AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh) WHERE df <= 100),
+        shk AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep k ON s.sh = k.sh),
+        cnt AS (SELECT doc_id, COUNT(*) AS c FROM shk GROUP BY 1),
         pair AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
-                 FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+                 FROM shk x JOIN shk y ON x.sh = y.sh AND x.doc_id < y.doc_id
                  GROUP BY 1, 2)
         SELECT a, b,
                round(CAST(inter AS DOUBLE) / (ca.c + cb.c - inter), 6) AS jacc_r
@@ -385,6 +391,41 @@ object TextQueries {
         SELECT x.doc_id AS a, y.doc_id AS b,
                CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
         FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+        ORDER BY dist, a, b
+        LIMIT 50"""
+      }),
+
+    // B7: distributed banded simhash pairs — the scale route simhashTopPairs
+    // takes above its broadcast budget. 8 bands x 4 bits: by pigeonhole any
+    // pair at Hamming distance < 8 shares a band, so the band equi-join
+    // finds all such pairs with no collect and no cross join. The oracle
+    // replicates the banding bit-exactly.
+    Q(
+      "q95_simhash_banded",
+      (s, dir) => {
+        val sh = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
+        Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 50, bands = 8)
+      },
+      Some {
+        val bitSums = (0 until 32).map(b => s"SUM((((hv >> $b) & 1) * 2) - 1) AS s_$b").mkString(", ")
+        val assemble = (0 until 32)
+          .map(b => s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+          .mkString(" + ")
+        s"""
+        WITH $OTOKS,
+        tok AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+        h AS (SELECT doc_id, ${ohash("sim", "t")} AS hv FROM tok),
+        bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+        sh AS (SELECT doc_id, $assemble AS simhash FROM bits),
+        banded AS (SELECT doc_id, simhash, band,
+                          (simhash >> (band * 4)) & 15 AS key
+                   FROM sh CROSS JOIN (SELECT unnest(range(8)) AS band)),
+        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+                        CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
+                 FROM banded x
+                 JOIN banded y ON x.band = y.band AND x.key = y.key
+                              AND x.doc_id < y.doc_id)
+        SELECT a, b, dist FROM cand
         ORDER BY dist, a, b
         LIMIT 50"""
       })

@@ -192,6 +192,52 @@ object VectorQueries {
         ORDER BY cos_r DESC, a, b
         LIMIT 50""")),
 
+    // B7/B43: candidate-pruned cosine near-dup pairs — the scale path of
+    // q63. Candidates come from the 4-plane LSH buckets with Hamming-1
+    // multi-probe (no cross join; candidate volume is per-bucket, not n²);
+    // every emitted pair carries the identical cos_r the exact operator
+    // computes. The oracle rebuilds the same buckets from the same inline
+    // hyperplane constants.
+    Q(
+      "q96_cosine_pairs_lsh",
+      (s, dir) => {
+        val planes = Similarity.hyperplanes(4, 64)
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        Similarity.cosinePairsLsh(v, "vec_id", "vec", planes)
+          .orderBy(col("cos_r").desc, col("a"), col("b"))
+          .limit(50)
+      },
+      Some {
+        val planes = Similarity.hyperplanes(4, 64)
+        val values = (for {
+          p <- 0 until 4
+          d <- 0 until 64
+        } yield f"($p, ${d + 1}, ${planes(p)(d)}%.3f)").mkString(", ")
+        s"""
+        WITH $OPOS,
+        w(p, i, wt) AS (SELECT * FROM (VALUES $values) t(p, i, wt)),
+        sig AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+                FROM (SELECT e.vec_id, w.p, SUM(e.v * CAST(w.wt AS DOUBLE)) AS s
+                      FROM e JOIN w ON e.i = w.i GROUP BY 1, 2)
+                GROUP BY 1),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        pr AS (SELECT vec_id,
+                      unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+               FROM sig),
+        cand AS (SELECT DISTINCT pr.vec_id AS a, s2.vec_id AS b
+                 FROM pr JOIN sig s2 ON pr.probe = s2.bucket AND pr.vec_id < s2.vec_id),
+        dots AS (SELECT cand.a, cand.b, SUM(x.v * y.v) AS d
+                 FROM cand
+                 JOIN e x ON x.vec_id = cand.a
+                 JOIN e y ON y.vec_id = cand.b AND y.i = x.i
+                 GROUP BY 1, 2)
+        SELECT a, b, round(d / (na.nrm * nb.nrm), 6) AS cos_r
+        FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
+        ORDER BY cos_r DESC, a, b
+        LIMIT 50"""
+      }),
+
     // B43: trained IVF — Lloyd's k-means coarse quantizer (distributed
     // assignment, k x dims driver state) then cell occupancy. Float means
     // make exact cross-engine assignment unverifiable, so this is a
@@ -222,7 +268,7 @@ object VectorQueries {
             round(sum(col("n_chars")).cast(DoubleType) / count(lit(1)), 6).as("avg_chars"))
           .orderBy("lang", "label"),
       Some("""
-        SELECT lang, label, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars,
+        SELECT lang, label, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
                round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars
         FROM documents JOIN embeddings ON doc_id = vec_id
         GROUP BY lang, label
@@ -243,7 +289,7 @@ object VectorQueries {
           .orderBy("source"),
       Some("""
         SELECT source, COUNT(*) AS n_docs,
-               SUM(octet_length(encode(text))) AS total_bytes,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM documents
         GROUP BY source

@@ -35,7 +35,9 @@ object WindowQueries {
           .orderBy("p_brand", "rn")
       },
       Some("""
-        SELECT p_brand, p_partkey, p_retailprice, rn, rk, drk, quartile FROM (
+        SELECT p_brand, p_partkey, p_retailprice,
+               CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk, CAST(drk AS INT) AS drk,
+               quartile FROM (
           SELECT p_brand, p_partkey, p_retailprice,
                  row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn,
                  rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rk,

@@ -1,0 +1,102 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table (SURVEY.md A14): the reference workflow
+  * git-commits its `data/` directory after every harvest
+  * (`/root/reference/run.yml:29-35`) — a poor-man's versioned table whose
+  * value is "every run's output is a retained, restorable snapshot".
+  *
+  * Spark-first restatement: each commit writes a full snapshot under
+  * `table/v=<n>/` and then atomically repoints a tiny `_LATEST` pointer
+  * file (write-temp + rename — atomic on HDFS and local FS). Readers
+  * resolve the pointer first, so a crash mid-write never exposes a
+  * half-written snapshot, and `rollback` is a pointer flip, not a data
+  * copy. History is browsable (`versions`) and any snapshot is readable
+  * (`read(version = Some(n))`) — the same affordances as the reference's
+  * git log over `data/`.
+  *
+  * Scale notes: snapshots are written by the cluster (plain parquet
+  * write, any partitioning the caller put on `df`), and only the pointer
+  * update is driver-side. On rename-less object stores the pointer
+  * rename degrades to copy+delete; production there would use a
+  * log-based table format — the semantics demonstrated here are exactly
+  * the subset of such formats the reference workflow relies on.
+  */
+object VersionedSink {
+
+  private val Pointer = "_LATEST"
+
+  private def fs(spark: SparkSession, dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionDir(tableDir: String, v: Long) = new Path(tableDir, s"v=$v")
+
+  /** All committed versions, ascending (directories present on disk,
+    * whether or not `_LATEST` points at them). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val f = fs(spark, tableDir)
+    val root = new Path(tableDir)
+    if (!f.exists(root)) Seq.empty
+    else
+      f.listStatus(root).toIndexedSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+        .sorted
+  }
+
+  /** The version `_LATEST` points at, if any commit has completed. */
+  def latestVersion(spark: SparkSession, tableDir: String): Option[Long] = {
+    val f = fs(spark, tableDir)
+    val p = new Path(tableDir, Pointer)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Atomically repoint `_LATEST` at `v` (write temp + rename). */
+  private def writePointer(spark: SparkSession, tableDir: String, v: Long): Unit = {
+    val f = fs(spark, tableDir)
+    val tmp = new Path(tableDir, s"$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8"))
+    finally out.close()
+    val dst = new Path(tableDir, Pointer)
+    if (f.exists(dst)) f.delete(dst, false)
+    if (!f.rename(tmp, dst))
+      throw new java.io.IOException(s"could not publish $dst")
+  }
+
+  /** Write `df` as the next snapshot and publish it. Returns the new
+    * version number. The snapshot write happens entirely before the
+    * pointer flip, so concurrent readers see either the old or the new
+    * version, never a partial one. */
+  def commit(df: DataFrame, tableDir: String): Long = {
+    val spark = df.sparkSession
+    val next = versions(spark, tableDir).lastOption.map(_ + 1).getOrElse(0L)
+    df.write.mode("errorifexists").parquet(versionDir(tableDir, next).toString)
+    writePointer(spark, tableDir, next)
+    next
+  }
+
+  /** Read a specific version, or the published latest. */
+  def read(spark: SparkSession, tableDir: String, version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, tableDir)).getOrElse(
+      throw new IllegalStateException(s"no committed version in $tableDir"))
+    spark.read.parquet(versionDir(tableDir, v).toString)
+  }
+
+  /** Restore: repoint `_LATEST` at an existing earlier snapshot. Data is
+    * untouched (the overwritten-by-pointer version remains browsable),
+    * exactly like `git checkout <old>` on the reference's data repo. */
+  def rollback(spark: SparkSession, tableDir: String, version: Long): Unit = {
+    require(versions(spark, tableDir).contains(version),
+      s"version $version does not exist in $tableDir")
+    writePointer(spark, tableDir, version)
+  }
+}

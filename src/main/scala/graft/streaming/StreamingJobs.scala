@@ -49,9 +49,14 @@ object StreamingJobs {
   /** foreachBatch sink: the escape hatch for sinks Structured Streaming
     * lacks natively (idempotent upserts, JDBC merges, multi-sink fanout).
     * Each micro-batch arrives as a plain DataFrame with its batch id; the
-    * handler here does an overwrite-partition upsert into parquet keyed
-    * by the batch's commodity partitions — replayed batches (checkpoint
-    * recovery) overwrite instead of duplicating.
+    * handler dynamic-overwrites the (commodity_key, __batch_id) partitions
+    * it touches. The batch id in the partition key is what makes this both
+    * replay-idempotent AND accumulating: a replayed batch (checkpoint
+    * recovery) rewrites exactly its own partitions, while a *new* batch
+    * containing an already-seen commodity lands in fresh
+    * (commodity, new-batch) partitions instead of silently deleting the
+    * earlier batch's rows — the failure mode of overwriting on
+    * commodity_key alone.
     */
   def ingestForeachBatch(
       spark: SparkSession,
@@ -70,7 +75,7 @@ object StreamingJobs {
         batch.withColumn("__batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("commodity_key")
+          .partitionBy("commodity_key", "__batch_id")
           .parquet(outDir)
         ()
       }

@@ -41,6 +41,42 @@ class AgriPipelineSpec extends SparkSpec {
     assert(n.filter(col("min_price").isNull && col("commodity") === "Onion").count() === 1)
   }
 
+  test("normalize absorbs mixed date formats like pandas dayfirst=True") {
+    // pandas dayfirst is a preference, not a strict format: ISO strings
+    // still parse. The coalesce-of-formats must match that.
+    import spark.implicits._
+    val raw = Seq(
+      ("Apple", "15/01/2020", "100"),   // day-first
+      ("Apple", "2020-01-16", "100"),   // ISO, pandas would absorb it
+      ("Apple", "2020-1-7", "100"),     // ISO, non-padded
+      ("Apple", "31/02/2020", "100"),   // invalid in any format -> null
+      ("Apple", "garbage", "100")       // unparseable -> null
+    ).toDF("Commodity", "Arrival_Date", "Modal_Price")
+      .select(
+        lit("S").as("State"), lit("D").as("District"), lit("M").as("Market"),
+        col("Commodity"), lit("V").as("Variety"), lit("G").as("Grade"),
+        col("Arrival_Date"), lit("90").as("Min_Price"), lit("110").as("Max_Price"),
+        col("Modal_Price"), lit("1").as("Commodity_Code"))
+    val dates = AgriPipeline.normalize(raw)
+      .select("arrival_date").collect().map(r => Option(r.getDate(0)).map(_.toString))
+    assert(dates.toSeq === Seq(
+      Some("2020-01-15"), Some("2020-01-16"), Some("2020-01-07"), None, None))
+  }
+
+  test("safe_name keeps non-ASCII word chars (Unicode \\w, matching Python)") {
+    import spark.implicits._
+    val keys = Seq("Café Apple", "Chilli  (Süß)", "  plain  ").toDF("c")
+      .select(graft.functions.GraftFunctions.safeName(col("c")).as("k"))
+      .collect().map(_.getString(0))
+    // Python re: \w keeps é and ü; parens stripped; runs of spaces -> _
+    assert(keys.toSeq === Seq("café_apple", "chilli_süß", "plain"))
+    // the UDF twin agrees
+    val udfKeys = Seq("Café Apple", "Chilli  (Süß)", "  plain  ").toDF("c")
+      .select(graft.functions.GraftFunctions.safeNameUdf(col("c")).as("k"))
+      .collect().map(_.getString(0))
+    assert(udfKeys.toSeq === keys.toSeq)
+  }
+
   test("dropInvalid drops rows lacking commodity or modal price (A7)") {
     val n = AgriPipeline.normalize(AgriPipeline.readCsv(spark, fixture))
     val kept = AgriPipeline.dropInvalid(n)

@@ -25,6 +25,15 @@ class KMeansSpec extends SparkSpec {
     assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
   }
 
+  test("init is a TakeOrderedAndProject, not a single-partition window/sort") {
+    val v = vecs.select(col("vec_id").as("__id"), col("v").as("__v"))
+    val plan = KMeans.initPlan(v, 8).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+    assert(!plan.contains("Window"), s"init must not use a window:\n$plan")
+    // no global Sort of the full input either (TakeOrdered subsumes it)
+    assert(!plan.contains("Sort "), s"init must not globally sort:\n$plan")
+  }
+
   test("refined centroids beat the unrefined init as IVF cells") {
     val (refined, inertias) = KMeans.fit(vecs, "vec_id", "v", k = 8, iters = 5)
     // final inertia must be meaningfully below the first-assignment inertia

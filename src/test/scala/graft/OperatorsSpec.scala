@@ -56,6 +56,22 @@ class OperatorsSpec extends SparkSpec {
       (2L, 5L, "p3", null)))     // nothing at-or-before
   }
 
+  test("asOf preserves a matched right row whose carried value is NULL") {
+    // Regression: per-column last(ignoreNulls) would skip the null-valued
+    // r@15 and leak r@10's value forward; the struct carry must not.
+    val left = Seq((1L, 20L, "p"), (1L, 8L, "q")).toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, Some("r@10")), (1L, 15L, None))
+      .toDF("k", "t", "rv")
+    val out = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("rv"))
+      .orderBy("t")
+      .select("t", "asof_rv")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))))
+    assert(out.toList === List(
+      (8L, None),            // no match at-or-before 8
+      (20L, None)))          // matched r@15 whose value IS null — not r@10
+  }
+
   test("dedup family flags planted near-duplicates") {
     val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
     val nearDup = base.replace("lazy", "sleepy") // one token differs
@@ -107,6 +123,73 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.2, s"LSH recall $recall too low (approx=${approx.size})")
     // sanity: every approx neighbor scored is a real candidate, none self
     assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("jaccardPairs stop-shingle cap bounds hot-shingle fan-out") {
+    // 40 docs all sharing one hot shingle ("common stop phrase"), plus a
+    // planted near-dup pair sharing real content.
+    val base = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val docs = ((0 until 40).map(i => (i.toLong, s"common stop phrase unique$i filler$i pad$i")) ++
+      Seq((100L, base), (101L, base.replace("zeta", "zzz")))).toDF("doc_id", "text")
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+    // uncapped: the hot shingle alone creates 40*39/2 = 780 candidate pairs
+    val uncapped = Dedup.jaccardPairs(idx, "doc_id").count()
+    assert(uncapped >= 780, s"expected hot-shingle blowup, got $uncapped")
+    // capped at df<=10: the hot shingle is dropped, fan-out collapses,
+    // and the planted near-dup pair survives with high jaccard
+    val capped = Dedup.jaccardPairs(idx, "doc_id", maxDf = 10)
+    assert(capped.count() < 100, s"cap did not bound fan-out: ${capped.count()}")
+    val j = capped.filter(col("a") === 100 && col("b") === 101)
+      .select("jacc").as[Double].collect()
+    assert(j.nonEmpty && j.head > 0.4, s"near-dup lost by cap: ${j.toSeq}")
+  }
+
+  test("banded simhash pairs find every pair within Hamming distance < bands") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.simhash32(docs, "doc_id", "text").persist()
+    val exact = Dedup.simhashTopPairs(sh, "doc_id", "simhash", 50)
+      .as[(Long, Long, Int)].collect().toList
+    val banded = Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 50, bands = 8)
+      .as[(Long, Long, Int)].collect().toSet
+    // every exact top pair with dist < 8 must appear in the banded result
+    val close = exact.filter(_._3 < 8)
+    assert(close.nonEmpty, "fixture has no close simhash pairs; test is vacuous")
+    close.foreach(p => assert(banded.contains(p), s"banded missed $p"))
+    sh.unpersist()
+  }
+
+  test("simhashTopPairs size guard routes to banding above the limit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val sh = Dedup.simhash32(docs, "doc_id", "text").persist()
+    val viaGuard = Dedup.simhashTopPairs(sh, "doc_id", "simhash", 20, broadcastLimit = 10)
+      .as[(Long, Long, Int)].collect().toList
+    val banded = Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 20)
+      .as[(Long, Long, Int)].collect().toList
+    assert(viaGuard === banded, "guard did not route to the banded path")
+    sh.unpersist()
+  }
+
+  test("cosinePairsLsh: no cross join in the plan; agrees with exact on overlap") {
+    val v = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val planes = Similarity.hyperplanes(4, 64)
+    val pruned = Similarity.cosinePairsLsh(v, "vec_id", "vec", planes)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"pruned path must not cross join:\n$plan")
+    val prunedRows = pruned.as[(Long, Long, Double)].collect()
+    assert(prunedRows.nonEmpty)
+    val exact = Similarity.cosinePairs(v, "vec_id", "vec")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // every pruned pair carries the identical cos_r the exact operator computes
+    prunedRows.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c), s"($a,$b): pruned=$c exact=${exact.get((a, b))}")
+    }
+    // and it recalls the global top pairs (similar pairs share buckets)
+    val topExact = exact.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.take(10).map(_._1).toSet
+    val prunedSet = prunedRows.map(r => (r._1, r._2)).toSet
+    val recall = topExact.intersect(prunedSet).size.toDouble / topExact.size
+    assert(recall >= 0.5, s"top-pair recall $recall too low")
   }
 
   test("hash60 is non-negative and stable") {

@@ -50,6 +50,31 @@ class StreamingSpec extends SparkSpec {
     assert(landed.filter(col("commodity_key") === "apple").count() === 2)
   }
 
+  test("foreachBatch: a later batch with an overlapping commodity does not delete earlier rows") {
+    val src = tmp("fb2_src")
+    val fixture = getClass.getResource("/agri_fixture.csv").getPath
+    Files.copy(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(s"$src/page0.csv"))
+    val out = tmp("fb2_out")
+    val ckpt = tmp("fb2_ckpt")
+    StreamingJobs.ingestForeachBatch(spark, src, out, ckpt).awaitTermination(60000)
+    val afterBatch0 = spark.read.parquet(out).count()
+    assert(afterBatch0 === 8)
+
+    // batch 1: new file containing Apple again — overlaps batch 0's
+    // commodity. Under commodity-only overwrite this would wipe batch 0's
+    // apple rows; batch-scoped partitions must keep both.
+    val page1 =
+      """State,District,Market,Commodity,Variety,Grade,Arrival_Date,Min_Price,Max_Price,Modal_Price,Commodity_Code
+        |Karnataka,Mysore,Mysore Mkt,Apple,Delicious,Medium,16/01/2020,7100,8100,7600,17""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$src/page1.csv"), page1)
+    StreamingJobs.ingestForeachBatch(spark, src, out, ckpt).awaitTermination(60000)
+
+    val landed = spark.read.parquet(out)
+    assert(landed.count() === afterBatch0 + 1, "earlier batch rows were lost")
+    assert(landed.filter(col("commodity_key") === "apple").count() === 3)
+    assert(landed.select("__batch_id").distinct().count() === 2)
+  }
+
   test("observe() exposes runtime ingest metrics on a batch pass") {
     val fixture = getClass.getResource("/agri_fixture.csv").getPath
     val observed = graft.ingest.AgriPipeline

@@ -58,6 +58,17 @@ for name in sorted(oracle):
     if sorted(got_cols) != sorted(exp_cols):
         fails.append((name, f"schema: spark={sorted(got_cols)} oracle={sorted(exp_cols)}"))
         continue
+    # The driver's hash is TYPE-sensitive (round-1 lesson: DuckDB types an
+    # un-cast integer SUM/count_if as HUGEINT while Spark emits BIGINT —
+    # equal values, different hash). Compare declared column types too.
+    got_types = {c: str(t) for c, t in zip(got_cols, got_rel.types)}
+    exp_types = {c: str(t) for c, t in zip(exp_cols, exp_rel.types)}
+    type_mismatch = [(c, got_types[c], exp_types[c])
+                     for c in sorted(got_cols) if got_types[c] != exp_types[c]]
+    if type_mismatch:
+        fails.append((name, "types: " + "; ".join(
+            f"{c}: spark={g} oracle={e}" for c, g, e in type_mismatch)))
+        continue
     gi = [got_cols.index(c) for c in sorted(got_cols)]
     ei = [exp_cols.index(c) for c in sorted(exp_cols)]
     g = [tuple(norm(r[i]) for i in gi) for r in got]
