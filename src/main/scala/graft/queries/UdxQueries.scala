@@ -112,6 +112,48 @@ object UdxQueries {
         WHERE rn <= 3
         ORDER BY user_bucket, cnt DESC, event_type""")),
 
+    // B18/B40: custom HyperLogLog as a TypedImperativeAggregate over the
+    // portable hash60 — unlike approx_count_distinct, the whole sketch is
+    // verifiable: the oracle rebuilds the identical 64-register array and
+    // estimate. The indicator sum Σ 2^(54-M_j) is an exact BIGINT, so no
+    // float-summation-order divergence is possible between engines.
+    Q(
+      "q97_hll_distinct",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        Tables.events(s, dir)
+          .agg(
+            call_function("graft_hll", GraftFunctions.hash60("hll", col("user_id"))).as("regs"),
+            countDistinct(col("user_id")).as("n_exact"))
+          .select(
+            array_join(col("regs"), ",").as("registers"),
+            expr("aggregate(transform(regs, m -> shiftleft(1L, 54 - m)), 0L, (a, x) -> a + x)")
+              .as("s_int"),
+            round(
+              expr("0.709 * 4096 * pow(2, 54)") /
+                expr("CAST(aggregate(transform(regs, m -> shiftleft(1L, 54 - m)), 0L, (a, x) -> a + x) AS DOUBLE)"),
+              6).as("hll_est"),
+            col("n_exact"))
+      },
+      Some("""
+        WITH h AS (SELECT ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+                   FROM events),
+        r AS (SELECT hv & 63 AS bucket,
+                     CASE WHEN (hv >> 6) = 0 THEN 54
+                          ELSE 55 - length(bin(hv >> 6)) END AS rho
+              FROM h),
+        regs AS (SELECT bucket, CAST(MAX(rho) AS INT) AS m FROM r GROUP BY bucket),
+        fullregs AS (SELECT j.j AS bucket, COALESCE(regs.m, 0) AS m
+                     FROM (SELECT unnest(range(64)) AS j) j
+                     LEFT JOIN regs ON regs.bucket = j.j),
+        agg AS (SELECT array_to_string(list(m ORDER BY bucket), ',') AS registers,
+                       CAST(SUM(1::BIGINT << (54 - m)) AS BIGINT) AS s_int
+                FROM fullregs)
+        SELECT registers, s_int,
+               round(0.709 * 4096 * pow(2, 54) / CAST(s_int AS DOUBLE), 6) AS hll_est,
+               (SELECT count(DISTINCT user_id) FROM events) AS n_exact
+        FROM agg""")),
+
     // B41: generator through the SQL surface — LATERAL VIEW explode.
     Q(
       "q84_lateral_view",

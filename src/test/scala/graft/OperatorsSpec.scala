@@ -144,15 +144,16 @@ class OperatorsSpec extends SparkSpec {
     assert(j.nonEmpty && j.head > 0.4, s"near-dup lost by cap: ${j.toSeq}")
   }
 
-  test("banded simhash pairs find every pair within Hamming distance < bands") {
+  test("banded simhash60 pairs find every pair within Hamming distance < bands") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
-    val sh = Dedup.simhash32(docs, "doc_id", "text").persist()
+    val sh = Dedup.simhash60(docs, "doc_id", "text").persist()
     val exact = Dedup.simhashTopPairs(sh, "doc_id", "simhash", 50)
       .as[(Long, Long, Int)].collect().toList
-    val banded = Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 50, bands = 8)
+    val banded = Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 50)
       .as[(Long, Long, Int)].collect().toSet
-    // every exact top pair with dist < 8 must appear in the banded result
-    val close = exact.filter(_._3 < 8)
+    // pigeonhole guarantee: every exact top pair with dist < 4 bands
+    // must appear in the banded result
+    val close = exact.filter(_._3 < 4)
     assert(close.nonEmpty, "fixture has no close simhash pairs; test is vacuous")
     close.foreach(p => assert(banded.contains(p), s"banded missed $p"))
     sh.unpersist()
@@ -163,7 +164,7 @@ class OperatorsSpec extends SparkSpec {
     val sh = Dedup.simhash32(docs, "doc_id", "text").persist()
     val viaGuard = Dedup.simhashTopPairs(sh, "doc_id", "simhash", 20, broadcastLimit = 10)
       .as[(Long, Long, Int)].collect().toList
-    val banded = Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 20)
+    val banded = Dedup.simhashBandedTopPairs(sh, "doc_id", "simhash", 20, bands = 4, bitsPerBand = 8)
       .as[(Long, Long, Int)].collect().toList
     assert(viaGuard === banded, "guard did not route to the banded path")
     sh.unpersist()
