@@ -194,20 +194,16 @@ object JoinQueries {
     // to the direct groupBy, which is exactly what the oracle checks.
     Q(
       "q28_salted_agg",
-      (s, dir) => {
-        val salted = Tables.lineitem(s, dir)
-          .withColumn("salt", pmod(col("l_partkey"), lit(16)))
-          .groupBy(col("l_returnflag"), col("salt"))
-          .agg(
+      (s, dir) =>
+        graft.operators.Skew.twoPhaseAgg(
+          Tables.lineitem(s, dir), Seq("l_returnflag"), 16, Seq(col("l_partkey")))(
+          Seq(
             count(lit(1)).as("pc"),
-            sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"))
-        salted
-          .groupBy(col("l_returnflag"))
-          .agg(
+            sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq")),
+          Seq(
             sum(col("pc")).as("cnt"),
-            sum(col("pq")).cast(DoubleType).as("sum_qty"))
-          .orderBy("l_returnflag")
-      },
+            sum(col("pq")).cast(DoubleType).as("sum_qty")))
+          .orderBy("l_returnflag"),
       Some("""
         SELECT l_returnflag, COUNT(*) AS cnt,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
@@ -222,13 +218,10 @@ object JoinQueries {
     Q(
       "q36_salted_join",
       (s, dir) => {
-        val SALT = 8
-        val fact = Tables.lineitem(s, dir)
-          .withColumn("__salt", pmod(xxhash64(col("l_partkey"), col("l_suppkey")), lit(SALT)))
-        val dim = Tables.orders(s, dir)
-          .withColumn("__salt", explode(array((0 until SALT).map(lit): _*)))
-        fact.join(dim,
-            fact("l_orderkey") === dim("o_orderkey") && fact("__salt") === dim("__salt"))
+        graft.operators.Skew.saltedEquiJoin(
+            Tables.lineitem(s, dir), Tables.orders(s, dir),
+            Seq("l_orderkey"), Seq("o_orderkey"),
+            buckets = 8, entropyCols = Seq(col("l_partkey"), col("l_suppkey")))
           .groupBy(col("o_orderstatus"))
           .agg(
             count(lit(1)).as("n_lines"),

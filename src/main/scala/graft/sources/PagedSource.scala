@@ -20,6 +20,9 @@ import scala.jdk.CollectionConverters._
   * ladder (bounded attempts with exponential backoff, empty page on
   * exhaustion — `SHORT_RETRIES`/`SHORT_BACKOFF` at `fetch_data.py:20-24`)
   * lives inside the partition reader where task retries compose with it.
+  * The scan honors column pruning and limit pushdown (see
+  * [[PagedScanBuilder]]) so narrow projections and bounded previews don't
+  * decode the full wire record or page through the whole offset space.
   *
   * The container has no egress, so the "HTTP fetch" is a deterministic
   * in-process page generator producing agmarknet-shaped string records
@@ -91,16 +94,42 @@ class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   }
 }
 
-class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder with Scan with Batch {
+/** ScanBuilder with the two pushdowns an offset-paged REST API can honor:
+  * column pruning (decode only requested fields from the wire record —
+  * at 100 TB a count(*) or 2-column projection must not materialize all
+  * 11 strings per row) and limit (each partition stops fetching once it
+  * has produced `limit` rows; partial push, Spark still applies the final
+  * global limit). Predicate pushdown is deliberately absent: the modeled
+  * API (like most REST sources) accepts only offset/limit, so filters
+  * stay in Spark where Catalyst already evaluates them post-scan.
+  */
+class PagedScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder with Scan with Batch
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
   private val maxOffset = options.getLong("max_offset", 10000L)
   private val pageSize = options.getInt("page_size", 1000)
   private val numPartitions = options.getInt("num_partitions", 8)
   private val flakyEvery = options.getInt("flaky_every", 0)
   private val retries = options.getInt("retries", 5)
 
+  private var required: StructType = PagedSource.schema
+  private var pushedLimit: Long = Long.MaxValue
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = limit.toLong
+    false // partial push: per-partition cap; Spark applies the global limit
+  }
+
   override def build(): Scan = this
-  override def readSchema(): StructType = PagedSource.schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  override def description(): String =
+    s"graft_paged_source PrunedColumns: [${required.fieldNames.mkString(", ")}] " +
+      s"PushedLimit: ${if (pushedLimit == Long.MaxValue) "none" else pushedLimit.toString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     // contiguous offset ranges, one per partition, aligned to page-size
@@ -113,17 +142,25 @@ class PagedScanBuilder(options: CaseInsensitiveStringMap) extends ScanBuilder wi
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(pageSize, maxOffset, flakyEvery, retries)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fieldIdx = required.fieldNames.map(PagedSource.schema.fieldIndex)
+    new PagedReaderFactory(pageSize, maxOffset, flakyEvery, retries, fieldIdx, pushedLimit)
+  }
 }
 
 case class OffsetRange(start: Long, end: Long) extends InputPartition
 
-class PagedReaderFactory(pageSize: Int, maxOffset: Long, flakyEvery: Int, retries: Int)
+class PagedReaderFactory(
+    pageSize: Int,
+    maxOffset: Long,
+    flakyEvery: Int,
+    retries: Int,
+    fieldIdx: Array[Int],
+    limit: Long)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val range = partition.asInstanceOf[OffsetRange]
-    new PagedReader(range, pageSize, maxOffset, flakyEvery, retries)
+    new PagedReader(range, pageSize, maxOffset, flakyEvery, retries, fieldIdx, limit)
   }
 }
 
@@ -138,10 +175,13 @@ class PagedReader(
     maxOffset: Long,
     flakyEvery: Int,
     retries: Int,
+    fieldIdx: Array[Int],
+    limit: Long = Long.MaxValue,
     backoffMs: Long = 1L)
     extends PartitionReader[InternalRow] {
 
   private var offset = range.start
+  private var produced = 0L
   private var page: Iterator[Array[String]] = Iterator.empty
   private var attempted = Set.empty[Long] // pages that already failed once
 
@@ -167,6 +207,7 @@ class PagedReader(
   }
 
   override def next(): Boolean = {
+    if (produced >= limit) return false // pushed limit: stop fetching pages
     while (!page.hasNext && offset < range.end) {
       page = fetchWithRetry(offset).iterator
       offset += pageSize
@@ -174,9 +215,16 @@ class PagedReader(
     page.hasNext
   }
 
-  override def get(): InternalRow =
+  override def get(): InternalRow = {
+    val rec = page.next()
+    produced += 1
+    // decode only the pruned columns (fieldIdx is identity when unpruned)
     InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      page.next().map(s => if (s.isEmpty) null else UTF8String.fromString(s))))
+      fieldIdx.map { i =>
+        val s = rec(i)
+        if (s.isEmpty) null else UTF8String.fromString(s)
+      }))
+  }
 
   override def close(): Unit = ()
 }

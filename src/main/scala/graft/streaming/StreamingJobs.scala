@@ -129,6 +129,26 @@ object StreamingJobs {
         v_ts <= p_ts"""))
   }
 
+  /** Left-outer variant: purchases with no qualifying view still emit
+    * (null view columns) — but only once the view-side watermark has
+    * passed the end of their join interval, when the engine can prove no
+    * matching view can still arrive. The state-store discipline is the
+    * same as the inner join: both sides' state is bounded by
+    * watermark + interval, so a 1000-executor run holds hours of state,
+    * not the full history.
+    */
+  def purchaseAttributionOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", "1 hour")
+    val v = views.withWatermark("v_ts", "2 hours")
+    p.join(
+      v,
+      expr("""
+        p_user = v_user AND
+        v_ts >= p_ts - INTERVAL 1 HOUR AND
+        v_ts <= p_ts"""),
+      "left_outer")
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserStats(user_id: Long, n_events: Long, total_value: Double)
 

@@ -40,6 +40,31 @@ class PagedSourceSpec extends SparkSpec {
     assert(lossy.count() === 1500)
   }
 
+  test("column pruning pushes into the scan (only requested fields decoded)") {
+    val df = read("max_offset" -> "2000", "page_size" -> "500", "num_partitions" -> "2")
+      .select("Commodity", "Modal_Price")
+    // the BatchScan itself must output exactly the 2 pruned columns
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.output.map(_.name) === Seq("Commodity", "Modal_Price"),
+      s"scan not pruned: ${scan.output.map(_.name)}")
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PrunedColumns: [Commodity, Modal_Price]"),
+      s"pushdown not reported:\n$explained")
+    assert(df.distinct().count() > 0)
+  }
+
+  test("limit pushes into the scan (readers stop fetching at the cap)") {
+    val df = read("max_offset" -> "1000000", "page_size" -> "1000", "num_partitions" -> "4")
+      .limit(7)
+    val explained = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(explained.contains("PushedLimit: 7"), s"limit not pushed:\n$explained")
+    // 1M-offset space, but only ~limit rows per partition are fetched —
+    // this completes instantly instead of generating a million records
+    assert(df.count() === 7)
+  }
+
   test("feeds the Layer-A pipeline end-to-end (paged scan -> normalize)") {
     val raw = read("max_offset" -> "2000", "page_size" -> "250", "num_partitions" -> "4")
     val cleaned = AgriPipeline.dropInvalid(AgriPipeline.normalize(raw))

@@ -60,4 +60,31 @@ class RealCorpusSpec extends SparkSpec {
 
     norm.unpersist()
   }
+
+  test("AgriDemo analytics over the real corpus (values pinned via DuckDB)") {
+    assume(new java.io.File(crops).isDirectory, s"$crops not present")
+    val corpus = AgriPipeline.dropInvalid(
+      AgriPipeline.normalize(AgriPipeline.readCsv(spark, s"$crops/*.csv"))).persist()
+
+    // "what's expensive" cut — top-3 by average modal price, values
+    // independently computed with DuckDB over the same CSVs
+    val top = graft.examples.AgriDemo.topCommodities(corpus, 3)
+      .select(col("commodity"), col("n_quotes"), round(col("avg_modal"), 2).as("avg_r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(top.toSeq === Seq(
+      ("Jasmine", 3L, 133333.33),
+      ("Cardamoms", 739L, 112143.63),
+      ("Mace", 281L, 84289.04)))
+
+    // window analytics cardinalities: one row per commodity-day /
+    // commodity-month present in the corpus
+    assert(graft.examples.AgriDemo.movingAvg(corpus).count() === 296587L)
+    val mom = graft.examples.AgriDemo.momDelta(corpus).persist()
+    assert(mom.count() === 16652L)
+    // first month per commodity has no predecessor -> null delta
+    assert(mom.filter(col("mom_delta").isNull).count() ===
+      corpus.select("commodity").distinct().count())
+    mom.unpersist()
+    corpus.unpersist()
+  }
 }

@@ -185,6 +185,34 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((1L, "00:30")))
   }
 
+  test("left-outer stream-stream join emits unmatched purchases after watermark") {
+    val purchases = MemoryStream[(Long, Timestamp)](8, spark, None)
+    val views = MemoryStream[(Long, Timestamp)](9, spark, None)
+    val joined = StreamingJobs.purchaseAttributionOuter(
+      purchases.toDF().toDF("p_user", "p_ts"),
+      views.toDF().toDF("v_user", "v_ts"))
+    val q = joined.writeStream.format("memory").queryName("attrib_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((1L, Timestamp.valueOf("2024-01-01 00:30:00")))
+      purchases.addData(
+        (1L, Timestamp.valueOf("2024-01-01 01:00:00")),  // matched by the view
+        (2L, Timestamp.valueOf("2024-01-01 01:00:00")))  // no view at all
+      q.processAllAvailable()
+      // advance both watermarks far past the join interval so the engine
+      // can prove user 2's purchase is unmatchable and emit it null-padded
+      views.addData((99L, Timestamp.valueOf("2024-01-02 12:00:00")))
+      purchases.addData((99L, Timestamp.valueOf("2024-01-02 12:00:00")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib_outer")
+      .filter(col("p_user") < 99)
+      .select(col("p_user"), col("v_ts").isNull.as("unmatched"))
+      .as[(Long, Boolean)].collect().toSet
+    assert(rows === Set((1L, false), (2L, true)),
+      s"expected one matched and one null-padded purchase, got $rows")
+  }
+
   test("flatMapGroupsWithState keeps running per-key counters (B38)") {
     val events = MemoryStream[StreamingJobs.UserEvent](4, spark, None)
     val counted = StreamingJobs.runningCounters(events.toDS())
