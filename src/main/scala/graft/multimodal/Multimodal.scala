@@ -62,6 +62,57 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame of a video payload. */
+  case class FrameRecord(
+      media_id: Long,
+      frame_idx: Int,
+      ts_ms: Int,
+      frame_payload: Array[Byte])
+
+  /** Frame sampling: one frame every `everyMs` of (stub) duration. The
+    * frame "decode" slices deterministic byte windows out of the payload —
+    * a real build swaps the slice for a codec seek+decode; the Spark
+    * shape (flatMap with per-record bounded fan-out, no driver
+    * involvement, output rows ~ duration/everyMs) is the production one.
+    * Only `video` rows produce frames.
+    */
+  def sampleFrames(ds: Dataset[MediaRecord], everyMs: Int): Dataset[FrameRecord] = {
+    import ds.sparkSession.implicits._
+    require(everyMs > 0, "everyMs must be positive")
+    ds.flatMap { m =>
+      if (m.kind != "video" || m.payload.isEmpty) Iterator.empty
+      else {
+        val durationMs = m.payload.length * 4 // stub: 4 ms of video per byte
+        val window = math.max(1, m.payload.length / 16)
+        (0 until durationMs by everyMs).iterator.zipWithIndex.map { case (ts, idx) =>
+          val start = (ts.toLong * m.payload.length / durationMs).toInt
+          FrameRecord(
+            m.media_id, idx, ts,
+            m.payload.slice(start, math.min(start + window, m.payload.length)))
+        }
+      }
+    }
+  }
+
+  /** Resize: recompute the stub's geometry features for a target box,
+    * preserving aspect ratio (fit-inside). Batched like [[decodeFeatures]]
+    * — a real resampler amortizes its buffers per batch the same way.
+    */
+  def resizeFeatures(
+      ds: Dataset[MediaFeatures],
+      maxW: Int,
+      maxH: Int): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(64).flatMap(_.map { f =>
+        val scale = math.min(1.0, math.min(maxW.toDouble / f.width, maxH.toDouble / f.height))
+        f.copy(
+          width = math.max(1, math.round(f.width * scale).toInt),
+          height = math.max(1, math.round(f.height * scale).toInt))
+      })
+    }
+  }
+
   /** Build MediaRecords from the documents table (text bytes standing in
     * for a media payload; kind derived from the source id). */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {

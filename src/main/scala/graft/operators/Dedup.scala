@@ -85,6 +85,21 @@ object Dedup {
       .agg(countDistinct(col("band")).as("n_shared_bands"))
   }
 
+  /** Cross-corpus candidate pairs — the decontamination shape: find
+    * documents of corpus A (e.g. a training crawl) near-duplicating any
+    * document of corpus B (e.g. evaluation benchmarks). Same band-key
+    * equi-join as [[lshCandidates]] but across two band sets, so the cost
+    * is driven by true cross-corpus collisions, never |A|×|B|. At 100 TB
+    * the benchmark side is tiny and its band table broadcasts.
+    */
+  def lshCrossCandidates(bandsA: DataFrame, bandsB: DataFrame, idCol: String): DataFrame = {
+    val x = bandsA.select(col(idCol).as("a"), col("band"), col("key"))
+    val y = bandsB.select(col(idCol).as("b"), col("band"), col("key"))
+    x.join(y, Seq("band", "key"))
+      .groupBy(col("a"), col("b"))
+      .agg(countDistinct(col("band")).as("n_shared_bands"))
+  }
+
   /** Exact pairwise n-gram Jaccard over the shared-shingle candidates:
     * |A ∩ B| / (|A| + |B| - |A ∩ B|).
     *
@@ -104,8 +119,9 @@ object Dedup {
         val hot = index.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxDf)
           .select("shingle")
-        // hot set is tiny (it's the >maxDf tail) — anti-join broadcasts
-        index.join(hot, Seq("shingle"), "left_anti")
+        // hot set is tiny (it's the >maxDf tail); hint it explicitly so
+        // the anti-join never degrades to a sort-merge of the full index
+        index.join(broadcast(hot), Seq("shingle"), "left_anti")
       }
     val counts = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val x = kept.select(col(idCol).as("a"), col("shingle"))

@@ -349,6 +349,48 @@ object TextQueries {
         ORDER BY a, b"""
       }),
 
+    // B7: cross-corpus decontamination — training-side documents (even
+    // doc_id) whose minhash bands collide with any evaluation-side
+    // document (odd doc_id). The band join is across two corpora, so no
+    // self-pairs and no |A|x|B| blowup; at scale the benchmark band table
+    // broadcasts. Oracle rebuilds both band sets bit-exactly.
+    Q(
+      "q98_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        def bands(side: org.apache.spark.sql.DataFrame) =
+          Dedup.lshBands(
+            Dedup.minhashSignatures(
+              Dedup.shingleIndex(side, "doc_id", "text", 3), "doc_id", 12),
+            "doc_id", 4, 3)
+        Dedup.lshCrossCandidates(
+            bands(docs.filter(col("doc_id") % 2 === 0)),
+            bands(docs.filter(col("doc_id") % 2 === 1)),
+            "doc_id")
+          .orderBy("a", "b")
+      },
+      Some {
+        val baseHash = "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)"
+        val mins = Dedup.minhashParams(12).zipWithIndex.map { case ((a, b), i) =>
+          s"min(($baseHash * $a + $b) % 2147483647) AS mh_$i"
+        }.mkString(", ")
+        def bandArms(sig: String) = (0 until 4).map { b =>
+          val key = (0 until 3).map(j => s"CAST(mh_${b * 3 + j} AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM $sig"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH $OTOKS,
+        $OSHINGLES,
+        siga AS (SELECT doc_id, $mins FROM sh WHERE doc_id % 2 = 0 GROUP BY doc_id),
+        sigb AS (SELECT doc_id, $mins FROM sh WHERE doc_id % 2 = 1 GROUP BY doc_id),
+        bandsa AS (${bandArms("siga")}),
+        bandsb AS (${bandArms("sigb")})
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(DISTINCT x.band) AS n_shared_bands
+        FROM bandsa x JOIN bandsb y ON x.band = y.band AND x.key = y.key
+        GROUP BY 1, 2
+        ORDER BY a, b"""
+      }),
+
     // B7: 32-bit SimHash per document (exact integer compare).
     Q(
       "q58_dedup_simhash",

@@ -170,6 +170,22 @@ class OperatorsSpec extends SparkSpec {
     sh.unpersist()
   }
 
+  test("cross-corpus LSH candidates flag the planted contamination, nothing else") {
+    val evalDoc = "the standard benchmark question about spark shuffles and their partitions " * 4
+    val train = Seq(
+      (0L, evalDoc.replace("standard", "usual")),            // contaminated
+      (2L, "completely unrelated agricultural market prices data " * 4)
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    def bands(df: org.apache.spark.sql.DataFrame) =
+      Dedup.lshBands(Dedup.minhashSignatures(
+        Dedup.shingleIndex(df, "doc_id", "text", 3), "doc_id", 12), "doc_id", 4, 3)
+    val cands = Dedup.lshCrossCandidates(bands(train), bands(bench), "doc_id")
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(cands.contains((0L, 1L)), s"missed the planted contamination: $cands")
+    assert(!cands.exists(_._1 == 2L), s"false positive: $cands")
+  }
+
   test("cosinePairsLsh: no cross join in the plan; agrees with exact on overlap") {
     val v = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))

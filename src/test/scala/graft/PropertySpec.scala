@@ -50,6 +50,26 @@ class PropertySpec extends SparkSpec {
     assert(AgriPipeline.dedupNaturalKey(df).count() === expected)
   }
 
+  test("banded simhash pigeonhole: finds EVERY pair at Hamming dist < bands (random sketches)") {
+    // random 60-bit sketches with planted near-dup clusters (flip 1-3 bits)
+    val base = (0 until 200).map(_ => rnd.nextLong() & ((1L << 60) - 1))
+    val planted = base.take(30).map { h =>
+      (0 until (1 + rnd.nextInt(3))).foldLeft(h)((acc, _) => acc ^ (1L << rnd.nextInt(60)))
+    }
+    val sketches = (base ++ planted).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toDF("id", "simhash")
+    val banded = graft.operators.Dedup
+      .simhashBandedTopPairs(sketches, "id", "simhash", k = 100000, bands = 4, bitsPerBand = 15)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force ground truth
+    val all = (base ++ planted).zipWithIndex
+    for {
+      (ha, ia) <- all; (hb, ib) <- all if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d < 4
+    } assert(banded.contains((ia.toLong, ib.toLong, d)),
+      s"banded missed pair ($ia,$ib) at dist $d")
+  }
+
   test("asOf join equals brute-force max-of-earlier per left row") {
     val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(10000).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
