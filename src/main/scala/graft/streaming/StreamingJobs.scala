@@ -112,6 +112,19 @@ object StreamingJobs {
       .withWatermark("ts", "1 hour")
       .dropDuplicates(Seq("event_id", "ts"))
 
+  /** B37 at scale: dropDuplicatesWithinWatermark dedups on the key ALONE
+    * (no event-time column in the key), and — unlike dropDuplicates,
+    * whose key state lives forever when the key excludes event time —
+    * expires each key's state once the watermark passes its event time.
+    * This is the shape for unbounded-cardinality dedup keys (page ids,
+    * natural keys) where permanent state would grow without bound at
+    * 100 TB ingest rates.
+    */
+  def dedupStreamBounded(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   /** Stream-stream event-time interval join: attribute each purchase to
     * the views by the same user within the preceding hour. Watermarks on
     * both sides bound the join state (views older than the watermark +

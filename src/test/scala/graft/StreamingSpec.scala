@@ -120,6 +120,22 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() === 2)
   }
 
+  test("dropDuplicatesWithinWatermark dedups on key alone with bounded state") {
+    val events = MemoryStream[(Long, Timestamp)](10, spark, None)
+    // duplicate event_id with a slightly different ts (the replayed-page
+    // case dropDuplicates on (id, ts) would NOT catch)
+    events.addData(
+      (1L, Timestamp.valueOf("2024-01-01 00:00:01")),
+      (1L, Timestamp.valueOf("2024-01-01 00:00:05")), // same id, later ts
+      (2L, Timestamp.valueOf("2024-01-01 00:00:02")))
+    val df = StreamingJobs.dedupStreamBounded(events.toDF().toDF("event_id", "ts"))
+    val q = df.writeStream.format("memory").queryName("dedup_wm_out")
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("dedup_wm_out").select("event_id").as[Long].collect().sorted
+      === Array(1L, 2L))
+  }
+
   test("session windows group gap-separated activity (B35)") {
     val events = MemoryStream[(Timestamp, Long)](3, spark, None)
     events.addData(
