@@ -331,6 +331,29 @@ object CoreQueries {
         ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------------------
+    // B28 extras: bitwise aggregates (bit_and/bit_or/bit_xor) — exact
+    // integer semantics, identical in both engines.
+    Q(
+      "q100_bitwise_agg",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .withColumn("v", (col("l_partkey") % 256).cast(IntegerType))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("bit_and(v)").as("band"),
+            expr("bit_or(v)").as("bor"),
+            expr("bit_xor(v)").as("bxor"),
+            expr("bit_count(bit_or(v))").as("bits_used"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               bit_and(v) AS band, bit_or(v) AS bor, bit_xor(v) AS bxor,
+               CAST(bit_count(bit_or(v)) AS INT) AS bits_used
+        FROM (SELECT l_returnflag, CAST(l_partkey % 256 AS INT) AS v FROM lineitem)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // ------------------------------------------------------------------
     // B31: pivot (Spark .pivot with explicit value list; oracle uses
     // portable CASE-WHEN — same result matrix).
     Q(

@@ -391,6 +391,31 @@ object TextQueries {
         ORDER BY a, b"""
       }),
 
+    // B26/B42: regexp function family over document text — extract-all
+    // cardinality, word-boundary counting, group extraction, global
+    // replace. Patterns are ASCII-only so Java (Spark) and RE2 (DuckDB)
+    // agree; Spark's regexp_replace is global by default, DuckDB needs
+    // the explicit 'g' flag.
+    Q(
+      "q99_regexp_family",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(expr("regexp_extract_all(text, '[a-z]+ing', 0)")).as("n_ing"),
+            expr("regexp_count(text, '\\\\bthe\\\\b')").as("n_the"),
+            length(regexp_replace(col("text"), "[aeiou]", "")).as("len_novowel"),
+            expr("regexp_extract(text, '([a-z]+)ing', 1)").as("first_ing_stem"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '[a-z]+ing')) AS INT) AS n_ing,
+               CAST(len(regexp_extract_all(text, '\bthe\b')) AS INT) AS n_the,
+               CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS len_novowel,
+               regexp_extract(text, '([a-z]+)ing', 1) AS first_ing_stem
+        FROM documents
+        ORDER BY doc_id""")),
+
     // B7: 32-bit SimHash per document (exact integer compare).
     Q(
       "q58_dedup_simhash",
