@@ -354,6 +354,66 @@ object CoreQueries {
         ORDER BY l_returnflag""")),
 
     // ------------------------------------------------------------------
+    // B26 extras: padding / translate / repeat / ascii-chr round trip.
+    Q(
+      "q101_string_pad",
+      (s, dir) =>
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            lpad(col("p_brand"), 12, "*").as("lp"),
+            rpad(col("p_brand"), 12, "-").as("rp"),
+            translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+            expr("repeat(p_brand, 2)").as("rep"),
+            reverse(col("p_type")).as("rev"),
+            ascii(col("p_name")).as("first_code"),
+            expr("chr(ascii(p_name))").as("first_char"))
+          .orderBy("p_partkey")
+          .limit(400),
+      Some("""
+        SELECT p_partkey,
+               lpad(p_brand, 12, '*') AS lp,
+               rpad(p_brand, 12, '-') AS rp,
+               translate(p_name, 'aeiou', 'AEIOU') AS tr,
+               repeat(p_brand, 2) AS rep,
+               reverse(p_type) AS rev,
+               ascii(p_name) AS first_code,
+               chr(ascii(p_name)) AS first_char
+        FROM part
+        ORDER BY p_partkey
+        LIMIT 400""")),
+
+    // B29 extras: array set algebra. Both engines' set ops are
+    // order-unstable, so every set-valued output is sorted before
+    // comparison (Spark sort_array == DuckDB list_sort on varchar).
+    Q(
+      "q102_array_setops",
+      (s, dir) => {
+        val words = split(col("p_name"), " ")
+        val probe = array(lit("red"), lit("green"), lit("blue"))
+        Tables.part(s, dir)
+          .select(
+            col("p_partkey"),
+            sort_array(array_distinct(words)).as("uniq"),
+            sort_array(array_intersect(words, probe)).as("inter"),
+            sort_array(array_except(words, probe)).as("minus"),
+            array_contains(words, "red").as("has_red"),
+            size(array_union(words, probe)).as("n_union"))
+          .orderBy("p_partkey")
+          .limit(400)
+      },
+      Some("""
+        SELECT p_partkey,
+               list_sort(list_distinct(words)) AS uniq,
+               list_sort(list_intersect(words, ['red','green','blue'])) AS inter,
+               list_sort(list_filter(list_distinct(words), w -> NOT list_contains(['red','green','blue'], w))) AS minus,
+               list_contains(words, 'red') AS has_red,
+               CAST(len(list_distinct(list_concat(words, ['red','green','blue']))) AS INT) AS n_union
+        FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)
+        ORDER BY p_partkey
+        LIMIT 400""")),
+
+    // ------------------------------------------------------------------
     // B31: pivot (Spark .pivot with explicit value list; oracle uses
     // portable CASE-WHEN — same result matrix).
     Q(
