@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectFunction(GraftExtensions.hllFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => RewriteIntersectOverlap)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -78,6 +79,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteDotProduct
+    }
+    if (!spark.experimental.extraOptimizations.contains(RewriteIntersectOverlap)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteIntersectOverlap
     }
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
