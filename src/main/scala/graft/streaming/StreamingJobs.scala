@@ -84,6 +84,43 @@ object StreamingJobs {
       .start()
   }
 
+  /** A14 x B33: the reference's full workflow shape — every harvest run
+    * appends to the accumulated corpus and commits the WHOLE corpus as a
+    * retained snapshot (`run.yml:29-35` does this with `git add data/ &&
+    * commit`). Here each micro-batch unions into the previous published
+    * snapshot and commits a new [[graft.sinks.VersionedSink]] version, so
+    * any historical corpus state remains readable and restorable.
+    * Snapshot writes are full rewrites (exactly like the reference's git
+    * history) — for TB-scale accumulation pair the per-batch append sink
+    * with periodic snapshots instead.
+    */
+  def ingestVersionedSnapshots(
+      spark: SparkSession,
+      srcDir: String,
+      tableDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .schema(AgriPipeline.rawSchema)
+      .csv(srcDir)
+    val cleaned = AgriPipeline.dropInvalid(AgriPipeline.normalize(raw))
+    cleaned.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        import graft.sinks.VersionedSink
+        val acc = VersionedSink.latestVersion(spark, tableDir) match {
+          case Some(_) => VersionedSink.read(spark, tableDir).unionByName(batch.toDF())
+          case None => batch.toDF()
+        }
+        VersionedSink.commit(acc, tableDir)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** B34+B36: watermarked tumbling event-time counts. */
   def windowedCounts(events: DataFrame): DataFrame =
     events

@@ -75,6 +75,31 @@ class StreamingSpec extends SparkSpec {
     assert(landed.select("__batch_id").distinct().count() === 2)
   }
 
+  test("streaming ingest commits accumulated versioned snapshots (A14 x B33)") {
+    import graft.sinks.VersionedSink
+    val src = tmp("vs_src")
+    val fixture = getClass.getResource("/agri_fixture.csv").getPath
+    Files.copy(java.nio.file.Paths.get(fixture), java.nio.file.Paths.get(s"$src/page0.csv"))
+    val table = tmp("vs_table") + "/corpus"
+    val ckpt = tmp("vs_ckpt")
+    StreamingJobs.ingestVersionedSnapshots(spark, src, table, ckpt).awaitTermination(60000)
+    assert(VersionedSink.latestVersion(spark, table) === Some(0L))
+    assert(VersionedSink.read(spark, table).count() === 8)
+
+    // second harvest run: snapshot accumulates, history retained
+    val page1 =
+      """State,District,Market,Commodity,Variety,Grade,Arrival_Date,Min_Price,Max_Price,Modal_Price,Commodity_Code
+        |Karnataka,Mysore,Mysore Mkt,Apple,Delicious,Medium,16/01/2020,7100,8100,7600,17""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(s"$src/page1.csv"), page1)
+    StreamingJobs.ingestVersionedSnapshots(spark, src, table, ckpt).awaitTermination(60000)
+    assert(VersionedSink.latestVersion(spark, table) === Some(1L))
+    assert(VersionedSink.read(spark, table).count() === 9)
+    // the pre-run corpus state is still readable and restorable
+    assert(VersionedSink.read(spark, table, Some(0L)).count() === 8)
+    VersionedSink.rollback(spark, table, 0L)
+    assert(VersionedSink.read(spark, table).count() === 8)
+  }
+
   test("observe() exposes runtime ingest metrics on a batch pass") {
     val fixture = getClass.getResource("/agri_fixture.csv").getPath
     val observed = graft.ingest.AgriPipeline
