@@ -154,6 +154,39 @@ object IngestQueries {
         GROUP BY event_type
         ORDER BY event_type""")),
 
+    // B2 extras: parquet schema evolution — two write generations with
+    // different schemas (the second adds a column), read back with
+    // mergeSchema. At 100 TB a table's schema WILL change mid-corpus;
+    // this pins that old files surface the new column as null instead of
+    // failing the scan. The oracle reconstructs both generations from
+    // the original table.
+    Q(
+      "q103_schema_evolution",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("schema_evo").toString
+        val o = Tables.orders(s, dir)
+        o.select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=0")
+        o.select(col("o_orderkey"), col("o_orderstatus"),
+            year(col("o_orderdate").cast(DateType)).as("o_year"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            count(col("o_year")).as("n_with_year"),
+            min(col("o_year")).as("min_year"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_with_year,
+               CAST(MIN(year(CAST(o_orderdate AS DATE))) AS INT) AS min_year
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
     // B1-adjacent: ORC round trip (the third columnar/wire format).
     Q(
       "q78_orc_roundtrip",
