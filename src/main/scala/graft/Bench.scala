@@ -26,10 +26,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Emission contract: seconds rounded to ms (full precision doubles
+    // made the line ~4 KB, which overflowed the harness's stdout tail
+    // window — BENCH_r01/r02 both came back "parsed": null). Keep the
+    // JSON compact, print it as the FINAL stdout line, and mirror it to
+    // a file so the measurement survives any stdout truncation.
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val out = java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json"))
+    java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    println(line)
   }
 }

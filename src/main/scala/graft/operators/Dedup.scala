@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** (doc, shingle) inverted-index rows, distinct per doc. Tokens are
     * projected into a real column before shingling so the interpreted
     * shingle lambda references a bound attribute instead of re-tokenizing
@@ -193,12 +195,20 @@ object Dedup {
     */
   val SimhashBroadcastLimit: Long = 4L * 1000 * 1000
 
+  /** @param sizeHint caller-known sketch count; when provided the guard
+    *   skips its bounded probe job (`limit(budget+1).count`) entirely.
+    *   NOTE the above-budget result is NOT an exact top-k: the banded
+    *   route only finds pairs at Hamming distance < bands (pigeonhole
+    *   recall bound) — more-distant pairs the exact path would rank are
+    *   undiscoverable by construction. The switch is logged.
+    */
   def simhashTopPairs(
       sketches: DataFrame,
       idCol: String,
       hashCol: String,
       k: Int,
-      broadcastLimit: Long = SimhashBroadcastLimit): DataFrame = {
+      broadcastLimit: Long = SimhashBroadcastLimit,
+      sizeHint: Option[Long] = None): DataFrame = {
     val spark = sketches.sparkSession
     import spark.implicits._
     val ds = sketches.select(col(idCol).cast("long"), col(hashCol).cast("long")).as[(Long, Long)]
@@ -209,8 +219,14 @@ object Dedup {
     // 32-bit sketches band poorly (see simhash60 doc) — 4×8-bit bands is
     // the best available OOM-safe route here; corpora that actually hit
     // this guard should carry simhash60 sketches and band those instead.
-    if (ds.limit((broadcastLimit + 1).min(Int.MaxValue).toInt).count() > broadcastLimit)
+    val n = sizeHint.getOrElse(ds.limit((broadcastLimit + 1).min(Int.MaxValue).toInt).count())
+    if (n > broadcastLimit) {
+      log.warn(
+        s"simhashTopPairs: $n sketches exceed the broadcast budget $broadcastLimit — " +
+          "routing to simhashBandedTopPairs (recall bounded to Hamming distance < 4, " +
+          "not an exact top-k)")
       return simhashBandedTopPairs(sketches, idCol, hashCol, k, bands = 4, bitsPerBand = 8)
+    }
     val all = ds.collect().sortBy(_._1)
     val ids = all.map(_._1)
     val hs = all.map(_._2)

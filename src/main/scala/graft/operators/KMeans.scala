@@ -29,13 +29,19 @@ object KMeans {
       lit(c.map(x => x * x).sum)
   }
 
-  /** Cell assignment column for a fixed set of centroids. */
-  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column = {
+  /** Nearest-centroid struct (d, cell) — distance ties break on the
+    * lower cell id via the struct ordering.
+    */
+  private def assignStruct(vec: Column, centroids: Array[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
       struct(round(sqDist(vec, c), 9).as("d"), lit(i).as("cell"))
     }
-    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+    array_min(array(scored.toIndexedSeq: _*))
   }
+
+  /** Cell assignment column for a fixed set of centroids. */
+  def assignCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    assignStruct(vec, centroids).getField("cell")
 
   /** Init plan: the k lowest-id vectors via orderBy+limit — executes as
     * TakeOrderedAndProject (per-partition top-k, only k rows reach the
@@ -64,21 +70,29 @@ object KMeans {
       .map(_.getSeq[Double](0).toArray)
 
     val inertias = (1 to iters).map { _ =>
-      val assigned = v.withColumn("__cell", assignCell(col("__v"), centroids))
-      val inertia = assigned
+      // ONE action per iteration: the nearest-centroid struct carries the
+      // assigned distance alongside the cell, so the same (cell, dim)
+      // aggregation yields both the new means and the inertia (each row
+      // contributes its distance once per dim; reading the dim-0 groups
+      // recovers the plain per-cell sum). k*dims rows reach the driver,
+      // never data rows.
+      val assigned = v
+        .withColumn("__a", assignStruct(col("__v"), centroids))
         .select(
-          centroids.zipWithIndex.map { case (c, i) =>
-            when(col("__cell") === i, sqDist(col("__v"), c)).otherwise(lit(0.0))
-          }.reduce(_ + _).as("d"))
-        .agg(sum(col("d"))).head().getDouble(0)
-      // per-cell per-dimension means (k*dims rows collected, never data)
-      val means = assigned
-        .select(col("__cell"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+          col("__a").getField("cell").as("__cell"),
+          col("__a").getField("d").as("__d"),
+          col("__v"))
+      val stats = assigned
+        .select(col("__cell"), col("__d"), posexplode(col("__v")).as(Seq("__dim", "__x")))
         .groupBy(col("__cell"), col("__dim"))
-        .agg(avg(col("__x")).as("__m"))
+        .agg(avg(col("__x")).as("__m"), sum(col("__d")).as("__di"))
         .collect()
+      val inertia = stats.iterator
+        .filter(_.getAs[Int]("__dim") == 0)
+        .map(_.getAs[Double]("__di"))
+        .sum
       val next = centroids.map(_.clone())
-      means.foreach { r =>
+      stats.foreach { r =>
         next(r.getAs[Int]("__cell"))(r.getAs[Int]("__dim")) = r.getAs[Double]("__m")
       }
       centroids = next

@@ -142,13 +142,21 @@ object Similarity {
   /** All near-duplicate pairs (a<b) by cosine, with precomputed norms so
     * each vector's norm is calculated once, not per pair.
     *
-    * NOTE: inherently O(n²) — this is the small-corpus exact baseline.
-    * At scale use [[cosinePairsLsh]], whose candidates come from the
-    * hyperplane buckets instead of a cross join.
+    * NOTE: inherently O(n²), so the operator BOUNDS its own input: the
+    * exact baseline is defined over the `cap` lowest-id vectors
+    * (orderBy+limit executes as TakeOrderedAndProject, so the cross join's
+    * sides are bounded whatever the corpus size — at most cap²/2 pairs).
+    * Past the cap use [[cosinePairsLsh]], whose candidates come from the
+    * hyperplane buckets instead of a cross join; exact-vs-pruned agreement
+    * inside the cap is pinned in SimilaritySpec.
     */
-  def cosinePairs(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def cosinePairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cap: Int = 4096): DataFrame = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
-    val v = vectors.select(
+    val v = vectors.orderBy(col(idCol)).limit(cap).select(
       col(idCol), col(vecCol),
       l2norm(col(vecCol)).as("nrm"))
     val a = v.select(col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))

@@ -384,8 +384,10 @@ object CoreQueries {
         LIMIT 400""")),
 
     // B29 extras: array set algebra. Both engines' set ops are
-    // order-unstable, so every set-valued output is sorted before
-    // comparison (Spark sort_array == DuckDB list_sort on varchar).
+    // order-unstable, so every set-valued output is sorted, then joined
+    // to a single string: the compare harness row-sorts results with
+    // pandas, which cannot hash raw array cells — oracle-checked outputs
+    // must be scalar columns.
     Q(
       "q102_array_setops",
       (s, dir) => {
@@ -394,9 +396,9 @@ object CoreQueries {
         Tables.part(s, dir)
           .select(
             col("p_partkey"),
-            sort_array(array_distinct(words)).as("uniq"),
-            sort_array(array_intersect(words, probe)).as("inter"),
-            sort_array(array_except(words, probe)).as("minus"),
+            array_join(sort_array(array_distinct(words)), " ").as("uniq"),
+            array_join(sort_array(array_intersect(words, probe)), " ").as("inter"),
+            array_join(sort_array(array_except(words, probe)), " ").as("minus"),
             array_contains(words, "red").as("has_red"),
             size(array_union(words, probe)).as("n_union"))
           .orderBy("p_partkey")
@@ -404,9 +406,11 @@ object CoreQueries {
       },
       Some("""
         SELECT p_partkey,
-               list_sort(list_distinct(words)) AS uniq,
-               list_sort(list_intersect(words, ['red','green','blue'])) AS inter,
-               list_sort(list_filter(list_distinct(words), w -> NOT list_contains(['red','green','blue'], w))) AS minus,
+               -- DuckDB's array_to_string is NULL on an empty list where
+               -- Spark's array_join is '' — coalesce to match
+               COALESCE(array_to_string(list_sort(list_distinct(words)), ' '), '') AS uniq,
+               COALESCE(array_to_string(list_sort(list_intersect(words, ['red','green','blue'])), ' '), '') AS inter,
+               COALESCE(array_to_string(list_sort(list_filter(list_distinct(words), w -> NOT list_contains(['red','green','blue'], w))), ' '), '') AS minus,
                list_contains(words, 'red') AS has_red,
                CAST(len(list_distinct(list_concat(words, ['red','green','blue']))) AS INT) AS n_union
         FROM (SELECT p_partkey, string_split(p_name, ' ') AS words FROM part)

@@ -208,6 +208,42 @@ object EventQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // B19 scale twin: approx_percentile (Greenwald-Khanna, bounded sketch
+    // state per group — survives value-cardinality that would OOM exact
+    // percentile's per-group buffer). Sketch picks are engine-specific, so
+    // the contract is tolerance booleans against the exact interpolated
+    // percentile (q46's approx-distinct pattern); the exact anchor column
+    // is itself cross-checked against DuckDB quantile_cont. accuracy=10000
+    // bounds rank error at 1e-4; 1% relative value error is generous for
+    // this spread.
+    Q(
+      "q104_approx_percentile",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)").as("ap"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ep"))
+          .select(
+            col("l_returnflag"),
+            col("n_rows"),
+            round(col("ep").getItem(0), 4).as("p50_exact"),
+            (abs(col("ap").getItem(0) - col("ep").getItem(0)) / col("ep").getItem(0) <= 0.01).as("p50_ok"),
+            (abs(col("ap").getItem(1) - col("ep").getItem(1)) / col("ep").getItem(1) <= 0.01).as("p90_ok"),
+            (abs(col("ap").getItem(2) - col("ep").getItem(2)) / col("ep").getItem(2) <= 0.01).as("p99_ok"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok,
+               TRUE AS p99_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // B32: stratified sampling (sampleBy) — per-stratum fractions with a
     // seed; verified by per-stratum tolerance bands (engine-specific row
     // picks, same contract as q48).

@@ -200,23 +200,43 @@ object UdxQueries {
               FROM documents)
         ORDER BY doc_id""")),
 
-    // B44: batched binary decode via mapPartitions over Dataset[MediaRecord]
-    // — deterministic stub codec, so no SQL oracle (driver rows-only check);
-    // exact features are pinned by MultimodalSpec.
+    // B44: batched binary decode via mapPartitions over Dataset[MediaRecord].
+    // The stub codec has no SQL twin, so the oracle checks the decode
+    // CONTRACT (q16/q48 boolean-invariant pattern): no record lost or
+    // duplicated, payload bytes preserved end-to-end, stub geometry in its
+    // documented 64..127 box, audio duration = 8 ms/byte, and the rolling
+    // checksum separating payloads exactly as md5 does. The cross-engine
+    // scalars (n_total, n_kinds, total_bytes) anchor against the documents
+    // table; exact per-record features are pinned by MultimodalSpec.
     Q(
       "q83_multimodal_decode",
       (s, dir) => {
         val media = Multimodal.fromDocuments(s, Tables.documents(s, dir))
         Multimodal.decodeFeatures(media).toDF()
-          .groupBy(col("kind"))
+          .join(
+            Multimodal.fromDocuments(s, Tables.documents(s, dir)).toDF()
+              .select(col("media_id"), md5(col("payload")).as("payload_md5")),
+            "media_id")
           .agg(
-            count(lit(1)).as("n"),
+            count(lit(1)).as("n_total"),
+            countDistinct(col("kind")).as("n_kinds"),
             sum(col("size_bytes")).as("total_bytes"),
-            min(col("width")).as("min_w"),
-            max(col("height")).as("max_h"),
-            countDistinct(col("checksum")).as("n_distinct"))
-          .orderBy("kind")
+            (min(col("width")) >= 64 && max(col("width")) < 128 &&
+              min(col("height")) >= 64 && max(col("height")) < 128).as("dims_in_range"),
+            (sum(when(
+              (col("kind") === "audio" && col("duration_ms") =!= col("size_bytes") * 8) ||
+                (col("kind") =!= "audio" && col("duration_ms") =!= 0),
+              1).otherwise(0)) === 0).as("audio_duration_ok"),
+            (countDistinct(col("checksum")) === countDistinct(col("payload_md5")))
+              .as("checksum_separates_payloads"))
       },
-      None)
+      Some("""
+        SELECT COUNT(*) AS n_total,
+               COUNT(DISTINCT doc_id % 3) AS n_kinds,
+               CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               TRUE AS dims_in_range,
+               TRUE AS audio_duration_ok,
+               TRUE AS checksum_separates_payloads
+        FROM documents"""))
   )
 }

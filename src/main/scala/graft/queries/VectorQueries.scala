@@ -172,20 +172,27 @@ object VectorQueries {
         ORDER BY qid, rank""")),
 
     // B7/B43: embedding-cosine near-dup pairs (norms precomputed once).
+    // The exact operator is input-bounded by contract (cap = 4096 lowest
+    // ids — a TakeOrderedAndProject under each cross-join side, so the
+    // O(n²) stays O(cap²) whatever the corpus size); the unbounded-corpus
+    // path is q96's LSH-pruned twin. The oracle applies the same cap.
     Q(
       "q63_cosine_pairs",
       (s, dir) => {
         val v = Tables.embeddings(s, dir)
           .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-        Similarity.cosinePairs(v, "vec_id", "vec")
+        Similarity.cosinePairs(v, "vec_id", "vec", cap = 4096)
           .orderBy(col("cos_r").desc, col("a"), col("b"))
           .limit(50)
       },
       Some(s"""
         WITH $OPOS,
+        capped AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096),
         nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
         dots AS (SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS d
                  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                 JOIN capped ca ON ca.vec_id = a.vec_id
+                 JOIN capped cb ON cb.vec_id = b.vec_id
                  GROUP BY 1, 2)
         SELECT a, b, round(d / (na.nrm * nb.nrm), 6) AS cos_r
         FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b
@@ -239,21 +246,41 @@ object VectorQueries {
       }),
 
     // B43: trained IVF — Lloyd's k-means coarse quantizer (distributed
-    // assignment, k x dims driver state) then cell occupancy. Float means
-    // make exact cross-engine assignment unverifiable, so this is a
-    // rows-only entry; KMeansSpec pins inertia monotonicity/determinism.
+    // assignment, k x dims driver state). Float means make exact
+    // cross-engine assignment unverifiable, so the oracle checks the
+    // k-means CONTRACT instead (q16/q48 boolean-invariant pattern): every
+    // vector lands in exactly one of <= k in-range cells, and Lloyd's
+    // inertia is finite and non-increasing. The one cross-engine scalar
+    // (total assigned vectors) anchors the row count.
     Q(
       "q86_ivf_kmeans",
       (s, dir) => {
         val v = Tables.embeddings(s, dir)
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val (centroids, _) = graft.operators.KMeans.fit(v, "vec_id", "v", k = 8, iters = 3)
+        val k = 8
+        val (centroids, inertias) = graft.operators.KMeans.fit(v, "vec_id", "v", k = k, iters = 3)
+        val nonIncreasing = inertias.sliding(2).forall {
+          case Seq(prev, next) => next <= prev + 1e-6
+          case _               => true
+        }
+        val allFinite = inertias.forall(i => !i.isNaN && !i.isInfinite)
         v.withColumn("cell", graft.operators.KMeans.assignCell(col("v"), centroids))
           .groupBy("cell")
-          .agg(count(lit(1)).as("n_vectors"))
-          .orderBy("cell")
+          .agg(count(lit(1)).as("n"))
+          .agg(
+            sum(col("n")).as("n_vectors_total"),
+            (count(lit(1)) <= k).as("n_cells_le_k"),
+            (min(col("cell")) >= 0 && max(col("cell")) < k).as("cells_in_range"))
+          .withColumn("inertia_nonincreasing", lit(nonIncreasing))
+          .withColumn("inertia_finite", lit(allFinite))
       },
-      None),
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors_total,
+               TRUE AS n_cells_le_k,
+               TRUE AS cells_in_range,
+               TRUE AS inertia_nonincreasing,
+               TRUE AS inertia_finite
+        FROM embeddings""")),
 
     // B44: multimodal join — text metadata x embedding labels.
     Q(

@@ -12,8 +12,17 @@ import org.apache.spark.sql.SparkSession
   *
   * `compact` rewrites a directory into ~`targetFileBytes` files (per
   * partition dir when `partitionBy` is given), staging into a sibling
-  * temp dir and swapping via two renames so readers never observe a
-  * half-written state.
+  * temp dir and swapping via two renames.
+  *
+  * Concurrency contract: SINGLE WRITER, NO CONCURRENT READERS during the
+  * swap — between rename(cur -> .compact-old) and rename(staging -> cur)
+  * the live path briefly does not exist, so a reader racing the swap can
+  * hit path-not-found, and a crash inside the window leaves the data
+  * under `.compact-old` (recover by renaming it back). Run it as offline
+  * maintenance between query windows. A table that must stay readable
+  * while compacting should publish through a pointer instead — that is
+  * exactly [[VersionedSink]]'s design (write new snapshot, flip
+  * `_LATEST`), at the cost of temporary double storage.
   */
 object Compact {
 

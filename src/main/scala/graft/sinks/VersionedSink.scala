@@ -47,11 +47,17 @@ object VersionedSink {
         .sorted
   }
 
-  /** The version `_LATEST` points at, if any commit has completed. */
+  /** The version `_LATEST` points at. When the pointer file is absent but
+    * snapshots exist (the crash window of a pointer swap on a filesystem
+    * whose rename cannot overwrite), falls back to the newest snapshot on
+    * disk — a reader never throws while any committed version is intact.
+    * The fallback can only disagree with a lost pointer after a rollback
+    * interrupted mid-swap, where re-issuing the rollback is the repair.
+    */
   def latestVersion(spark: SparkSession, tableDir: String): Option[Long] = {
     val f = fs(spark, tableDir)
     val p = new Path(tableDir, Pointer)
-    if (!f.exists(p)) None
+    if (!f.exists(p)) versions(spark, tableDir).lastOption
     else {
       val in = f.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
@@ -59,27 +65,58 @@ object VersionedSink {
     }
   }
 
-  /** Atomically repoint `_LATEST` at `v` (write temp + rename). */
+  /** Atomically repoint `_LATEST` at `v`: write temp, then an
+    * overwriting rename (`FileContext.rename(OVERWRITE)`), so the pointer
+    * file never disappears mid-swap. On filesystems without an atomic
+    * overwrite the [[latestVersion]] fallback still covers the window. */
   private def writePointer(spark: SparkSession, tableDir: String, v: Long): Unit = {
-    val f = fs(spark, tableDir)
     val tmp = new Path(tableDir, s"$Pointer.tmp")
+    val dst = new Path(tableDir, Pointer)
+    val f = fs(spark, tableDir)
     val out = f.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8"))
     finally out.close()
-    val dst = new Path(tableDir, Pointer)
-    if (f.exists(dst)) f.delete(dst, false)
-    if (!f.rename(tmp, dst))
-      throw new java.io.IOException(s"could not publish $dst")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      f.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Marker file recording which ingest batch produced a snapshot. */
+  private def markerPath(tableDir: String, v: Long) =
+    new Path(versionDir(tableDir, v), "_BATCH_MARKER")
+
+  /** True iff some committed snapshot already carries `marker` — the
+    * replay-detection probe for exactly-once foreachBatch ingest. Reads
+    * one tiny metadata file per version (metadata-scale, not data-scale).
+    */
+  def hasMarker(spark: SparkSession, tableDir: String, marker: String): Boolean = {
+    val f = fs(spark, tableDir)
+    versions(spark, tableDir).exists { v =>
+      val p = markerPath(tableDir, v)
+      f.exists(p) && {
+        val in = f.open(p)
+        try new String(in.readAllBytes(), "UTF-8").trim == marker
+        finally in.close()
+      }
+    }
   }
 
   /** Write `df` as the next snapshot and publish it. Returns the new
     * version number. The snapshot write happens entirely before the
     * pointer flip, so concurrent readers see either the old or the new
-    * version, never a partial one. */
-  def commit(df: DataFrame, tableDir: String): Long = {
+    * version, never a partial one. An optional `marker` (e.g. a streaming
+    * batch id) is stamped into the snapshot directory before the pointer
+    * flip, letting a replayed writer detect an already-committed batch via
+    * [[hasMarker]]. Underscore-prefixed, so parquet readers ignore it. */
+  def commit(df: DataFrame, tableDir: String, marker: Option[String] = None): Long = {
     val spark = df.sparkSession
     val next = versions(spark, tableDir).lastOption.map(_ + 1).getOrElse(0L)
     df.write.mode("errorifexists").parquet(versionDir(tableDir, next).toString)
+    marker.foreach { m =>
+      val out = fs(spark, tableDir).create(markerPath(tableDir, next), true)
+      try out.write(m.getBytes("UTF-8"))
+      finally out.close()
+    }
     writePointer(spark, tableDir, next)
     next
   }

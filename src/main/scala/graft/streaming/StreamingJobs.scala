@@ -107,13 +107,21 @@ object StreamingJobs {
       .csv(srcDir)
     val cleaned = AgriPipeline.dropInvalid(AgriPipeline.normalize(raw))
     cleaned.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.sinks.VersionedSink
-        val acc = VersionedSink.latestVersion(spark, tableDir) match {
-          case Some(_) => VersionedSink.read(spark, tableDir).unionByName(batch.toDF())
-          case None => batch.toDF()
+        // Replay idempotence: a crash after commit but before the
+        // checkpoint offset commit re-delivers this batchId; the marker
+        // stamped into the snapshot detects that and skips the re-union,
+        // so no row is ever accumulated twice (same contract as the
+        // sibling ingestForeachBatch's keyed overwrite).
+        val marker = s"batch-$batchId"
+        if (!VersionedSink.hasMarker(spark, tableDir, marker)) {
+          val acc = VersionedSink.latestVersion(spark, tableDir) match {
+            case Some(_) => VersionedSink.read(spark, tableDir).unionByName(batch.toDF())
+            case None => batch.toDF()
+          }
+          VersionedSink.commit(acc, tableDir, marker = Some(marker))
         }
-        VersionedSink.commit(acc, tableDir)
         ()
       }
       .option("checkpointLocation", checkpointDir)

@@ -78,4 +78,32 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       s"query set not broadcast:\n$p")
   }
+
+  test("no registered query cartesian-joins two unbounded sides") {
+    // The scale rule: a CartesianProductExec over two unbounded inputs is
+    // O(n²) work however clever the rest of the plan — every occurrence
+    // must sit above a limit on BOTH sides (q63's exact-baseline cap).
+    // BroadcastNestedLoopJoin is exempt: its build side is runtime-bounded
+    // by Spark's broadcast size enforcement, so it cannot stream two
+    // unbounded sides by construction.
+    import org.apache.spark.sql.execution._
+    def bounded(p: SparkPlan): Boolean = p.collectFirst {
+      case _: TakeOrderedAndProjectExec => ()
+      case _: GlobalLimitExec => ()
+      case _: LocalLimitExec => ()
+      case _: CollectLimitExec => ()
+      case _: LocalTableScanExec => ()
+    }.isDefined
+    QueryRegistry.all.foreach { q =>
+      // sparkPlan = the pre-AQE physical plan (node types visible without
+      // executing); building it runs any driver-side prep some queries do
+      val p = q.run(spark, dir).queryExecution.sparkPlan
+      p.foreach {
+        case j: joins.CartesianProductExec =>
+          assert(j.children.forall(bounded),
+            s"${q.name}: CartesianProduct over an unbounded side:\n$p")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -13,7 +13,8 @@ class RegistrySpec extends SparkSpec {
     * possible order ambiguity. */
   private val singleRow = Set(
     "q46_approx_distinct", "q48_sampling", "q54_exact_dedup_stats",
-    "q72_try_cast_numeric", "q74_natural_key_dedup", "q16_bloom_prune")
+    "q72_try_cast_numeric", "q74_natural_key_dedup", "q16_bloom_prune",
+    "q83_multimodal_decode", "q86_ivf_kmeans")
 
   test("every registered query executes and yields a schema") {
     val failures = QueryRegistry.all.flatMap { q =>

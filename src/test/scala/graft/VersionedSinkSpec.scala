@@ -46,4 +46,34 @@ class VersionedSinkSpec extends SparkSpec {
       VersionedSink.rollback(spark, dir, 7L)
     }
   }
+
+  test("batch markers make replayed commits detectable (exactly-once ingest)") {
+    val dir = Files.createTempDirectory("vtable3").toString
+    VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir, marker = Some("batch-0"))
+    assert(VersionedSink.hasMarker(spark, dir, "batch-0"))
+    assert(!VersionedSink.hasMarker(spark, dir, "batch-1"))
+    // the replay discipline: a writer that sees its batch already
+    // committed skips the union+commit, so no row duplicates
+    if (!VersionedSink.hasMarker(spark, dir, "batch-0")) {
+      VersionedSink.commit(
+        VersionedSink.read(spark, dir).unionByName(Seq((1, "a")).toDF("id", "s")), dir,
+        marker = Some("batch-0"))
+    }
+    assert(VersionedSink.versions(spark, dir) === Seq(0L))
+    assert(VersionedSink.read(spark, dir).count() === 1)
+    // the marker file does not disturb the parquet read
+    assert(VersionedSink.read(spark, dir, Some(0L)).as[(Int, String)].collect() === Array((1, "a")))
+  }
+
+  test("reader survives a lost _LATEST pointer (falls back to newest snapshot)") {
+    val dir = Files.createTempDirectory("vtable4").toString
+    VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir)
+    VersionedSink.commit(Seq((2, "b")).toDF("id", "s"), dir)
+    // simulate the crash window: pointer file gone, snapshots intact
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(dir, "_LATEST"), false))
+    assert(VersionedSink.latestVersion(spark, dir) === Some(1L))
+    assert(VersionedSink.read(spark, dir).as[(Int, String)].collect() === Array((2, "b")))
+  }
 }
