@@ -115,27 +115,55 @@ object Dedup {
     * run, and per-shingle join fan-out is bounded by maxDf².
     */
   def jaccardPairs(index: DataFrame, idCol: String, maxDf: Long = Long.MaxValue): DataFrame = {
-    val kept =
-      if (maxDf == Long.MaxValue) index
-      else {
-        val hot = index.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > maxDf)
-          .select("shingle")
-        // hot set is tiny (it's the >maxDf tail); hint it explicitly so
-        // the anti-join never degrades to a sort-merge of the full index
-        index.join(broadcast(hot), Seq("shingle"), "left_anti")
-      }
-    val counts = kept.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val x = kept.select(col(idCol).as("a"), col("shingle"))
-    val y = kept.select(col(idCol).as("b"), col("shingle"))
-    x.join(y, "shingle")
-      .filter(col("a") < col("b"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(counts.select(col(idCol).as("a"), col("n_sh").as("ca")), "a")
-      .join(counts.select(col(idCol).as("b"), col("n_sh").as("cb")), "b")
-      .withColumn("jacc",
-        col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+    if (maxDf == Long.MaxValue) {
+      // uncapped exact path: inverted-index self-join
+      val counts = index.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      val x = index.select(col(idCol).as("a"), col("shingle"))
+      val y = index.select(col(idCol).as("b"), col("shingle"))
+      x.join(y, "shingle")
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(counts.select(col(idCol).as("a"), col("n_sh").as("ca")), "a")
+        .join(counts.select(col(idCol).as("b"), col("n_sh").as("cb")), "b")
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+    } else {
+      // capped path, fused: ONE aggregation per shingle collects its
+      // posting list into a bounded buffer (graft_capped_collect holds at
+      // most maxDf+1 longs per group however hot the shingle — a group
+      // that fills the buffer is thereby over-cap and dropped). Pairs are
+      // then generated per posting list with an index-aware HOF slice
+      // (eval sorts ids, so x < y by construction; fan-out bounded by
+      // maxDf²/2) — no self-join of the index, no separate df pass, and
+      // no unbounded collect anywhere.
+      graft.plans.GraftExtensions.ensureRegistered(index.sparkSession)
+      val cap = math.min(maxDf, Int.MaxValue - 1L).toInt
+      val grouped = index
+        .groupBy(col("shingle"))
+        .agg(call_function(
+          "graft_capped_collect", col(idCol).cast("long"), lit(cap + 1)).as("ids"))
+        .filter(size(col("ids")) <= cap)
+        .select(col("ids"))
+        .persist()
+      val counts = grouped
+        .select(explode(col("ids")).as("__id"))
+        .groupBy(col("__id"))
+        .agg(count(lit(1)).as("n_sh"))
+      val pairs = grouped
+        .select(explode(expr(
+          """flatten(transform(ids, (x, i) ->
+            |  transform(slice(ids, i + 2, size(ids) - i - 1), y ->
+            |    named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(counts.select(col("__id").as("a"), col("n_sh").as("ca")), "a")
+        .join(counts.select(col("__id").as("b"), col("n_sh").as("cb")), "b")
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("ca") + col("cb") - col("inter")))
+    }
   }
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b of

@@ -18,6 +18,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectFunction(GraftExtensions.hllFunction)
+    ext.injectFunction(GraftExtensions.cappedCollectFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteIntersectOverlap)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -52,6 +53,16 @@ object GraftExtensions {
       }
     })
 
+  /** graft_capped_collect(idCol, capPlus1) — bounded-buffer id collector. */
+  val cappedCollectFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_capped_collect"),
+    new ExpressionInfo(classOf[CappedCollect].getName, "graft_capped_collect"),
+    (children: Seq[Expression]) => children match {
+      case Seq(c, Literal(cap: Int, _)) => CappedCollect(c, cap).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_capped_collect takes (col, capPlus1: int literal)")
+    })
+
   /** graft_hll(hash60Col) — HyperLogLog register array (64 ints). */
   val hllFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_hll"),
@@ -75,6 +86,10 @@ object GraftExtensions {
     }
     if (!registry.functionExists(FunctionIdentifier("graft_hll"))) {
       registry.registerFunction(hllFunction._1, hllFunction._2, hllFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_capped_collect"))) {
+      registry.registerFunction(
+        cappedCollectFunction._1, cappedCollectFunction._2, cappedCollectFunction._3)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =
