@@ -26,7 +26,8 @@ object QueryRegistry {
         queries.TextQueries.qs ++
         queries.VectorQueries.qs ++
         queries.IngestQueries.qs ++
-        queries.UdxQueries.qs
+        queries.UdxQueries.qs ++
+        queries.AgriQueries.qs
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     qs
