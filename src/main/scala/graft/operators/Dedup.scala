@@ -168,19 +168,13 @@ object Dedup {
 
   /** 32-bit SimHash over whitespace tokens (with multiplicity): bit b of
     * the result is set iff sum over tokens of (2*bit_b(hash)-1) > 0.
+    * Computed by the single-buffer [[graft.plans.SimhashAgg]] aggregate
+    * (one primitive counter array per group instead of 32 SUM columns);
+    * semantics identical to the expression form, which the DuckDB oracle
+    * still reproduces bit-for-bit.
     */
-  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-      .withColumn("hv", hash60("sim", col("t")))
-    val bitSums = (0 until 32).map { b =>
-      sum(shiftright(col("hv"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$b")
-    }
-    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 32)
-      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col(idCol), hashExpr.as("simhash"))
-  }
+  def simhash32(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashN(docs, idCol, textCol, 32)
 
   /** 60-bit SimHash (the widest sketch [[graft.functions.GraftFunctions.hash60]]
     * yields) — the sketch to band at scale: 4 bands × 15 bits give 32,768
@@ -188,17 +182,18 @@ object Dedup {
     * sketches. A 32-bit sketch cannot be banded usefully (8×4-bit bands =
     * 16 keys/band degenerates to all-pairs on any corpus beyond ~1k docs).
     */
-  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashN(docs, idCol, textCol, 60)
+
+  /** Shared sketch pipeline: tokenize, hash each token once, fold the
+    * per-bit votes in one aggregation buffer (one shuffle keyed on doc).
+    */
+  private def simhashN(docs: DataFrame, idCol: String, textCol: String, bits: Int): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
       .withColumn("hv", hash60("sim", col("t")))
-    val bitSums = (0 until 60).map { b =>
-      sum(shiftright(col("hv"), b).bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as(s"s_$b")
-    }
-    val sums = toks.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    val hashExpr = (0 until 60)
-      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    sums.select(col(idCol), hashExpr.as("simhash"))
+      .groupBy(col(idCol))
+      .agg(call_function("graft_simhash", col("hv"), lit(bits)).as("simhash"))
   }
 
   /** Hamming distance between two simhash values. */

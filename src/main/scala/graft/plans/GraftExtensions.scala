@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectFunction(GraftExtensions.hllFunction)
     ext.injectFunction(GraftExtensions.cappedCollectFunction)
+    ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteIntersectOverlap)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -63,6 +64,16 @@ object GraftExtensions {
         "graft_capped_collect takes (col, capPlus1: int literal)")
     })
 
+  /** graft_simhash(hvCol, bits) — single-buffer SimHash fold. */
+  val simhashFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash"),
+    new ExpressionInfo(classOf[SimhashAgg].getName, "graft_simhash"),
+    (children: Seq[Expression]) => children match {
+      case Seq(c, Literal(bits: Int, _)) => SimhashAgg(c, bits).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_simhash takes (hvCol, bits: int literal)")
+    })
+
   /** graft_hll(hash60Col) — HyperLogLog register array (64 ints). */
   val hllFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_hll"),
@@ -90,6 +101,9 @@ object GraftExtensions {
     if (!registry.functionExists(FunctionIdentifier("graft_capped_collect"))) {
       registry.registerFunction(
         cappedCollectFunction._1, cappedCollectFunction._2, cappedCollectFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_simhash"))) {
+      registry.registerFunction(simhashFunction._1, simhashFunction._2, simhashFunction._3)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =

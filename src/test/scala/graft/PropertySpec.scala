@@ -70,6 +70,50 @@ class PropertySpec extends SparkSpec {
       s"banded missed pair ($ia,$ib) at dist $d")
   }
 
+  test("graft_capped_collect: exact sorted postings below cap, over-cap groups detectable") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // groups of varying size around the cap; repeated over many
+    // partitions so partial-aggregation merges are exercised
+    val cap = 8
+    val rows = (0 until 40).flatMap { g =>
+      val sz = 1 + (g % 15) // sizes 1..15 vs cap 8
+      (0 until sz).map(i => (s"g$g", g * 100L + i))
+    }
+    val df = rows.toDF("k", "id").repartition(13)
+    val out = df.groupBy(col("k"))
+      .agg(call_function("graft_capped_collect", col("id"), lit(cap + 1)).as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    (0 until 40).foreach { g =>
+      val sz = 1 + (g % 15)
+      val got = out(s"g$g")
+      if (sz <= cap) {
+        // below cap: exact, sorted ascending
+        assert(got === (0 until sz).map(g * 100L + _),
+          s"g$g: expected exact sorted postings, got $got")
+      } else {
+        // over cap: buffer pinned at cap+1 — the caller's drop marker
+        assert(got.length === cap + 1, s"g$g: over-cap group not marked: $got")
+        assert(got.toSet.subsetOf((0 until sz).map(g * 100L + _).toSet))
+      }
+    }
+  }
+
+  test("capped jaccardPairs equals uncapped when no shingle exceeds the cap") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val idx = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text", 3).persist()
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("a").cast("long"), col("b").cast("long"), round(col("jacc"), 9))
+      .as[(Long, Long, Double)].collect().toSet
+    // sf0.001 max shingle df is far below 1000, so the capped (fused
+    // bounded-buffer) plan must agree bit-for-bit with the uncapped
+    // self-join plan
+    val uncapped = key(graft.operators.Dedup.jaccardPairs(idx, "doc_id"))
+    val capped = key(graft.operators.Dedup.jaccardPairs(idx, "doc_id", maxDf = 1000))
+    assert(capped === uncapped)
+    assert(capped.nonEmpty)
+    idx.unpersist()
+  }
+
   test("asOf join equals brute-force max-of-earlier per left row") {
     val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(10000).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
