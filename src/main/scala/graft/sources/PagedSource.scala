@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -85,7 +86,7 @@ class PagedTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   override def name(): String = "graft_paged_source"
   override def schema(): StructType = PagedSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(caseInsensitiveStringMap: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new util.HashMap[String, String](options.asCaseSensitiveMap())
@@ -146,6 +147,95 @@ class PagedScanBuilder(options: CaseInsensitiveStringMap)
     val fieldIdx = required.fieldNames.map(PagedSource.schema.fieldIndex)
     new PagedReaderFactory(pageSize, maxOffset, flakyEvery, retries, fieldIdx, pushedLimit)
   }
+
+  /** Streaming tier (A3/A12 as a native source): `readStream` over the
+    * same offset space, with Spark's checkpointed offset log playing the
+    * role of the reference's on-disk resume state. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val fieldIdx = required.fieldNames.map(PagedSource.schema.fieldIndex)
+    // batches stay page-aligned so no generator page straddles batches
+    val rawRows = options.getLong("rows_per_batch", pageSize.toLong * numPartitions)
+    val rowsPerBatch = math.max(pageSize.toLong,
+      ((rawRows + pageSize - 1) / pageSize) * pageSize)
+    new PagedMicroBatchStream(
+      pageSize, maxOffset, numPartitions, flakyEvery, retries, fieldIdx, rowsPerBatch)
+  }
+}
+
+/** Streaming offset = the absolute row offset harvested so far. */
+case class PagedStreamOffset(offset: Long) extends Offset {
+  override def json(): String = offset.toString
+}
+
+/** The reference's resumable bounded harvest (`fetch_data.py:132-167`:
+  * page until caught up, persist progress, resume on restart) as a DSv2
+  * MicroBatchStream. Offsets are absolute row positions; Spark's
+  * checkpoint offset log replaces the reference's hand-rolled state file,
+  * and because the upstream is offset-addressable and deterministic,
+  * any micro-batch is replayable — exactly-once lands at the sink
+  * (file-sink commit log, foreachBatch batch-id markers).
+  *
+  * Admission control paces the harvest ([[ReadLimit]] rows per batch,
+  * A11/A13's pacing knob); Trigger.AvailableNow drains to `max_offset`
+  * and stops (A12's bounded sweep). Scale: each batch's offset span is
+  * split into page-aligned ranges read by the same retry-laddered
+  * partition readers as the batch scan — pacing bounds state, not
+  * parallelism.
+  */
+class PagedMicroBatchStream(
+    pageSize: Int,
+    maxOffset: Long,
+    numPartitions: Int,
+    flakyEvery: Int,
+    retries: Int,
+    fieldIdx: Array[Int],
+    rowsPerBatch: Long)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  @volatile private var availableNow = false
+
+  override def prepareForTriggerAvailableNow(): Unit = availableNow = true
+
+  override def initialOffset(): Offset = PagedStreamOffset(0L)
+
+  override def getDefaultReadLimit: ReadLimit = {
+    val capped = math.min(rowsPerBatch, Int.MaxValue.toLong).toInt
+    ReadLimit.maxRows(capped)
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "paced source: Spark calls latestOffset(start, limit) via SupportsAdmissionControl")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[PagedStreamOffset].offset
+    if (availableNow) PagedStreamOffset(maxOffset)
+    else PagedStreamOffset(math.min(s + rowsPerBatch, maxOffset))
+  }
+
+  override def reportLatestOffset(): Offset = PagedStreamOffset(maxOffset)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[PagedStreamOffset].offset
+    val e = end.asInstanceOf[PagedStreamOffset].offset
+    if (e <= s) Array.empty
+    else {
+      val rawPer = math.max(1L, (e - s + numPartitions - 1) / numPartitions)
+      val per = ((rawPer + pageSize - 1) / pageSize) * pageSize
+      (s until e by per)
+        .map(o => OffsetRange(o, math.min(o + per, e)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(pageSize, maxOffset, flakyEvery, retries, fieldIdx, Long.MaxValue)
+
+  override def commit(end: Offset): Unit = () // offsets live in the checkpoint log
+
+  override def deserializeOffset(json: String): Offset = PagedStreamOffset(json.toLong)
+
+  override def stop(): Unit = ()
 }
 
 case class OffsetRange(start: Long, end: Long) extends InputPartition
@@ -209,7 +299,10 @@ class PagedReader(
   override def next(): Boolean = {
     if (produced >= limit) return false // pushed limit: stop fetching pages
     while (!page.hasNext && offset < range.end) {
-      page = fetchWithRetry(offset).iterator
+      // clamp at range.end: a page may not spill into the next partition's
+      // range even if the range is not page-aligned
+      val take = math.min(pageSize.toLong, range.end - offset).toInt
+      page = fetchWithRetry(offset).iterator.take(take)
       offset += pageSize
     }
     page.hasNext

@@ -100,6 +100,52 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedSink.read(spark, table).count() === 8)
   }
 
+  test("paged source streams: AvailableNow drains the offset space exactly once, restart adds nothing") {
+    val out = tmp("paged_stream_out")
+    val ckpt = tmp("paged_stream_ckpt")
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedSource")
+        .option("max_offset", 5000).option("page_size", 500)
+        .option("num_partitions", 4)
+        .load()
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    run()
+    assert(spark.read.parquet(out).count() === 5000)
+    // resume from the checkpointed offset: the harvest is complete, so a
+    // second sweep must land zero new rows (the reference's "caught up"
+    // resume, fetch_data.py-style, via Spark's offset log)
+    run()
+    assert(spark.read.parquet(out).count() === 5000)
+  }
+
+  test("paged source streams: admission control paces the harvest in page-aligned batches") {
+    val q = spark.readStream.format("graft.sources.PagedSource")
+      .option("max_offset", 5000).option("page_size", 500)
+      .option("num_partitions", 4)
+      .option("rows_per_batch", 1000) // pacing: A11/A13's knob
+      .load()
+      .writeStream
+      .format("memory")
+      .queryName("paged_paced")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("paged_paced").count() === 5000)
+      // 5000 rows at 1000 rows/batch = 5 non-empty micro-batches
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 5, s"expected 5 paced batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows === 1000))
+    } finally q.stop()
+  }
+
   test("observe() exposes runtime ingest metrics on a batch pass") {
     val fixture = getClass.getResource("/agri_fixture.csv").getPath
     val observed = graft.ingest.AgriPipeline
