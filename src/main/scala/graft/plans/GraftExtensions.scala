@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.hllFunction)
     ext.injectFunction(GraftExtensions.cappedCollectFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
+    ext.injectFunction(GraftExtensions.tdigestFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteIntersectOverlap)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
@@ -74,6 +75,21 @@ object GraftExtensions {
         "graft_simhash takes (hvCol, bits: int literal)")
     })
 
+  /** graft_tdigest(col, p...) — t-digest quantile estimates. */
+  val tdigestFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_tdigest"),
+    new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
+    (children: Seq[Expression]) => {
+      require(children.size >= 2, "graft_tdigest takes (col, p1[, p2, ...])")
+      val ps = children.tail.map {
+        case Literal(p: Double, _) => p
+        case Literal(p: java.math.BigDecimal, _) => p.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_tdigest percentiles must be double literals, got $other")
+      }
+      TDigestAgg(children.head, ps).toAggregateExpression()
+    })
+
   /** graft_hll(hash60Col) — HyperLogLog register array (64 ints). */
   val hllFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_hll"),
@@ -104,6 +120,9 @@ object GraftExtensions {
     }
     if (!registry.functionExists(FunctionIdentifier("graft_simhash"))) {
       registry.registerFunction(simhashFunction._1, simhashFunction._2, simhashFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_tdigest"))) {
+      registry.registerFunction(tdigestFunction._1, tdigestFunction._2, tdigestFunction._3)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =

@@ -244,6 +244,45 @@ object EventQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // B19 depth: the graft t-digest — a from-scratch MERGEABLE quantile
+    // sketch (Dunning's t-digest; O(δ) centroids per group at any value
+    // cardinality, partial digests combine into one δ-bounded digest at
+    // the shuffle). Contract mirrors q104: tolerance booleans against the
+    // exact interpolated percentile, exact anchors cross-checked. The
+    // t-digest's k1 capacity bound makes tail estimates (p99) tighter
+    // than mid-range ones — both get a generous 2% value band here.
+    Q(
+      "q109_tdigest_percentile",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            call_function(
+              "graft_tdigest", col("l_extendedprice"),
+              lit(0.5), lit(0.9), lit(0.99)).as("td"),
+            expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ep"))
+          .select(
+            col("l_returnflag"),
+            col("n_rows"),
+            round(col("ep").getItem(0), 4).as("p50_exact"),
+            (abs(col("td").getItem(0) - col("ep").getItem(0)) / col("ep").getItem(0) <= 0.02).as("p50_ok"),
+            (abs(col("td").getItem(1) - col("ep").getItem(1)) / col("ep").getItem(1) <= 0.02).as("p90_ok"),
+            (abs(col("td").getItem(2) - col("ep").getItem(2)) / col("ep").getItem(2) <= 0.02).as("p99_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               COUNT(*) AS n_rows,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+               TRUE AS p50_ok,
+               TRUE AS p90_ok,
+               TRUE AS p99_ok
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // B32: stratified sampling (sampleBy) — per-stratum fractions with a
     // seed; verified by per-stratum tolerance bands (engine-specific row
     // picks, same contract as q48).

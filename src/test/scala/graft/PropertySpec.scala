@@ -114,6 +114,30 @@ class PropertySpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("t-digest quantiles track exact percentiles across partial-agg merges") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // heavy-tailed deterministic data over many partitions so map-side
+    // digests must merge; exact values from Spark's percentile()
+    val df = (1 to 60000).map { i =>
+      val u = (i * 2654435761L % 60000) / 60000.0 + 1e-9
+      ("g" + (i % 3), math.pow(u, 3) * 10000.0) // cubed uniform: skewed
+    }.toDF("g", "x").repartition(17)
+    val row = df.groupBy(col("g"))
+      .agg(
+        call_function("graft_tdigest", col("x"), lit(0.1), lit(0.5), lit(0.9), lit(0.99)).as("td"),
+        expr("percentile(x, array(0.1, 0.5, 0.9, 0.99))").as("ep"))
+      .collect()
+    assert(row.length === 3)
+    row.foreach { r =>
+      val td = r.getSeq[Double](1)
+      val ep = r.getSeq[Double](2)
+      td.zip(ep).zipWithIndex.foreach { case ((a, e), i) =>
+        assert(math.abs(a - e) / e <= 0.02,
+          s"g=${r.getString(0)} p#$i: tdigest=$a exact=$e off by ${math.abs(a - e) / e}")
+      }
+    }
+  }
+
   test("asOf join equals brute-force max-of-earlier per left row") {
     val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(10000).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
