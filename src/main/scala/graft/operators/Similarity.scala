@@ -63,6 +63,70 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos_r"))
   }
 
+  /** Per-vector int8 quantization scale: max(|x|)/127 (floored away from
+    * zero so an all-zero vector quantizes to zeros instead of dividing by
+    * zero). */
+  private def qscale(v: Column): Column =
+    greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / lit(127.0)
+
+  private def quantize(v: Column, scale: Column): Column =
+    transform(v, x => round(x / scale).cast("byte"))
+
+  /** Scalar-quantized (int8) top-k with exact rerank — the
+    * memory-bandwidth scale path of [[topKCosine]].
+    *
+    * The scoring pass streams only `(vec_id, int8 vector, 2 floats)` — 4×
+    * less scan bandwidth and cache footprint than the float corpus, which
+    * is where a 100 TB ANN spends its time — scoring with the native
+    * int8 kernel ([[graft.plans.IntDotProduct]]):
+    * `cos ≈ sq·sc·dot_i8(qq, qc) / (|q|·|c|)` (norms exact, computed once
+    * per vector). The top `k·oversample` approximate candidates per query
+    * are then re-scored EXACTLY against the full-precision vectors
+    * (id equi-join re-attaches them), so every emitted cos_r is exact;
+    * quantization error only affects which tail candidates make the
+    * oversampled cut (recall, pinned in the q110 contract + spec).
+    */
+  def topKCosineQuantized(
+      queries: DataFrame,
+      candidates: DataFrame,
+      k: Int,
+      oversample: Int = 4): DataFrame = {
+    GraftExtensions.ensureRegistered(candidates.sparkSession)
+    val q = queries
+      .withColumn("qnrm", l2norm(col("qvec")))
+      .withColumn("qs", qscale(col("qvec")))
+      .withColumn("qq", quantize(col("qvec"), col("qs")))
+      .select("qid", "qq", "qs", "qnrm")
+    val c = candidates
+      .withColumn("nrm", l2norm(col("vec")))
+      .withColumn("cs", qscale(col("vec")))
+      .withColumn("cq", quantize(col("vec"), col("cs")))
+      .select("vec_id", "cq", "cs", "nrm") // the 4×-smaller scoring projection
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("approx_cos",
+        col("qs") * col("cs") *
+          call_function("graft_dot_i8", col("qq"), col("cq")) /
+          (col("qnrm") * col("nrm")))
+    val wa = Window.partitionBy(col("qid")).orderBy(col("approx_cos").desc, col("vec_id"))
+    val cands = scored
+      .withColumn("__r", row_number().over(wa))
+      .filter(col("__r") <= k * oversample)
+      .select("qid", "vec_id")
+    val rerank = cands
+      .join(candidates, "vec_id")
+      .join(broadcast(queries), "qid")
+      .withColumn("cos_r",
+        round(cosinePre(
+          call_function("graft_dot", col("qvec"), col("vec")),
+          l2norm(col("qvec")), l2norm(col("vec"))), 6))
+    val we = Window.partitionBy(col("qid")).orderBy(col("cos_r").desc, col("vec_id"))
+    rerank
+      .withColumn("rank", row_number().over(we))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vec_id").as("neighbor"), col("cos_r"))
+  }
+
   /** LSH-bucketed top-k with multi-probe: each query scans its own bucket
     * plus all buckets at Hamming distance 1 (probing 1+planes of the
     * 2^planes buckets — the standard recall boost that costs probes/2^p of

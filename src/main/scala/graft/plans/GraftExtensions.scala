@@ -16,6 +16,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.dotI8Function)
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectFunction(GraftExtensions.hllFunction)
     ext.injectFunction(GraftExtensions.cappedCollectFunction)
@@ -35,6 +36,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_dot takes exactly 2 arguments")
       DotProduct(children.head, children(1))
+    })
+
+  /** graft_dot_i8(a, b) — int8 dot product (quantized ANN kernel). */
+  val dotI8Function: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot_i8"),
+    new ExpressionInfo(classOf[IntDotProduct].getName, "graft_dot_i8"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_dot_i8 takes exactly 2 arguments")
+      IntDotProduct(children.head, children(1))
     })
 
   /** graft_top_k(col, k[, capacity]) — Space-Saving heavy hitters. */
@@ -107,6 +117,9 @@ object GraftExtensions {
     val registry: FunctionRegistry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier("graft_dot"))) {
       registry.registerFunction(dotFunction._1, dotFunction._2, dotFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_dot_i8"))) {
+      registry.registerFunction(dotI8Function._1, dotI8Function._2, dotI8Function._3)
     }
     if (!registry.functionExists(FunctionIdentifier("graft_top_k"))) {
       registry.registerFunction(topKFunction._1, topKFunction._2, topKFunction._3)

@@ -171,6 +171,39 @@ object VectorQueries {
         FROM rk WHERE rank <= 3
         ORDER BY qid, rank""")),
 
+    // B43 scale path: int8 scalar-quantized ANN with exact rerank — the
+    // scoring pass reads a 4×-smaller projection (int8 vector + 2 floats)
+    // through the native graft_dot_i8 kernel, then re-scores the
+    // oversampled candidates against full precision. Sketch-picked
+    // candidates are engine-specific, so the contract is the boolean
+    // pattern: result size anchored cross-engine, ≥90% of quantized picks
+    // must appear in the exact top-k, and every recalled pair must carry
+    // the identical exact cos_r.
+    Q(
+      "q110_ann_quantized",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
+        val candidates = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        val exact = Similarity.topKCosine(queries, candidates, 5)
+          .select(col("qid"), col("neighbor"), col("cos_r").as("e_cos"))
+        val quant = Similarity.topKCosineQuantized(queries, candidates, 5)
+        quant
+          .join(exact, Seq("qid", "neighbor"), "left")
+          .agg(
+            count(lit(1)).as("n_results"),
+            (sum(when(col("e_cos").isNotNull, 1).otherwise(0)) >= count(lit(1)) * 0.9)
+              .as("recall_ok"),
+            (sum(when(col("e_cos").isNotNull && col("cos_r") =!= col("e_cos"), 1).otherwise(0)) === 0)
+              .as("rerank_scores_exact"))
+      },
+      Some("""
+        SELECT CAST((SELECT COUNT(*) FROM embeddings WHERE vec_id < 10) * 5 AS BIGINT)
+                 AS n_results,
+               TRUE AS recall_ok,
+               TRUE AS rerank_scores_exact""")),
+
     // B7/B43: embedding-cosine near-dup pairs (norms precomputed once).
     // The exact operator is input-bounded by contract (cap = 4096 lowest
     // ids — a TakeOrderedAndProject under each cross-join side, so the

@@ -77,4 +77,49 @@ class DotProductSpec extends SparkSpec {
     }
     assert(e.getMessage.toLowerCase.contains("graft_dot"))
   }
+
+  test("graft_dot_i8 matches a reference int dot and stays in codegen") {
+    GraftExtensions.ensureRegistered(spark)
+    // Seq[Byte], not Array[Byte] — the latter encodes as `binary`
+    val rows = Seq(
+      (Seq[Byte](1, -2, 3, 127), Seq[Byte](4, 5, -6, 127)),
+      (Seq[Byte](-128, -128), Seq[Byte](-128, -128)),
+      (Seq.empty[Byte], Seq.empty[Byte]))
+    val df = rows.toDF("a", "b")
+      .select(call_function("graft_dot_i8", col("a"), col("b")).as("d"))
+    val got = df.as[Long].collect().toSeq
+    val want = rows.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x.toLong * y }.sum
+    }
+    assert(got === want) // incl. 16384+... and (-128)^2*2 = 32768 > Short.MaxValue
+    // codegen assertion needs a non-foldable source (literals collapse to
+    // LocalTableScan at optimization) — quantize a parquet-backed column
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(transform(asDouble(col("embedding")), x => round(x * 100).cast("byte")).as("q"))
+    val onDisk = emb.select(call_function("graft_dot_i8", col("q"), col("q")).as("d"))
+    assert(onDisk.agg(sum(col("d"))).head().getLong(0) > 0)
+    val plan = onDisk.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[graft_dot_i8.*"),
+      s"graft_dot_i8 not in a codegen stage:\n$plan")
+  }
+
+  test("quantized ANN recalls the exact top-k with exact reranked scores") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
+    val candidates = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val exact = graft.operators.Similarity.topKCosine(queries, candidates, 5)
+      .as[(Long, Int, Long, Double)].collect()
+    val quant = graft.operators.Similarity.topKCosineQuantized(queries, candidates, 5)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(quant.length === exact.length)
+    val exactByPair = exact.map(r => (r._1, r._3) -> r._4).toMap
+    val recalled = quant.count(r => exactByPair.contains((r._1, r._3)))
+    assert(recalled >= (0.9 * exact.length).toInt, s"recall $recalled/${exact.length}")
+    // every recalled pair carries the identical exact score (rerank is
+    // full-precision)
+    quant.foreach { r =>
+      exactByPair.get((r._1, r._3)).foreach(e => assert(e === r._4, s"pair ${(r._1, r._3)}"))
+    }
+  }
 }
