@@ -62,7 +62,9 @@ object AgriQueries {
   val qs: Seq[Q] = Seq(
 
     // The "what's expensive" cut — RealCorpusSpec's pinned top-3, widened
-    // to 10 and driver-checked.
+    // to 10 and driver-checked. Average emitted as exact integer paise
+    // (floor(x*100)) — identical input doubles floor identically, where
+    // round(double, 2) can split on representation-boundary values.
     Q(
       "q105_agri_top_commodities",
       (s, _) =>
@@ -70,13 +72,13 @@ object AgriQueries {
           .select(
             col("commodity"),
             col("n_quotes"),
-            round(col("avg_modal"), 2).as("avg_modal_r")),
+            floor(col("avg_modal") * 100).as("avg_modal_paise")),
       Some(s"""
         WITH $OCORPUS
         SELECT commodity,
                COUNT(*) AS n_quotes,
-               round(CAST(SUM(CAST(modal_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2)
-                 AS avg_modal_r
+               CAST(floor(CAST(SUM(CAST(modal_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) * 100)
+                    AS BIGINT) AS avg_modal_paise
         FROM corpus
         GROUP BY commodity
         ORDER BY CAST(SUM(CAST(modal_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) DESC,
