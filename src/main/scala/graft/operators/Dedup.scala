@@ -102,6 +102,30 @@ object Dedup {
       .agg(countDistinct(col("band")).as("n_shared_bands"))
   }
 
+  /** Exact n-gram cross-corpus contamination — the PRECISION complement
+    * of [[lshCrossCandidates]] and the standard eval-decontamination
+    * method (flag a training document when it shares >= minShared exact
+    * n-grams with any benchmark document). One equi-join on the shingle
+    * key: the benchmark index is tiny at any scale (it is the eval set)
+    * and broadcasts, so the training corpus streams through once with no
+    * shuffle of its own; output cost tracks true contamination.
+    *
+    * @return (a = train id, b = benchmark id, n_shared) with
+    *         n_shared >= minShared
+    */
+  def ngramContamination(
+      trainIndex: DataFrame,
+      benchIndex: DataFrame,
+      idCol: String,
+      minShared: Long): DataFrame = {
+    val t = trainIndex.select(col(idCol).as("a"), col("shingle"))
+    val b = benchIndex.select(col(idCol).as("b"), col("shingle"))
+    t.join(broadcast(b), "shingle")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact pairwise n-gram Jaccard over the shared-shingle candidates:
     * |A ∩ B| / (|A| + |B| - |A ∩ B|).
     *

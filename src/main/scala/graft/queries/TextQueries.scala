@@ -391,6 +391,31 @@ object TextQueries {
         ORDER BY a, b"""
       }),
 
+    // B7 decontamination, precision path: EXACT shared n-grams across the
+    // corpora (the standard eval-set decontamination method) — the
+    // complement of q98's minhash-band recall path. Benchmark shingles
+    // broadcast; training corpus streams through one equi-join.
+    Q(
+      "q111_ngram_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Dedup.ngramContamination(
+            Dedup.shingleIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", 3),
+            Dedup.shingleIndex(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", 3),
+            "doc_id",
+            minShared = 3)
+          .orderBy("a", "b")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        $OSHINGLES
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+        FROM (SELECT * FROM sh WHERE doc_id % 2 = 0) x
+        JOIN (SELECT * FROM sh WHERE doc_id % 2 = 1) y ON x.sh = y.sh
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+        ORDER BY a, b""")),
+
     // B26/B42: regexp function family over document text — extract-all
     // cardinality, word-boundary counting, group extraction, global
     // replace. Patterns are ASCII-only so Java (Spark) and RE2 (DuckDB)

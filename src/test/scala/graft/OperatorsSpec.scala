@@ -186,6 +186,22 @@ class OperatorsSpec extends SparkSpec {
     assert(!cands.exists(_._1 == 2L), s"false positive: $cands")
   }
 
+  test("exact n-gram decontamination flags the planted overlap, nothing else") {
+    val evalDoc = "the standard benchmark question about spark shuffles and their partitions " * 4
+    val train = Seq(
+      (0L, "prefix words then " + evalDoc),                    // contains the eval text
+      (2L, "completely unrelated agricultural market prices data " * 4)
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, evalDoc)).toDF("doc_id", "text")
+    val hits = Dedup.ngramContamination(
+        Dedup.shingleIndex(train, "doc_id", "text", 3),
+        Dedup.shingleIndex(bench, "doc_id", "text", 3),
+        "doc_id", minShared = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(hits.map(h => (h._1, h._2)).toSet === Set((0L, 1L)), s"got ${hits.toSeq}")
+    assert(hits.head._3 >= 5)
+  }
+
   test("cosinePairsLsh: no cross join in the plan; agrees with exact on overlap") {
     val v = Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
