@@ -87,4 +87,31 @@ object TextAnalysis {
       transform(
         sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
         j => array_min(slice(hashes, j, lit(w)))))
+
+  /** PII scrub patterns — deliberately ASCII/RE2-safe subsets (no
+    * lookarounds, no \\b) so Java (Spark) and RE2 (DuckDB) agree
+    * byte-for-byte, which is what lets the redacted text itself be
+    * hash-verified cross-engine. Production would extend the pattern set;
+    * the operator shape (pure codegen-resident regexp_replace chain in
+    * the scan stage, no shuffle) is the part that matters at 100 TB.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+  val Ipv4Pattern = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  /** Count of PII matches in a text column (emails + phones + IPv4). */
+  def piiCount(text: Column): Column =
+    regexp_count(text, lit(EmailPattern)) +
+      regexp_count(text, lit(PhonePattern)) +
+      regexp_count(text, lit(Ipv4Pattern))
+
+  /** Redact PII in place: emails -> [EMAIL], phones -> [PHONE],
+    * IPv4 -> [IP]. Order matters (emails first: a phone-like digit run
+    * inside an email local part must not be half-redacted). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "[EMAIL]"),
+        PhonePattern, "[PHONE]"),
+      Ipv4Pattern, "[IP]")
 }

@@ -416,6 +416,57 @@ object TextQueries {
         HAVING COUNT(*) >= 3
         ORDER BY a, b""")),
 
+    // B42 pipeline hygiene: PII redaction. The synthetic corpus carries no
+    // PII, so each doc gets deterministic planted PII (email + phone +
+    // IPv4 derived from doc_id, built identically in the oracle); the
+    // patterns are RE2/Java-agreeing subsets, so the REDACTED TEXT ITSELF
+    // is md5-verified cross-engine, not just the counts. Pure
+    // regexp_replace chain — codegen-resident, scan-stage, no shuffle.
+    Q(
+      "q112_redact_pii",
+      (s, dir) => {
+        val planted = concat(
+          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.org or 555-"),
+          lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 200).cast("string"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), planted.as("planted"))
+          .select(
+            col("doc_id"),
+            TextAnalysis.piiCount(col("planted")).as("n_pii"),
+            md5(TextAnalysis.redactPii(col("planted"))).as("redacted_md5"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val em = TextAnalysis.EmailPattern
+        val ph = TextAnalysis.PhonePattern
+        val ip = TextAnalysis.Ipv4Pattern
+        s"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                 '@mail.example.org or 555-' ||
+                 lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+                 lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                 ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+                 CAST(doc_id % 200 AS VARCHAR) AS planted
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(planted, '$em', 0)) +
+                    len(regexp_extract_all(planted, '$ph', 0)) +
+                    len(regexp_extract_all(planted, '$ip', 0)) AS INT) AS n_pii,
+               md5(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(planted, '$em', '[EMAIL]', 'g'),
+                       '$ph', '[PHONE]', 'g'),
+                     '$ip', '[IP]', 'g')) AS redacted_md5
+        FROM p
+        ORDER BY doc_id"""
+      }),
+
     // B26/B42: regexp function family over document text — extract-all
     // cardinality, word-boundary counting, group extraction, global
     // replace. Patterns are ASCII-only so Java (Spark) and RE2 (DuckDB)
