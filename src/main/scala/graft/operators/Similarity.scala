@@ -34,6 +34,30 @@ object Similarity {
     Array.tabulate(planes, dims)((p, d) => ((h60(s"hp:$p:$d") % 2001) - 1000) / 1000.0)
   }
 
+  /** Deterministic ±1 sign matrix (Achlioptas sparse-projection family),
+    * derived from md5 so the SQL oracle re-derives it bit-for-bit. */
+  def signMatrix(seed: String, outDims: Int, inDims: Int): Array[Array[Int]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(outDims, inDims) { (j, i) =>
+      if ((md.digest(s"$seed:$j:$i".getBytes("UTF-8"))(0) & 1) == 0) 1 else -1
+    }
+  }
+
+  /** ±1 random projection of a float-array embedding down to
+    * `signs.length` dims, computed over the x1000-floored integer view of
+    * the vector so the result is integer-exact cross-engine. One narrow
+    * projection in the scan stage — no shuffle, no UDF; the 100 TB cost
+    * is the read itself. The integer view loses <0.1% relative precision,
+    * irrelevant for a distance-sketch whose own distortion is ~1/sqrt(d).
+    */
+  def randomProjectQuantized(vec: Column, signs: Array[Array[Int]]): Seq[Column] = {
+    val q = transform(vec, e => floor(e.cast("double") * 1000))
+    signs.toSeq.map { row =>
+      val s = array(row.toIndexedSeq.map(v => lit(v.toLong)): _*)
+      aggregate(zip_with(q, s, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    }
+  }
+
   /** LSH bucket id (0 .. 2^planes-1) for a double-array embedding column:
     * bit p is set iff dot(v, hyperplane_p) > 0.
     */

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.GraftFunctions._
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{ConnectedComponents, Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -349,6 +349,61 @@ object TextQueries {
         ORDER BY a, b"""
       }),
 
+    // B7 terminal step: near-dup candidate PAIRS -> duplicate CLUSTERS
+    // via distributed connected components (min-label propagation +
+    // pointer jumping; see ConnectedComponents scaladoc), with one
+    // representative (min doc_id) per cluster — what a 100 TB dedup
+    // actually keeps. The oracle computes the same components with a
+    // recursive transitive-closure CTE over the identical minhash-band
+    // edge set, so every cluster assignment is hash-compared.
+    Q(
+      "q117_dedup_clusters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val sig = Dedup.minhashSignatures(
+          Dedup.shingleIndex(docs, "doc_id", "text", 3), "doc_id", 12)
+        val bands = Dedup.lshBands(sig, "doc_id", 4, 3).persist()
+        val edges = Dedup.lshCandidates(bands, "doc_id").select("a", "b")
+        ConnectedComponents.components(docs.select("doc_id"), edges, "doc_id")
+          .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("comp")))
+          .select(
+            col("doc_id"), col("comp").as("cluster"), col("cluster_size"),
+            (col("doc_id") === col("comp")).as("is_rep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val baseHash = "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)"
+        val mins = Dedup.minhashParams(12).zipWithIndex.map { case ((a, b), i) =>
+          s"min(($baseHash * $a + $b) % 2147483647) AS mh_$i"
+        }.mkString(", ")
+        val bandArms = (0 until 4).map { b =>
+          val key = (0 until 3).map(j => s"CAST(mh_${b * 3 + j} AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""
+        WITH RECURSIVE $OTOKS,
+        $OSHINGLES,
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS ($bandArms),
+        edges AS (SELECT x.doc_id AS a, y.doc_id AS b
+                  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                                           AND x.doc_id < y.doc_id
+                  GROUP BY 1, 2),
+        sym AS (SELECT a AS src, b AS dst FROM edges
+                UNION ALL SELECT b, a FROM edges),
+        reach(id, l) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT s.dst, r.l FROM reach r JOIN sym s ON s.src = r.id),
+        comp AS (SELECT id, MIN(l) AS cluster FROM reach GROUP BY id)
+        SELECT id AS doc_id, cluster,
+               COUNT(*) OVER (PARTITION BY cluster) AS cluster_size,
+               id = cluster AS is_rep
+        FROM comp
+        ORDER BY doc_id"""
+      }),
+
     // B7: cross-corpus decontamination — training-side documents (even
     // doc_id) whose minhash bands collide with any evaluation-side
     // document (odd doc_id). The band join is across two corpora, so no
@@ -466,6 +521,206 @@ object TextQueries {
         FROM p
         ORDER BY doc_id"""
       }),
+
+    // B42 quality filtering, Gopher-style repetition signals (Rae et al.
+    // 2021 §A1.1): the occurrence count of the most frequent 2-gram and
+    // the number of 3-gram positions covered by duplicated 3-grams. Shape
+    // is explode -> partial-agg count -> per-doc max/sum: two hash
+    // aggregates keyed by (doc_id, gram), map-side combined, no window
+    // over an unpartitioned frame — linear at 100 TB. Counts stay
+    // integers so the compare is exact.
+    Q(
+      "q113_repetition_filter",
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+        def grams(n: Int) = transform(
+          sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(1))),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("ts"), i + k)): _*))
+        val top2 = base
+          .select(col("doc_id"), explode(grams(2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_2gram_occ"))
+        val dup3 = base
+          .select(col("doc_id"), explode(grams(3)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_3gram_pos"))
+        base.select(col("doc_id"), size(col("ts")).as("n_tokens"))
+          .join(top2, "doc_id").join(dup3, "doc_id")
+          // Gopher thresholds (integer algebra: occ*2 tokens > 20% of doc).
+          .withColumn(
+            "is_repetitive",
+            col("top_2gram_occ") * 2 * 5 > col("n_tokens") ||
+              col("dup_3gram_pos") * 2 > col("n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        g2 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 1, 1) + 1),
+                                     i -> ts[i] || ' ' || ts[i+1])) AS g FROM toks),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        t2 AS (SELECT doc_id, MAX(c) AS top_2gram_occ FROM c2 GROUP BY 1),
+        g3 AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 2, 1) + 1),
+                                     i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS g FROM toks),
+        c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+        d3 AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_3gram_pos
+               FROM c3 GROUP BY 1)
+        SELECT t.doc_id, CAST(len(t.ts) AS INT) AS n_tokens,
+               t2.top_2gram_occ, d3.dup_3gram_pos,
+               (t2.top_2gram_occ * 2 * 5 > len(t.ts) OR d3.dup_3gram_pos * 2 > len(t.ts)) AS is_repetitive
+        FROM toks t JOIN t2 USING (doc_id) JOIN d3 USING (doc_id)
+        ORDER BY doc_id""")),
+
+    // LLM pretraining sequence packing (concatenate-and-chunk): within
+    // each source shard, documents are laid end-to-end in doc_id order
+    // and cut into fixed 256-token training sequences; a doc belongs to
+    // the sequence its first token lands in. The window is PARTITIONED BY
+    // source, so at 100 TB each shard packs independently in parallel —
+    // the global-order variant (one partition) is the anti-pattern this
+    // deliberately avoids. Output: per (source, seq) doc/token totals.
+    Q(
+      "q114_sequence_packing",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+          .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+          .withColumn("seq", expr("start_off DIV 256"))
+          .groupBy("source", "seq")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("seq_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy("source", "seq")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        sized AS (SELECT d.doc_id, d.source, CAST(len(t.ts) AS BIGINT) AS n_tokens
+                  FROM documents d JOIN toks t USING (doc_id)),
+        off AS (SELECT doc_id, source, n_tokens,
+                       CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                                ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+                FROM sized)
+        SELECT source, start_off // 256 AS seq, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens, MIN(doc_id) AS first_doc
+        FROM off
+        GROUP BY 1, 2
+        ORDER BY source, seq""")),
+
+    // Domain-mix rebalancing: given a target uniform token share across
+    // source shards, derive each shard's sampling weight (parts-per-
+    // million, integer algebra end-to-end so the compare is exact).
+    // One partial-agg groupBy + a broadcast of the single total row —
+    // the pattern scales to any shard count.
+    Q(
+      "q115_domain_mix",
+      (s, dir) => {
+        val perSrc = Tables.documents(s, dir)
+          .select(col("source"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("src_tokens"))
+        val nSrc = perSrc.select(count(lit(1)).as("n_src"), sum("src_tokens").as("total_tokens"))
+        perSrc.crossJoin(broadcast(nSrc))
+          .select(
+            col("source"), col("n_docs"), col("src_tokens"),
+            expr("(total_tokens * 1000000) DIV (n_src * src_tokens)").as("weight_ppm"),
+            expr("(src_tokens * 1000000) DIV total_tokens").as("share_ppm"))
+          .orderBy("source")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        per_src AS (SELECT d.source, COUNT(*) AS n_docs,
+                           CAST(SUM(len(t.ts)) AS BIGINT) AS src_tokens
+                    FROM documents d JOIN toks t USING (doc_id)
+                    GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_src, CAST(SUM(src_tokens) AS BIGINT) AS total_tokens FROM per_src)
+        SELECT source, n_docs, src_tokens,
+               (total_tokens * 1000000) // (n_src * src_tokens) AS weight_ppm,
+               (src_tokens * 1000000) // total_tokens AS share_ppm
+        FROM per_src, tot
+        ORDER BY source""")),
+
+    // B42 retrieval: BM25 (k1=1.2, b=0.75) for a fixed 3-term query.
+    // tf comes from one explode -> filter(term set, pushed to the scan) ->
+    // partial-agg count; df and the corpus stats are two tiny aggregates
+    // broadcast back. No all-pairs, no UDF; scores are rounded to 6dp on
+    // both engines (double sum-order wobble is ~1 ulp, far below 1e-6)
+    // with doc_id tie-breaks, so the top-20 compares exactly.
+    Q(
+      "q118_bm25",
+      (s, dir) => {
+        val terms = Seq("spark", "filter", "join")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+        val dl = toks.select(col("doc_id"), size(col("ts")).cast(DoubleType).as("dl"))
+        val tf = toks.select(col("doc_id"), explode(col("ts")).as("t"))
+          .filter(col("t").isin(terms: _*))
+          .groupBy("doc_id", "t").agg(count(lit(1)).cast(DoubleType).as("tf"))
+        val dfreq = tf.groupBy("t").agg(count(lit(1)).cast(DoubleType).as("df"))
+        val stats = dl.agg(count(lit(1)).cast(DoubleType).as("n"), avg("dl").as("avgdl"))
+        tf.join(broadcast(dfreq), "t")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn(
+            "w",
+            col("idf") * ((col("tf") * 2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))))
+          .groupBy("doc_id")
+          .agg(round(sum("w"), 6).as("score_r"), count(lit(1)).as("n_terms_hit"))
+          .orderBy(col("score_r").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH $OTOKS,
+        dl AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl FROM toks),
+        tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+               WHERE t IN ('spark', 'filter', 'join')
+               GROUP BY 1, 2),
+        dfreq AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl)
+        SELECT doc_id,
+               round(SUM(ln(1.0 + (n - df + 0.5) / (df + 0.5)) *
+                         ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))), 6) AS score_r,
+               COUNT(*) AS n_terms_hit
+        FROM tf JOIN dfreq USING (t) JOIN dl USING (doc_id), stats
+        GROUP BY doc_id
+        ORDER BY score_r DESC, doc_id
+        LIMIT 20""")),
+
+    // B42 RAG-style chunking: fixed 32-token windows at stride 24 (8-token
+    // overlap), one output row per chunk with the chunk text md5'd so the
+    // exact chunk CONTENT is cross-engine-verified. Pure per-row HOF
+    // explode in the scan stage — chunk count per doc is data-driven, no
+    // shuffle before the final sort.
+    Q(
+      "q119_token_chunks",
+      (s, dir) => {
+        val n = size(col("ts"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+          .select(col("doc_id"), col("ts"), n.as("n_tokens"),
+            explode(sequence(lit(1), n, lit(24))).as("st"))
+          .select(
+            col("doc_id"),
+            ((col("st") - 1) / 24).cast(IntegerType).as("chunk_idx"),
+            least(lit(32), col("n_tokens") - col("st") + 1).as("chunk_tokens"),
+            md5(array_join(slice(col("ts"), col("st"), lit(32)), " ")).as("chunk_md5"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        st AS (SELECT doc_id, len(ts) AS n, unnest(range(1, len(ts) + 1, 24)) AS st, ts FROM toks)
+        SELECT doc_id,
+               CAST((st - 1) // 24 AS INT) AS chunk_idx,
+               CAST(least(32, n - st + 1) AS INT) AS chunk_tokens,
+               md5(array_to_string(list_slice(ts, st, st + 31), ' ')) AS chunk_md5
+        FROM st
+        ORDER BY doc_id, chunk_idx""")),
 
     // B26/B42: regexp function family over document text — extract-all
     // cardinality, word-boundary counting, group extraction, global

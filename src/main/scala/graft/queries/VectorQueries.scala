@@ -204,6 +204,40 @@ object VectorQueries {
                TRUE AS recall_ok,
                TRUE AS rerank_scores_exact""")),
 
+    // B43: Johnson–Lindenstrauss-style ±1 random projection, 64 -> 8
+    // dims — the dimensionality-reduction front end of a sketch-based
+    // ANN/clustering pipeline. The sign matrix is md5-derived so the
+    // oracle inlines the identical ±1 constants, and the projection runs
+    // over the x1000-floored integer view of each vector, making every
+    // output coordinate integer-exact cross-engine. Pure scan-stage math:
+    // no shuffle, no UDF.
+    Q(
+      "q116_random_projection",
+      (s, dir) => {
+        val signs = Similarity.signMatrix("rp", 8, 64)
+        val ps = Similarity.randomProjectQuantized(col("embedding"), signs)
+          .zipWithIndex.map { case (c, j) => c.as(s"p$j") }
+        Tables.embeddings(s, dir)
+          .select(col("vec_id") +: ps: _*)
+          .orderBy("vec_id")
+      },
+      Some {
+        val signs = Similarity.signMatrix("rp", 8, 64)
+        val values = (for (j <- 0 until 8; i <- 0 until 64)
+          yield s"($j,${i + 1},${signs(j)(i)})").mkString(",")
+        val pivots = (0 until 8)
+          .map(j => s"MAX(CASE WHEN j = $j THEN pj END) AS p$j").mkString(", ")
+        s"""
+        WITH $OPOS,
+        q AS (SELECT vec_id, i, CAST(floor(v * 1000) AS BIGINT) AS qv FROM e),
+        s AS (SELECT * FROM (VALUES $values) t(j, i, sg)),
+        p AS (SELECT vec_id, j, CAST(SUM(qv * sg) AS BIGINT) AS pj
+              FROM q JOIN s USING (i) GROUP BY 1, 2)
+        SELECT vec_id, $pivots
+        FROM p GROUP BY vec_id
+        ORDER BY vec_id"""
+      }),
+
     // B7/B43: embedding-cosine near-dup pairs (norms precomputed once).
     // The exact operator is input-bounded by contract (cap = 4096 lowest
     // ids — a TakeOrderedAndProject under each cross-join side, so the

@@ -225,6 +225,53 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"top-pair recall $recall too low")
   }
 
+  test("random projection: linear, deterministic, and distance-preserving on average") {
+    val signs = Similarity.signMatrix("rp", 8, 64)
+    assert(Similarity.signMatrix("rp", 8, 64).map(_.toSeq).toSeq === signs.map(_.toSeq).toSeq)
+    assert(signs.flatten.forall(s => s == 1 || s == -1))
+    // roughly balanced signs per output dim (md5 bit parity)
+    signs.foreach(row => assert(math.abs(row.sum) <= 24, s"unbalanced row: ${row.sum}"))
+    // a one-hot input picks out exactly column i of the matrix (x1000)
+    val oneHot = Array.tabulate(64)(i => if (i == 7) 1.0f else 0.0f)
+    val projected = Seq(Tuple1(oneHot)).toDF("embedding")
+      .select(Similarity.randomProjectQuantized(col("embedding"), signs): _*)
+      .head().toSeq.map(_.asInstanceOf[Long])
+    assert(projected === signs.map(r => r(7).toLong * 1000L).toSeq)
+    // JL sketch property on real embeddings: projected squared distance
+    // (scaled by 1/outDims) tracks the true squared distance on average
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(40)
+      .select(col("vec_id"),
+        asDouble(col("embedding")).as("vec"),
+        array(Similarity.randomProjectQuantized(col("embedding"), signs): _*).as("p"))
+      .collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getSeq[Long](2).toArray))
+    val ratios = for {
+      i <- emb.indices; j <- emb.indices if i < j
+      trueSq = emb(i)._1.zip(emb(j)._1).map { case (a, b) => (a - b) * (a - b) }.sum
+      if trueSq > 1e-9
+      projSq = emb(i)._2.zip(emb(j)._2).map { case (a, b) => val d = (a - b) / 1000.0; d * d }.sum / 8.0
+    } yield projSq / trueSq
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.5 && mean < 2.0, s"JL mean distortion off: $mean")
+  }
+
+  test("connected components: chain + clique + singletons, log-round convergence") {
+    import graft.operators.ConnectedComponents
+    // a 16-node chain (diameter 15), a 3-clique, and 2 isolated nodes
+    val chain = (100L until 115L).map(i => (i, i + 1))
+    val clique = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    val edges = (chain ++ clique).toDF("a", "b")
+    val nodes = ((1L to 3L) ++ (100L to 115L) ++ Seq(500L, 501L)).toDF("id")
+    // pointer jumping must close the diameter-15 chain in <= 6 rounds
+    val comp = ConnectedComponents.components(nodes, edges, "id", maxIter = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (100L to 115L).foreach(i => assert(comp(i) === 100L, s"chain node $i"))
+    (1L to 3L).foreach(i => assert(comp(i) === 1L))
+    assert(comp(500L) === 500L && comp(501L) === 501L)
+    assert(comp.size === 21)
+  }
+
   test("hash60 is non-negative and stable") {
     val vals = Seq("a", "b", "a").toDF("s").select(hash60(col("s")).as("h"))
       .as[Long].collect()
