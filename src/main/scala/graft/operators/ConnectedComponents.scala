@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Distributed connected components over a pair table — the step that
   * turns near-duplicate PAIRS (minhash/simhash/cosine candidates) into
@@ -21,8 +22,11 @@ import org.apache.spark.sql.functions._
   * Scale contract: state is one (id, comp) row per node — never
   * collected; each round materializes via localCheckpoint to cut lineage
   * (without it, round k's plan embeds all k-1 predecessors and the
-  * optimizer re-plans a growing tree). Convergence is detected with one
-  * count on the changed set, which the checkpoint has already paid for.
+  * optimizer re-plans a growing tree). Labels only ever decrease
+  * (everything is a `least`), so convergence is detected by comparing
+  * the label sum across rounds — one scan-stage aggregate over the
+  * checkpointed state, no join against the previous round. The sum is
+  * accumulated as DECIMAL(38,0) so billions of 64-bit ids can't wrap.
   */
 object ConnectedComponents {
 
@@ -39,8 +43,11 @@ object ConnectedComponents {
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("comp"))
       .localCheckpoint()
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -50,18 +57,22 @@ object ConnectedComponents {
         .join(labels.select(col("id").as("dst"), col("comp").as("dst_comp")), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("dst_comp").as("nbr_comp"))
+      // persisted: it feeds BOTH sides of the pointer-jump self-join, and
+      // without the cache each side would recompute the nbrMin shuffle.
       val stepped = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .persist()
       // (2) pointer jump: comp := comp(comp) — halves label-chain depth,
       //     turning O(diameter) rounds into O(log diameter).
       val next = stepped.as("l")
         .join(stepped.select(col("id").as("comp"), col("comp").as("jump")).as("r"), Seq("comp"), "left")
         .select(col("id"), least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev"))
-        .isEmpty
+      stepped.unpersist()
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
