@@ -827,6 +827,110 @@ object TextQueries {
         SELECT a, b, dist FROM cand
         ORDER BY dist, a, b
         LIMIT 50"""
-      })
+      }),
+
+    // B42 quality scoring, corpus-LM flavor: per-document cross-entropy
+    // under the corpus's own unigram distribution — the cheap stand-in
+    // for KenLM-style perplexity filtering. Shape: one (doc, term)
+    // partial-agg'd count, a vocab aggregate joined back BY TERM (build
+    // side is 1 row per term, so a hot stop-word cannot blow up the
+    // join), and a final per-doc sum. Each term's nats are floored to
+    // integer micronats BEFORE the per-doc sum, so the total is an
+    // order-independent integer — immune to float sum-order wobble and
+    // to the 1-ulp ln() disagreement between the engines' libm.
+    Q(
+      "q120_unigram_xent",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+        val vocab = tf.groupBy("t").agg(sum("c").as("cf"))
+        val total = vocab.agg(sum("cf").as("total"))
+        tf.join(vocab, "t")
+          .crossJoin(broadcast(total))
+          .withColumn(
+            "nll_micro",
+            floor(-log(col("cf").cast(DoubleType) / col("total").cast(DoubleType)) * 1e6) * col("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"), sum("nll_micro").as("sum_micronats"))
+          .withColumn("xent_micronats", expr("sum_micronats DIV n_tokens"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+               FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1, 2),
+        vocab AS (SELECT t, CAST(SUM(c) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM vocab),
+        nll AS (SELECT doc_id, c,
+                       CAST(floor(-ln(CAST(cf AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6) AS BIGINT) * c AS nll_micro
+                FROM tf JOIN vocab USING (t), tot)
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(SUM(nll_micro) AS BIGINT) AS sum_micronats,
+               CAST(SUM(nll_micro) AS BIGINT) // CAST(SUM(c) AS BIGINT) AS xent_micronats
+        FROM nll
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // Deterministic train/val/test split assignment: bucket =
+    // md5-derived hash of the doc id, mod 1000; 90/5/5 by threshold.
+    // Pure scan-stage hashing — no shuffle, no RNG state — and STABLE:
+    // a document keeps its split when the corpus grows or is
+    // repartitioned, the property that keeps eval sets leak-free across
+    // pipeline re-runs. The oracle re-derives the identical hash.
+    Q(
+      "q121_split_assign",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            (hash60("split", col("doc_id")) % 1000).as("bucket"))
+          .withColumn(
+            "split",
+            when(col("bucket") < 900, "train")
+              .when(col("bucket") < 950, "valid")
+              .otherwise("test"))
+          .orderBy("doc_id"),
+      Some(s"""
+        SELECT doc_id,
+               ${ohash("split", "CAST(doc_id AS VARCHAR)")} % 1000 AS bucket,
+               CASE WHEN ${ohash("split", "CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'train'
+                    WHEN ${ohash("split", "CAST(doc_id AS VARCHAR)")} % 1000 < 950 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+        ORDER BY doc_id""")),
+
+    // B42 tokenizer training, step one of BPE: the adjacent-symbol-pair
+    // counts that pick the first merge. Counting is done over the UNIQUE
+    // word table weighted by word frequency (the classic BPE trick), so
+    // the pair explode runs over |vocab| rows, not |corpus| tokens —
+    // at 100 TB the vocab aggregate is the only corpus-scale shuffle.
+    Q(
+      "q122_bpe_pairs",
+      (s, dir) => {
+        val words = Tables.documents(s, dir)
+          .select(explode(tokens(lower(col("text")))).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("wf"))
+        words
+          .filter(length(col("w")) >= 2)
+          .select(col("wf"), explode(transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+          .groupBy("pair").agg(sum("wf").as("freq"))
+          .orderBy(col("freq").desc, col("pair"))
+          .limit(30)
+      },
+      Some("""
+        WITH w AS (SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS wf
+                   FROM (SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+                         FROM documents)
+                   GROUP BY 1),
+        p AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, wf
+              FROM (SELECT w, wf, unnest(range(1, length(w))) AS i FROM w WHERE length(w) >= 2))
+        SELECT pair, CAST(SUM(wf) AS BIGINT) AS freq
+        FROM p
+        GROUP BY pair
+        ORDER BY freq DESC, pair
+        LIMIT 30"""))
   )
 }
