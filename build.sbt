@@ -1,4 +1,13 @@
 ThisBuild / scalaVersion := "2.13.17"
+// The driver parses the FINAL stdout line of `sbt "runMain graft.Bench"`
+// as the bench JSON. sbt's "[success] Total time: ..." footer prints
+// after the program's output, so it — not the JSON — was the last line
+// (BENCH_r01..r03 all came back "parsed": null). Suppress it globally.
+Global / showSuccess := false
+// With fork:=true sbt relays the child's stdout through its logger,
+// prefixing every line with "[info] ". Inherit the parent's stdout
+// instead so the bench JSON line is emitted verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 ThisBuild / version := "0.1.0"
 name := "agrimarketdatapipelinespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
