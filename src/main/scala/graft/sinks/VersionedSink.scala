@@ -27,6 +27,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object VersionedSink {
 
   private val Pointer = "_LATEST"
+  private val Committed = "_COMMITTED"
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -47,17 +48,32 @@ object VersionedSink {
         .sorted
   }
 
+  /** Versions whose snapshot write finished: the dir carries the
+    * `_COMMITTED` marker this sink stamps after the parquet write (or
+    * Spark's own `_SUCCESS`, for snapshot dirs produced by an external
+    * writer). A `v=N` directory without either is the debris of a commit
+    * that crashed mid-write — present on disk, never published. */
+  def committedVersions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val f = fs(spark, tableDir)
+    versions(spark, tableDir).filter { v =>
+      f.exists(new Path(versionDir(tableDir, v), Committed)) ||
+        f.exists(new Path(versionDir(tableDir, v), "_SUCCESS"))
+    }
+  }
+
   /** The version `_LATEST` points at. When the pointer file is absent but
     * snapshots exist (the crash window of a pointer swap on a filesystem
-    * whose rename cannot overwrite), falls back to the newest snapshot on
-    * disk — a reader never throws while any committed version is intact.
+    * whose rename cannot overwrite), falls back to the newest *completed*
+    * snapshot on disk — a reader never throws while any committed version
+    * is intact, and never loads a half-written one (a commit that crashed
+    * mid-parquet-write leaves a `v=N` dir with no completion marker).
     * The fallback can only disagree with a lost pointer after a rollback
     * interrupted mid-swap, where re-issuing the rollback is the repair.
     */
   def latestVersion(spark: SparkSession, tableDir: String): Option[Long] = {
     val f = fs(spark, tableDir)
     val p = new Path(tableDir, Pointer)
-    if (!f.exists(p)) versions(spark, tableDir).lastOption
+    if (!f.exists(p)) committedVersions(spark, tableDir).lastOption
     else {
       val in = f.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
@@ -112,6 +128,13 @@ object VersionedSink {
     val spark = df.sparkSession
     val next = versions(spark, tableDir).lastOption.map(_ + 1).getOrElse(0L)
     df.write.mode("errorifexists").parquet(versionDir(tableDir, next).toString)
+    // Completion marker BEFORE the pointer flip: readers (and the
+    // lost-pointer fallback) treat marker-less dirs as uncommitted debris.
+    locally {
+      val out = fs(spark, tableDir).create(new Path(versionDir(tableDir, next), Committed), true)
+      try out.write(next.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     marker.foreach { m =>
       val out = fs(spark, tableDir).create(markerPath(tableDir, next), true)
       try out.write(m.getBytes("UTF-8"))
@@ -128,12 +151,26 @@ object VersionedSink {
     spark.read.parquet(versionDir(tableDir, v).toString)
   }
 
+  /** Time-travel read: the table exactly as it stood at `version` — the
+    * single documented entry point for the "read any retained snapshot"
+    * affordance (the Delta-style `versionAsOf`, or `git checkout <old> --
+    * data/` on the reference repo, `run.yml:29-35`). Fails fast on a
+    * version that was never committed (absent, or mid-write debris),
+    * rather than letting the parquet reader surface a confusing partial
+    * scan. */
+  def readAsOf(spark: SparkSession, tableDir: String, version: Long): DataFrame = {
+    require(committedVersions(spark, tableDir).contains(version),
+      s"version $version was never committed in $tableDir " +
+        s"(committed: ${committedVersions(spark, tableDir).mkString(", ")})")
+    spark.read.parquet(versionDir(tableDir, version).toString)
+  }
+
   /** Restore: repoint `_LATEST` at an existing earlier snapshot. Data is
     * untouched (the overwritten-by-pointer version remains browsable),
     * exactly like `git checkout <old>` on the reference's data repo. */
   def rollback(spark: SparkSession, tableDir: String, version: Long): Unit = {
-    require(versions(spark, tableDir).contains(version),
-      s"version $version does not exist in $tableDir")
+    require(committedVersions(spark, tableDir).contains(version),
+      s"version $version does not exist (or was never committed) in $tableDir")
     writePointer(spark, tableDir, version)
   }
 }

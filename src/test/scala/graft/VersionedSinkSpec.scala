@@ -65,6 +65,42 @@ class VersionedSinkSpec extends SparkSpec {
     assert(VersionedSink.read(spark, dir, Some(0L)).as[(Int, String)].collect() === Array((1, "a")))
   }
 
+  test("readAsOf time-travels to any committed version; refuses uncommitted ones") {
+    val dir = Files.createTempDirectory("vtable5").toString
+    VersionedSink.commit(Seq((1, "a"), (2, "b")).toDF("id", "s"), dir)
+    VersionedSink.commit(Seq((3, "c")).toDF("id", "s"), dir)
+    // v=n is live; v=n-1 is still readable as-of
+    assert(VersionedSink.read(spark, dir).as[(Int, String)].collect() === Array((3, "c")))
+    assert(VersionedSink.readAsOf(spark, dir, 0L).as[(Int, String)].collect().toSet
+      === Set((1, "a"), (2, "b")))
+    assert(VersionedSink.readAsOf(spark, dir, 1L).as[(Int, String)].collect() === Array((3, "c")))
+    intercept[IllegalArgumentException] { VersionedSink.readAsOf(spark, dir, 9L) }
+  }
+
+  test("a half-written snapshot (no completion marker) is invisible to readers") {
+    val dir = Files.createTempDirectory("vtable6").toString
+    VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir)
+    // simulate a commit that crashed mid-parquet-write: a v=1 dir with
+    // data debris but no _COMMITTED/_SUCCESS, and (worst case) a lost
+    // pointer too
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "v=1"))
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "v=1/part-00000.parquet"), true)
+    out.write("partial".getBytes("UTF-8")); out.close()
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_LATEST"), false)
+
+    assert(VersionedSink.versions(spark, dir) === Seq(0L, 1L)) // debris browsable...
+    assert(VersionedSink.committedVersions(spark, dir) === Seq(0L)) // ...but not committed
+    assert(VersionedSink.latestVersion(spark, dir) === Some(0L)) // fallback skips debris
+    assert(VersionedSink.read(spark, dir).as[(Int, String)].collect() === Array((1, "a")))
+    intercept[IllegalArgumentException] { VersionedSink.readAsOf(spark, dir, 1L) }
+    intercept[IllegalArgumentException] { VersionedSink.rollback(spark, dir, 1L) }
+    // the next commit skips past the debris version — never overwrites it
+    assert(VersionedSink.commit(Seq((2, "b")).toDF("id", "s"), dir) === 2L)
+    assert(VersionedSink.read(spark, dir).as[(Int, String)].collect() === Array((2, "b")))
+  }
+
   test("reader survives a lost _LATEST pointer (falls back to newest snapshot)") {
     val dir = Files.createTempDirectory("vtable4").toString
     VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir)
