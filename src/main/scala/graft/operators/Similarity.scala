@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Deterministic pseudo-random hyperplane weights derived from md5 —
     * reproducible everywhere (including the SQL oracle, which inlines the
     * same constants). Values in [-1, 1] with 3 decimal digits.
@@ -244,6 +246,14 @@ object Similarity {
       vecCol: String,
       cap: Int = 4096): DataFrame = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
+    // Truncation must not be silent: callers beyond q63's bounded baseline
+    // would otherwise read "all pairs" when vectors were dropped. The
+    // probe scans at most cap+1 rows (limit pushes into the scan).
+    if (vectors.select(col(idCol)).limit(cap + 1).count() > cap) {
+      log.warn(
+        s"cosinePairs: input exceeds cap=$cap — pairs are computed over the $cap " +
+          "lowest-id vectors only; use cosinePairsLsh for the unbounded-corpus path")
+    }
     val v = vectors.orderBy(col(idCol)).limit(cap).select(
       col(idCol), col(vecCol),
       l2norm(col(vecCol)).as("nrm"))

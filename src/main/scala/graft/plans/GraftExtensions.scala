@@ -91,11 +91,17 @@ object GraftExtensions {
     new ExpressionInfo(classOf[TDigestAgg].getName, "graft_tdigest"),
     (children: Seq[Expression]) => {
       require(children.size >= 2, "graft_tdigest takes (col, p1[, p2, ...])")
+      // SQL-text percentiles parse as DecimalType literals carrying
+      // o.a.s.sql.types.Decimal (graft_tdigest(x, 0.5)); integer literals
+      // (graft_tdigest(x, 1)) are also valid quantile spellings.
       val ps = children.tail.map {
         case Literal(p: Double, _) => p
-        case Literal(p: java.math.BigDecimal, _) => p.doubleValue()
+        case Literal(p: Float, _) => p.toDouble
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+        case Literal(i: Int, _) => i.toDouble
+        case Literal(l: Long, _) => l.toDouble
         case other => throw new IllegalArgumentException(
-          s"graft_tdigest percentiles must be double literals, got $other")
+          s"graft_tdigest percentiles must be numeric literals, got $other")
       }
       TDigestAgg(children.head, ps).toAggregateExpression()
     })

@@ -25,7 +25,11 @@ object JoinQueries {
   private var bucketedFor: Option[String] = None
   private[queries] def ensureBucketed(s: org.apache.spark.sql.SparkSession, dir: String): Unit =
     synchronized {
-      if (!bucketedFor.contains(dir)) {
+      // The memo is per-JVM but the CTAS lives in a session catalog: a
+      // fresh session in the same JVM would otherwise skip creation and
+      // fail with TABLE_OR_VIEW_NOT_FOUND.
+      if (!bucketedFor.contains(dir) ||
+          !s.catalog.tableExists("graft_li_b") || !s.catalog.tableExists("graft_ord_b")) {
         val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
         s.sql("DROP TABLE IF EXISTS graft_li_b")
         s.sql("DROP TABLE IF EXISTS graft_ord_b")
