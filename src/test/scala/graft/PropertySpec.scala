@@ -138,6 +138,88 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("connected components equal an in-memory union-find on random graphs") {
+    // The distributed CC is otherwise pinned by a single oracle query
+    // (q117's transitive-closure CTE at one SF); this drives it across
+    // random shapes — sparse, dense, and edge-free — against union-find.
+    def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      // representative = min id in the component
+      val byRoot = nodes.groupBy(find)
+      byRoot.flatMap { case (_, members) =>
+        val m = members.min; members.map(_ -> m)
+      }
+    }
+    val shapes = Seq(
+      (40, 0),    // all isolated
+      (60, 30),   // sparse: many small components + isolated nodes
+      (50, 200),  // dense: few giant components
+      (80, 80),   // ~critical
+    )
+    for (((n, e), shape) <- shapes.zipWithIndex; trial <- 0 until 3) {
+      val r = new Random(7000 + shape * 100 + trial)
+      // non-contiguous ids: components must not assume 0..n-1
+      val nodes = (0 until n).map(i => i.toLong * 7 + r.nextInt(3))
+        .distinct
+      val edges = (0 until e).map(_ =>
+        (nodes(r.nextInt(nodes.size)), nodes(r.nextInt(nodes.size))))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(nodes, edges)
+      val got = graft.operators.ConnectedComponents.components(
+        nodes.toDF("id"),
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("a", "b")
+        else edges.toDF("a", "b"),
+        "id")
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"shape=($n nodes, $e edges) trial=$trial")
+    }
+  }
+
+  test("connected components converge on a path graph within O(log diameter) rounds") {
+    // A 256-node path is the adversarial case for label propagation
+    // (diameter 255): without pointer jumping it needs 255 rounds; with
+    // path-halving, ~log2(255)+slack. maxIter=20 must suffice, and the
+    // boundary maxIter=2 must return a partially-converged but
+    // well-formed labeling (every label still a reachable min).
+    val n = 256
+    val nodes = (0L until n.toLong).toDF("id")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("a", "b")
+    val full = graft.operators.ConnectedComponents.components(nodes, edges, "id")
+      .as[(Long, Long)].collect()
+    assert(full.length === n)
+    assert(full.forall(_._2 === 0L), "single path component must all label 0")
+
+    val partial = graft.operators.ConnectedComponents.components(nodes, edges, "id", maxIter = 2)
+      .as[(Long, Long)].collect()
+    // labels only decrease and never invent ids outside the node set
+    assert(partial.forall { case (id, comp) => comp >= 0L && comp <= id })
+  }
+
+  test("graft_tdigest accepts SQL-text decimal and integer percentile literals") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // 0.5 in SQL text parses as a DecimalType literal (Decimal payload,
+    // not java.math.BigDecimal); 1 parses as an Int literal. Both must
+    // build, and must agree with the lit(double) spelling.
+    Seq((1, 10.0), (1, 20.0), (1, 30.0)).toDF("g", "x").createOrReplaceTempView("td_lit")
+    val sqlRes = spark.sql(
+      "SELECT graft_tdigest(x, 0.5, 1) AS td FROM td_lit GROUP BY g")
+      .collect()(0).getSeq[Double](0)
+    val dslRes = spark.table("td_lit").groupBy(col("g"))
+      .agg(call_function("graft_tdigest", col("x"), lit(0.5), lit(1.0)).as("td"))
+      .select("td").collect()(0).getSeq[Double](0)
+    assert(sqlRes === dslRes)
+    assert(sqlRes(1) === 30.0) // p=1 → max
+  }
+
   test("asOf join equals brute-force max-of-earlier per left row") {
     val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(10000).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
