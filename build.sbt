@@ -4,6 +4,7 @@ ThisBuild / scalaVersion := "2.13.17"
 // after the program's output, so it — not the JSON — was the last line
 // (BENCH_r01..r03 all came back "parsed": null). Suppress it globally.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // With fork:=true sbt relays the child's stdout through its logger,
 // prefixing every line with "[info] ". Inherit the parent's stdout
 // instead so the bench JSON line is emitted verbatim.

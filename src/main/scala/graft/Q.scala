@@ -13,8 +13,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class Q(
     name: String,
-    run: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    private val runFn: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None) {
+  /** Build the query, with the graft extensions (native functions +
+    * optimizer rules) registered into the session first — so every
+    * registry entry sees the same planning surface in any session
+    * (driver-created, test, Verify, Bench). */
+  def run: (SparkSession, String) => DataFrame = (s, dir) => {
+    plans.GraftExtensions.ensureRegistered(s)
+    runFn(s, dir)
+  }
+}
 
 object QueryRegistry {
   lazy val all: Seq[Q] = {

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.tdigestFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteIntersectOverlap)
+    ext.injectOptimizerRule(_ => PushAggThroughJoin)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }
@@ -150,6 +151,10 @@ object GraftExtensions {
     if (!spark.experimental.extraOptimizations.contains(RewriteIntersectOverlap)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ RewriteIntersectOverlap
+    }
+    if (!spark.experimental.extraOptimizations.contains(PushAggThroughJoin)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushAggThroughJoin
     }
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =

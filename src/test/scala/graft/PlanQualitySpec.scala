@@ -59,11 +59,24 @@ class PlanQualitySpec extends SparkSpec {
   test("q29: bucketed join runs with no exchange on either fact side") {
     val df = QueryRegistry.byName("q29_bucketed_join").run(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    // the join itself must sit directly on bucketed scans: the only
-    // exchange allowed in the plan is the one under the final aggregate
-    val joinPart = p.split("HashAggregate").last // below the aggs: join + scans
-    assert(joinPart.contains("SortMergeJoin") || joinPart.contains("ShuffledHashJoin"), p)
-    assert(!joinPart.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+    // eager aggregation (PushAggThroughJoin) pre-collapses lineitem by
+    // l_orderkey below the join, and the bucketed layout means neither
+    // the pushed aggregate, nor the join, needs an exchange: the ONLY
+    // exchange in the whole plan is the final regroup by o_orderpriority.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val pushedBelowJoin = df.queryExecution.optimizedPlan.collect {
+      case j: logical.Join
+          if Seq(j.left, j.right).exists(_.isInstanceOf[logical.Aggregate]) => j
+    }
+    assert(pushedBelowJoin.nonEmpty,
+      s"partial agg not pushed below the join:\n${df.queryExecution.optimizedPlan}")
+    val joinPos = Seq(p.indexOf("SortMergeJoin"), p.indexOf("ShuffledHashJoin")).filter(_ >= 0)
+    assert(joinPos.nonEmpty, p)
+    assert(!p.substring(joinPos.min).contains("Exchange"),
+      s"bucketed join (or the pushed agg below it) still shuffles:\n$p")
+    // two exchanges total: the final-agg regroup + the orderBy range
+    // partitioning; none at or below the join
+    assert("Exchange".r.findAllIn(p).size === 2, s"expected exactly 2 exchanges:\n$p")
     assert(p.contains("SelectedBucketsCount"), s"scan not bucketed:\n$p")
   }
 
