@@ -94,6 +94,32 @@ object StreamingJobs {
     * history) — for TB-scale accumulation pair the per-batch append sink
     * with periodic snapshots instead.
     */
+  /** The foreachBatch body of [[ingestVersionedSnapshots]], reusable over
+    * any source. Replay idempotence: a crash after commit but before the
+    * checkpoint offset commit re-delivers this batchId; the marker stamped
+    * into the snapshot detects that and skips the re-union, so no row is
+    * ever accumulated twice (same contract as the sibling
+    * ingestForeachBatch's keyed overwrite). `afterCommit` is a fault-
+    * injection hook for tests (throwing there crashes the query inside
+    * the A3 duplicate window — sink committed, offset not).
+    */
+  def commitVersionedBatch(
+      tableDir: String,
+      afterCommit: Long => Unit = _ => ())(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    import graft.sinks.VersionedSink
+    val spark = batch.sparkSession
+    val marker = s"batch-$batchId"
+    if (!VersionedSink.hasMarker(spark, tableDir, marker)) {
+      val acc = VersionedSink.latestVersion(spark, tableDir) match {
+        case Some(_) => VersionedSink.read(spark, tableDir).unionByName(batch.toDF())
+        case None => batch.toDF()
+      }
+      VersionedSink.commit(acc, tableDir, marker = Some(marker))
+      afterCommit(batchId)
+    }
+  }
+
   def ingestVersionedSnapshots(
       spark: SparkSession,
       srcDir: String,
@@ -107,23 +133,7 @@ object StreamingJobs {
       .csv(srcDir)
     val cleaned = AgriPipeline.dropInvalid(AgriPipeline.normalize(raw))
     cleaned.writeStream
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        import graft.sinks.VersionedSink
-        // Replay idempotence: a crash after commit but before the
-        // checkpoint offset commit re-delivers this batchId; the marker
-        // stamped into the snapshot detects that and skips the re-union,
-        // so no row is ever accumulated twice (same contract as the
-        // sibling ingestForeachBatch's keyed overwrite).
-        val marker = s"batch-$batchId"
-        if (!VersionedSink.hasMarker(spark, tableDir, marker)) {
-          val acc = VersionedSink.latestVersion(spark, tableDir) match {
-            case Some(_) => VersionedSink.read(spark, tableDir).unionByName(batch.toDF())
-            case None => batch.toDF()
-          }
-          VersionedSink.commit(acc, tableDir, marker = Some(marker))
-        }
-        ()
-      }
+      .foreachBatch(commitVersionedBatch(tableDir) _)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()

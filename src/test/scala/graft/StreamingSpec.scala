@@ -100,6 +100,50 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedSink.read(spark, table).count() === 8)
   }
 
+  test("crash inside the duplicate window: sink committed, offset not — resume adds nothing") {
+    // The A3 duplicate window end-to-end (fetch_data.py:143,162): the
+    // reference appends CSV rows (:143) and only then advances its
+    // checkpoint (:162), so a crash between the two re-harvests the same
+    // page on resume. Spark shape: PagedSource micro-batches →
+    // foreachBatch VersionedSink commit → crash injected AFTER the sink
+    // commit but BEFORE Spark commits the offset log. On restart the same
+    // batch is re-delivered; the batch marker must detect it and skip.
+    import graft.sinks.VersionedSink
+    val table = tmp("crash_table") + "/corpus"
+    val ckpt = tmp("crash_ckpt")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(hook: Long => Unit): Unit = {
+      val q = spark.readStream.format("graft.sources.PagedSource")
+        .option("max_offset", 2000).option("page_size", 500)
+        .option("num_partitions", 2)
+        .load()
+        .writeStream
+        .foreachBatch(StreamingJobs.commitVersionedBatch(table, hook) _)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+    }
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(_ => if (!crashed.getAndSet(true)) throw new RuntimeException("injected mid-batch crash"))
+    }
+    assert(ex.getMessage.contains("injected mid-batch crash"))
+    // the sink DID commit before the crash; the offset log did not
+    val committedRows = VersionedSink.read(spark, table).count()
+    assert(VersionedSink.latestVersion(spark, table).isDefined)
+    assert(committedRows > 0)
+
+    // resume with no fault: the re-delivered batch must be marker-skipped
+    // and the remaining offset space drained — every offset exactly once
+    run(_ => ())
+    val finalDf = VersionedSink.read(spark, table)
+    assert(finalDf.count() === 2000)
+    // record(i) is injective over [0,2000): District_%23 × Market_%41 ×
+    // Variety_%13 alone has period 12259 — so any replayed offset would
+    // surface as a duplicate full row
+    assert(finalDf.distinct().count() === 2000)
+  }
+
   test("paged source streams: AvailableNow drains the offset space exactly once, restart adds nothing") {
     val out = tmp("paged_stream_out")
     val ckpt = tmp("paged_stream_ckpt")
