@@ -217,6 +217,78 @@ object AgriQueries {
         JOIN monthly prev
           ON prev.commodity = cur.commodity
          AND CAST(prev.month + INTERVAL 12 MONTH AS DATE) = cur.month
-        ORDER BY cur.commodity, cur.month"""))
+        ORDER BY cur.commodity, cur.month""")),
+
+    // Price-spike detection: flag days whose mean quote deviates > 2
+    // trailing-window standard deviations from the previous 28 observed
+    // days (population σ, window excludes the current day). The whole
+    // test runs in exact integer arithmetic — day means floor to paise,
+    // and |z| > 2 is evaluated as (k·p − Σp)² > 4·(k·Σp² − (Σp)²), i.e.
+    // (k·dev)² > 4·k²σ², so no float aggregate can wobble cross-engine.
+    // Quotes above 1e6 rupees are data junk (max observed 1.35e6) and
+    // also what keeps every intermediate inside BIGINT (the final squares
+    // compare as DECIMAL/HUGEINT). One shuffle (daily agg) + one window
+    // sort per partition; everything else is scan-stage math.
+    Q(
+      "q123_agri_price_spikes",
+      (s, _) => {
+        val daily = Corpus(s)
+          .filter(col("modal_price") <= 1000000)
+          .groupBy(col("commodity"), col("arrival_date"))
+          .agg(
+            sum(col("modal_price").cast(DecimalType(18, 2))).as("day_sum"),
+            count(lit(1)).as("day_n"))
+        val pd = daily.select(
+          col("commodity"), col("arrival_date"),
+          floor(col("day_sum").cast(DoubleType) * 100 / col("day_n")).cast(LongType).as("p"))
+        val w = Window.partitionBy(col("commodity")).orderBy(col("arrival_date"))
+          .rowsBetween(-28, -1)
+        val win = pd.select(
+          col("commodity"), col("arrival_date"), col("p"),
+          count(col("p")).over(w).as("k"),
+          sum(col("p")).over(w).as("sp"),
+          sum(col("p") * col("p")).over(w).as("spp"))
+        val dev = col("k") * col("p") - col("sp")
+        val varnum = col("k") * col("spp") - col("sp") * col("sp")
+        win
+          .withColumn("dev", dev)
+          .filter(col("k") >= 14 &&
+            col("dev").cast(DecimalType(38, 0)) * col("dev").cast(DecimalType(38, 0)) >
+              lit(4).cast(DecimalType(38, 0)) * varnum.cast(DecimalType(38, 0)))
+          .select(
+            col("commodity"), col("arrival_date"),
+            col("p").as("mean_paise"), col("dev"), col("k"))
+          .orderBy("commodity", "arrival_date")
+      },
+      Some(s"""
+        WITH $OCORPUS,
+        daily AS (
+          SELECT commodity, arrival_date,
+                 SUM(CAST(modal_price AS DECIMAL(18,2))) AS day_sum,
+                 COUNT(*) AS day_n
+          FROM corpus
+          WHERE modal_price <= 1000000
+          GROUP BY 1, 2),
+        pd AS (
+          SELECT commodity, arrival_date,
+                 CAST(floor(CAST(day_sum AS DOUBLE) * 100 / day_n) AS BIGINT) AS p
+          FROM daily),
+        win AS (
+          SELECT commodity, arrival_date, p,
+                 COUNT(p) OVER w AS k,
+                 CAST(SUM(p) OVER w AS BIGINT) AS sp,
+                 CAST(SUM(p * p) OVER w AS BIGINT) AS spp
+          FROM pd
+          WINDOW w AS (PARTITION BY commodity ORDER BY arrival_date
+                       ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+        SELECT commodity, arrival_date,
+               p AS mean_paise,
+               (k * p - sp) AS dev,
+               k
+        FROM win
+        WHERE k >= 14
+          AND CAST(k * p - sp AS HUGEINT) * CAST(k * p - sp AS HUGEINT)
+              > 4 * CAST(k * spp - sp * sp AS HUGEINT)
+        ORDER BY commodity, arrival_date"""))
   )
 }
