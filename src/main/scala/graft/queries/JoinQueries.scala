@@ -353,6 +353,43 @@ object JoinQueries {
                      ('FALL99', DATE '1999-09-01', DATE '1999-11-15')) AS p(promo, p_start, p_end)
           ON o_start <= p_end AND p_start <= o_end
         GROUP BY promo
+        ORDER BY promo""")),
+
+    // B14 scale path: the same interval-overlap semantics as q27, but
+    // executed as a bin-bucketed EQUI join (operators/RangeJoin) instead
+    // of a broadcast nested loop — one shuffle on the bin id, survives
+    // two unbounded sides. Must hash-match q27's oracle exactly.
+    Q(
+      "q124_interval_bin_join",
+      (s, dir) => {
+        val promos = s.createDataFrame(Seq(
+          ("NEWYEAR96", "1996-01-01", "1996-02-15"),
+          ("SUMMER97", "1997-06-01", "1997-08-31"),
+          ("FALL99", "1999-09-01", "1999-11-15")
+        )).toDF("promo", "p_start", "p_end")
+          .select(col("promo"),
+            unix_date(col("p_start").cast(DateType)).cast("long").as("ps"),
+            unix_date(col("p_end").cast(DateType)).cast("long").as("pe"))
+        val o = Tables.orders(s, dir)
+          .select(
+            col("o_orderkey"),
+            unix_date(col("o_orderdate").cast(DateType)).cast("long").as("os"),
+            (unix_date(col("o_orderdate").cast(DateType)) + 30).cast("long").as("oe"))
+        graft.operators.RangeJoin.overlapJoin(o, promos, "os", "oe", "ps", "pe", binWidth = 32)
+          .groupBy(col("promo"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("promo")
+      },
+      Some("""
+        SELECT promo, COUNT(*) AS n_orders
+        FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_start,
+                     CAST(o_orderdate AS DATE) + 30 AS o_end
+              FROM orders) o
+        JOIN (VALUES ('NEWYEAR96', DATE '1996-01-01', DATE '1996-02-15'),
+                     ('SUMMER97', DATE '1997-06-01', DATE '1997-08-31'),
+                     ('FALL99', DATE '1999-09-01', DATE '1999-11-15')) AS p(promo, p_start, p_end)
+          ON o_start <= p_end AND p_start <= o_end
+        GROUP BY promo
         ORDER BY promo"""))
   )
 }

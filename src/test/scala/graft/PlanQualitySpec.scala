@@ -80,6 +80,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("SelectedBucketsCount"), s"scan not bucketed:\n$p")
   }
 
+  test("q124: interval join runs as a shuffled equi-join on bins, no nested loop") {
+    val p = plan("q124_interval_bin_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bin join degraded to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"no equi join on bins:\n$p")
+  }
+
   test("q76: partition filter prunes at the source (PartitionFilters)") {
     val p = plan("q76_partition_pruning")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),

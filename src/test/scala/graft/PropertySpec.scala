@@ -220,6 +220,34 @@ class PropertySpec extends SparkSpec {
     assert(sqlRes(1) === 30.0) // p=1 → max
   }
 
+  test("binned overlap join equals the theta join on random intervals (each pair once)") {
+    // random closed intervals, including negatives, zero-length, spans
+    // much longer than the bin width, and bin-boundary endpoints
+    for (trial <- 0 until 3) {
+      val r = new Random(4200 + trial)
+      def intervals(n: Int, tag: String) = (0 until n).map { i =>
+        val s = r.nextInt(2000).toLong - 500
+        val len = r.nextInt(4) match {
+          case 0 => 0L // point interval
+          case 1 => r.nextInt(10).toLong
+          case 2 => r.nextInt(200).toLong // >> binWidth
+          case _ => 32L // exactly one bin width
+        }
+        (s"$tag$i", s, s + len)
+      }
+      val left = intervals(300, "L").toDF("lid", "ls", "le")
+      val right = intervals(200, "R").toDF("rid", "rs", "re")
+      val binned = graft.operators.RangeJoin
+        .overlapJoin(left, right, "ls", "le", "rs", "re", binWidth = 32)
+        .select("lid", "rid").as[(String, String)].collect().toList
+      val theta = left.join(right, col("ls") <= col("re") && col("rs") <= col("le"))
+        .select("lid", "rid").as[(String, String)].collect().toList
+      // exact same pair SET and no duplicates from multi-bin overlaps
+      assert(binned.size === binned.toSet.size, s"trial $trial emitted duplicate pairs")
+      assert(binned.toSet === theta.toSet, s"trial $trial pair set mismatch")
+    }
+  }
+
   test("asOf join equals brute-force max-of-earlier per left row") {
     val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(10000).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
