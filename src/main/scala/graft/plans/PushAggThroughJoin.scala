@@ -44,6 +44,13 @@ import org.apache.spark.sql.internal.SQLConf
   * coalesce(sum(partial_count), 0). SUM over decimals widens precision
   * per level, so the upper sum is cast back to the original result type.
   * Disable with `spark.graft.eagerAgg.enabled=false`.
+  *
+  * AVG is deliberately NOT decomposed (sum/count would be algebraically
+  * exact, but re-associating a double sum changes the floating-point
+  * summation order, making results visibly depend on whether the rule
+  * fired — this engine keeps float aggregation bit-stable by policy;
+  * decimal-typed averages in the registry already spell out
+  * sum(decimal)/count explicitly and those pieces push fine).
   */
 object PushAggThroughJoin extends Rule[LogicalPlan] with PredicateHelper {
 

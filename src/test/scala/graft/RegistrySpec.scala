@@ -38,6 +38,26 @@ class RegistrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracles without ORDER BY: $missing")
   }
 
+  test("oracle-checked outputs are scalar, hashable, tz-safe column types") {
+    // Two driver-gate traps this pins forever: (1) the pandas row-sort
+    // cannot hash array/map/struct cells (killed q102 in round 2 —
+    // array<string> → "unhashable type: ndarray"); (2) raw timestamps
+    // hash differently across engines (tz typing) — emit strings/DATEs.
+    import org.apache.spark.sql.types._
+    def scalarOk(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType => false
+      case TimestampType | TimestampNTZType => false
+      case _ => true
+    }
+    val offenders = QueryRegistry.all.filter(_.oracle.isDefined).flatMap { q =>
+      val bad = q.run(spark, dir).schema.fields.filterNot(f => scalarOk(f.dataType))
+      if (bad.isEmpty) None
+      else Some(s"${q.name}: ${bad.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+    }
+    assert(offenders.isEmpty,
+      s"oracle-checked queries with driver-unhashable output columns:\n${offenders.mkString("\n")}")
+  }
+
   test("query names are unique and well-formed") {
     val names = QueryRegistry.all.map(_.name)
     assert(names.distinct.size === names.size)
