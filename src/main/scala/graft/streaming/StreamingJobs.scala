@@ -258,6 +258,47 @@ object StreamingJobs {
         OutputMode.Update())
   }
 
+  case class DailyQuote(commodity: String, day: Int, paise: Long)
+  case class Spike(commodity: String, day: Int, paise: Long, dev: Long, k: Long)
+  case class SpikeState(means: Seq[Long])
+
+  /** Streaming twin of q123's price-spike detection: a per-commodity
+    * ring buffer of the previous <= 28 daily means, flagging each
+    * incoming day whose mean fails the integer |z|>2 test
+    * (k·p − Σp)² > 4·(k·Σp² − (Σp)²) — the identical arithmetic as the
+    * batch query, so batch and stream agree exactly (pinned in
+    * StreamingSpec). State is O(28 longs) per live commodity, bounded
+    * forever. Rows are processed in day order within each delivered
+    * group (batch-internal sort — bounded by the micro-batch, not the
+    * stream); cross-batch order relies on upstream event-time ordering,
+    * the same contract as the reference's strictly-advancing harvest
+    * offset (fetch_data.py:26).
+    */
+  def spikeDetector(quotes: Dataset[DailyQuote]): Dataset[Spike] = {
+    import quotes.sparkSession.implicits._
+    quotes
+      .groupByKey(_.commodity)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (commodity: String, rows: Iterator[DailyQuote], state: GroupState[SpikeState]) =>
+          var means = state.getOption.map(_.means.toVector).getOrElse(Vector.empty[Long])
+          val out = Vector.newBuilder[Spike]
+          rows.toVector.sortBy(_.day).foreach { q =>
+            val k = means.size.toLong
+            if (k >= 14) {
+              val sp = means.sum
+              val spp = means.map(p => p * p).sum
+              val dev = k * q.paise - sp
+              val varnum = k * spp - sp * sp
+              if (BigInt(dev) * BigInt(dev) > BigInt(4) * BigInt(varnum))
+                out += Spike(commodity, q.day, q.paise, dev, k)
+            }
+            means = (means :+ q.paise).takeRight(28)
+          }
+          state.update(SpikeState(means))
+          out.result().iterator
+      }
+  }
+
   /** B38: custom keyed state — running per-user counters via
     * flatMapGroupsWithState (the progress-tracking shape of A3, but
     * per-key, fault-tolerant and store-backed).

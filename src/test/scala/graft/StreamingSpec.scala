@@ -344,6 +344,50 @@ class StreamingSpec extends SparkSpec {
       s"expected one matched and one null-padded purchase, got $rows")
   }
 
+  test("streaming spike detector matches the q123 integer z-test across batches") {
+    import StreamingJobs.DailyQuote
+    // two commodities: A stable at 10000 paise with one planted 10x spike
+    // on day 40; B a rising ramp (no |z|>2 days after warmup). Split the
+    // series mid-history so the ring buffer must carry across batches.
+    def series: Seq[DailyQuote] =
+      (0 until 60).map(d => DailyQuote("A", d, if (d == 40) 100000L else 10000L + (d % 3))) ++
+        (0 until 60).map(d => DailyQuote("B", d, 5000L + d * 7))
+    // plain-Scala reference of the identical integer test
+    def reference(qs: Seq[DailyQuote]): Set[(String, Int)] =
+      qs.groupBy(_.commodity).flatMap { case (c, rows) =>
+        var means = Vector.empty[Long]
+        rows.sortBy(_.day).flatMap { q =>
+          val k = means.size.toLong
+          val hit = if (k >= 14) {
+            val sp = means.sum; val spp = means.map(p => p * p).sum
+            val dev = k * q.paise - sp
+            if (BigInt(dev) * BigInt(dev) > BigInt(4) * BigInt(k * spp - sp * sp))
+              Some((c, q.day))
+            else None
+          } else None
+          means = (means :+ q.paise).takeRight(28)
+          hit
+        }
+      }.toSet
+
+    val quotes = MemoryStream[DailyQuote](5, spark, None)
+    val q = StreamingJobs.spikeDetector(quotes.toDS()).toDF()
+      .writeStream.format("memory").queryName("spikes_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val (first, second) = series.partition(_.day < 30)
+      quotes.addData(first: _*)
+      q.processAllAvailable()
+      quotes.addData(second: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("spikes_out").as[StreamingJobs.Spike].collect()
+      .map(s => (s.commodity, s.day)).toSet
+    val expected = reference(series)
+    assert(got === expected)
+    assert(expected.contains(("A", 40)), "planted spike must be flagged")
+  }
+
   test("flatMapGroupsWithState keeps running per-key counters (B38)") {
     val events = MemoryStream[StreamingJobs.UserEvent](4, spark, None)
     val counted = StreamingJobs.runningCounters(events.toDS())
