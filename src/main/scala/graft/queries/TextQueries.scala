@@ -931,6 +931,81 @@ object TextQueries {
         FROM p
         GROUP BY pair
         ORDER BY freq DESC, pair
-        LIMIT 30"""))
+        LIMIT 30""")),
+
+    // Corpus-wide repeated-substring removal (Lee et al., "Deduplicating
+    // Training Data Makes Language Models Better"): every token position
+    // covered by an 8-token span occurring in >= 2 DISTINCT documents is
+    // cut, and the cleaned text itself is md5-verified cross-engine
+    // (within-doc repetition is q113's filter; this is the cross-doc
+    // span cut). Plan shape at 100 TB: one gram aggregate (partial-agg'd,
+    // distinct-doc count), one equi-join back to occurrences, one
+    // position anti-join, one per-doc rebuild — all linear, no pairwise
+    // doc comparison anywhere.
+    Q(
+      "q125_substring_dedup",
+      (s, dir) => {
+        val w = 8
+        val toksDf = Tables.documents(s, dir)
+          .select(col("doc_id"), tokens(col("text")).as("ts"))
+        val occ = toksDf
+          .filter(size(col("ts")) >= w)
+          .select(col("doc_id"), col("ts"),
+            explode(sequence(lit(1), size(col("ts")) - (w - 1))).as("p"))
+          .select(col("doc_id"), col("p"),
+            array_join(slice(col("ts"), col("p"), lit(w)), " ").as("gram"))
+        val dup = occ.groupBy("gram")
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= 2).select("gram")
+        val covered = occ.join(dup, "gram")
+          .select(col("doc_id"), explode(sequence(col("p"), col("p") + (w - 1))).as("tp"))
+          .distinct()
+        val tokPos = toksDf.select(col("doc_id"),
+            posexplode(col("ts")).as(Seq("tp0", "tok")))
+          .select(col("doc_id"), (col("tp0") + 1).as("tp"), col("tok"))
+        val rebuilt = tokPos.join(covered, Seq("doc_id", "tp"), "left_anti")
+          .groupBy("doc_id")
+          .agg(expr("array_join(transform(array_sort(collect_list(struct(tp, tok))), x -> x.tok), ' ')")
+            .as("cleaned"))
+        val nRemoved = covered.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+        toksDf.select(col("doc_id"), size(col("ts")).as("n_tokens"))
+          .join(nRemoved, Seq("doc_id"), "left")
+          .join(rebuilt, Seq("doc_id"), "left")
+          .select(
+            col("doc_id"), col("n_tokens"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        occ AS (
+          SELECT doc_id, p, array_to_string(list_slice(ts, p, p + 7), ' ') AS gram
+          FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 6)) AS p
+                FROM toks WHERE len(ts) >= 8)),
+        dup AS (SELECT gram FROM occ GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2),
+        cov AS (
+          SELECT DISTINCT doc_id, tp
+          FROM (SELECT doc_id, unnest(range(p, p + 8)) AS tp
+                FROM occ WHERE gram IN (SELECT gram FROM dup))),
+        tokpos AS (
+          SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS tp
+          FROM toks),
+        kept AS (
+          SELECT t.doc_id, t.tp, t.tok
+          FROM tokpos t
+          WHERE NOT EXISTS (SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.tp = t.tp)),
+        rebuilt AS (
+          SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS cleaned
+          FROM kept GROUP BY doc_id),
+        nrem AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_removed FROM cov GROUP BY doc_id)
+        SELECT t.doc_id,
+               CAST(len(t.ts) AS INT) AS n_tokens,
+               COALESCE(n.n_removed, 0) AS n_removed,
+               md5(COALESCE(r.cleaned, '')) AS clean_md5
+        FROM toks t
+        LEFT JOIN nrem n USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
+        ORDER BY t.doc_id"""))
   )
 }
