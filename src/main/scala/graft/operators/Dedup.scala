@@ -34,6 +34,61 @@ object Dedup {
       .select(col(idCol), explode(TextAnalysis.shinglesFromTokens(col("__ts"), n)).as("shingle"))
       .distinct()
 
+  /** Corpus-wide repeated-substring removal (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better"): cut every token
+    * position covered by a `w`-token span that occurs in at least
+    * `minDocs` DISTINCT documents, and rebuild each document's text from
+    * the surviving tokens (space-joined, original order).
+    *
+    * Returns (idCol, n_tokens: int, n_removed: long, cleaned: string).
+    * Docs whose every token is cut (or that were empty) yield
+    * cleaned = "".
+    *
+    * Scale contract: one partial-agg'd gram aggregate (distinct-doc
+    * count), one equi-join back to occurrences, one position anti-join,
+    * one per-doc ordered rebuild — all linear in corpus size, no
+    * pairwise document comparison anywhere. The per-doc rebuild holds
+    * one document's surviving tokens in the aggregation buffer (docs are
+    * bounded; the corpus is not). Oracle-checked end to end in q125
+    * (cleaned text md5-compared against a DuckDB re-derivation).
+    */
+  def removeRepeatedSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int,
+      minDocs: Int = 2): DataFrame = {
+    require(w >= 2, s"span width must be >= 2 tokens, got $w")
+    val toksDf = docs.select(col(idCol), tokens(col(textCol)).as("__ts"))
+    val occ = toksDf
+      .filter(size(col("__ts")) >= w)
+      .select(col(idCol), col("__ts"),
+        explode(sequence(lit(1), size(col("__ts")) - (w - 1))).as("__p"))
+      .select(col(idCol), col("__p"),
+        array_join(slice(col("__ts"), col("__p"), lit(w)), " ").as("__gram"))
+    val dup = occ.groupBy("__gram")
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= minDocs).select("__gram")
+    val covered = occ.join(dup, "__gram")
+      .select(col(idCol), explode(sequence(col("__p"), col("__p") + (w - 1))).as("__tp"))
+      .distinct()
+    val tokPos = toksDf
+      .select(col(idCol), posexplode(col("__ts")).as(Seq("__tp0", "__tok")))
+      .select(col(idCol), (col("__tp0") + 1).as("__tp"), col("__tok"))
+    val rebuilt = tokPos.join(covered, Seq(idCol, "__tp"), "left_anti")
+      .groupBy(idCol)
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(__tp, __tok))), x -> x.__tok), ' ')")
+        .as("__cleaned"))
+    val nRemoved = covered.groupBy(idCol).agg(count(lit(1)).as("__nrem"))
+    toksDf.select(col(idCol), size(col("__ts")).as("n_tokens"))
+      .join(nRemoved, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"),
+        coalesce(col("__nrem"), lit(0L)).as("n_removed"),
+        coalesce(col("__cleaned"), lit("")).as("cleaned"))
+  }
+
   /** Modulus for the affine minhash family (2^31 - 1, prime). */
   val MinhashPrime = 2147483647L
 

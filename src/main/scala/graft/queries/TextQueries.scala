@@ -944,39 +944,12 @@ object TextQueries {
     // doc comparison anywhere.
     Q(
       "q125_substring_dedup",
-      (s, dir) => {
-        val w = 8
-        val toksDf = Tables.documents(s, dir)
-          .select(col("doc_id"), tokens(col("text")).as("ts"))
-        val occ = toksDf
-          .filter(size(col("ts")) >= w)
-          .select(col("doc_id"), col("ts"),
-            explode(sequence(lit(1), size(col("ts")) - (w - 1))).as("p"))
-          .select(col("doc_id"), col("p"),
-            array_join(slice(col("ts"), col("p"), lit(w)), " ").as("gram"))
-        val dup = occ.groupBy("gram")
-          .agg(countDistinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= 2).select("gram")
-        val covered = occ.join(dup, "gram")
-          .select(col("doc_id"), explode(sequence(col("p"), col("p") + (w - 1))).as("tp"))
-          .distinct()
-        val tokPos = toksDf.select(col("doc_id"),
-            posexplode(col("ts")).as(Seq("tp0", "tok")))
-          .select(col("doc_id"), (col("tp0") + 1).as("tp"), col("tok"))
-        val rebuilt = tokPos.join(covered, Seq("doc_id", "tp"), "left_anti")
-          .groupBy("doc_id")
-          .agg(expr("array_join(transform(array_sort(collect_list(struct(tp, tok))), x -> x.tok), ' ')")
-            .as("cleaned"))
-        val nRemoved = covered.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
-        toksDf.select(col("doc_id"), size(col("ts")).as("n_tokens"))
-          .join(nRemoved, Seq("doc_id"), "left")
-          .join(rebuilt, Seq("doc_id"), "left")
+      (s, dir) =>
+        Dedup.removeRepeatedSpans(Tables.documents(s, dir), "doc_id", "text", w = 8)
           .select(
-            col("doc_id"), col("n_tokens"),
-            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
-            md5(coalesce(col("cleaned"), lit(""))).as("clean_md5"))
-          .orderBy("doc_id")
-      },
+            col("doc_id"), col("n_tokens"), col("n_removed"),
+            md5(col("cleaned")).as("clean_md5"))
+          .orderBy("doc_id"),
       Some(s"""
         WITH $OTOKS,
         occ AS (

@@ -13,6 +13,19 @@ import scala.util.Random
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("removeRepeatedSpans cuts the shared 8-gram from both docs, leaves unique text intact") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x y z"),          // shared span at pos 1
+      (2L, "p q a b c d e f g h r"),          // same span at pos 3
+      (3L, "solo text nothing shared here at all ok"), // unique, len 8
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.removeRepeatedSpans(docs, "doc_id", "text", w = 8)
+      .as[(Long, Int, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, 11, 8L, "x y z")))
+    assert(out(1) === ((2L, 11, 8L, "p q r")))
+    assert(out(2) === ((3L, 8, 0L, "solo text nothing shared here at all ok")))
+  }
+
   test("safeName column expression and UDF twin agree (seeded fuzz)") {
     val rnd = new Random(42)
     val alphabet = "aZ 9!@#$%^&*()-_=+[]{};:'\",.<>/?\\|`~\t增强"
