@@ -3,6 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.GraftFunctions._
 import graft.operators.Similarity
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -387,6 +388,53 @@ object VectorQueries {
                COUNT(DISTINCT md5(text)) AS n_distinct_payloads
         FROM documents
         GROUP BY source
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // B43: nearest-centroid classification over the labeled embeddings —
+    // the semantic-quality-classifier shape of a training-data pipeline
+    // (fit per-label centroids, assign every vector to its nearest,
+    // report the confusion matrix). Everything is exact on the x1000
+    // integer grid (q116's floored view): centroid components floor to
+    // BIGINT, distances are integer sums of squares (order-independent),
+    // ties break on the smaller label — so both engines agree
+    // bit-for-bit with zero float-aggregation wobble. Scale shape:
+    // centroids are labels x dims (tiny, broadcast); the distance pass is
+    // one partial-agg'd shuffle of corpus x |labels| rows — linear,
+    // since the label set is bounded.
+    Q(
+      "q126_nearest_centroid",
+      (s, dir) => {
+        val pos = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "v")))
+          .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+            floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qv"))
+        val cent = pos.groupBy(col("label").as("clabel"), col("i"))
+          .agg(floor(sum(col("qv")).cast(DoubleType) / count(lit(1))).cast(LongType).as("cv"))
+        val dists = pos.join(broadcast(cent), Seq("i"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+        val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+        dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("pred_label"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("label", "pred_label")
+      },
+      Some(s"""
+        WITH $OPOS,
+        q AS (SELECT e.vec_id, emb.label, i, CAST(floor(v * 1000) AS BIGINT) AS qv
+              FROM e JOIN embeddings emb USING (vec_id)),
+        c AS (SELECT label AS clabel, i,
+                     CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+              FROM q GROUP BY 1, 2),
+        d AS (SELECT q.vec_id, q.label, c.clabel,
+                     SUM((qv - cv) * (qv - cv)) AS d2
+              FROM q JOIN c USING (i) GROUP BY 1, 2, 3),
+        r AS (SELECT vec_id, label, clabel,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+              FROM d)
+        SELECT label, clabel AS pred_label, COUNT(*) AS cnt
+        FROM r WHERE rn = 1
+        GROUP BY 1, 2
+        ORDER BY label, pred_label"""))
   )
 }
