@@ -5,7 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join (SURVEY.md B13): for every left row, attach the latest right
-  * row with `rightTime <= leftTime` within the same key group.
+  * row with `rightTime <= leftTime` within the same key group — plus the
+  * pandas-merge_asof direction/tolerance surface ("forward" = earliest
+  * `rightTime >= leftTime`, "nearest" = smaller |Δt| with backward ties,
+  * optional max-|Δt| tolerance).
   *
   * Implementation is the union+window formulation, not a pair join:
   * both sides are tagged and unioned, then a single
@@ -55,6 +58,14 @@ object AsOfJoin {
     * @param leftTime   event-time column name on `left`
     * @param rightTime  event-time column name on `right`
     * @param rightVals  columns of `right` to carry onto matches (renamed as-is)
+    * @param direction  "backward" (latest right with rt <= lt — the
+    *                   default, pandas merge_asof parity), "forward"
+    *                   (earliest right with rt >= lt), or "nearest"
+    *                   (smaller |rt - lt|; ties go backward)
+    * @param tolerance  max |rt - lt| for a match to count, in the time
+    *                   column's numeric units (seconds for timestamps —
+    *                   distances compare via a double cast, so numeric
+    *                   and timestamp time columns are both supported)
     */
   def asOf(
       left: DataFrame,
@@ -62,17 +73,23 @@ object AsOfJoin {
       keys: Seq[String],
       leftTime: String,
       rightTime: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      direction: String = "backward",
+      tolerance: Option[Double] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be backward|forward|nearest, got $direction")
 
     // All carried right columns travel as ONE struct: the struct is
-    // non-null exactly on right rows, so last(ignoreNulls) carries the
-    // latest *row* forward even when its member values are NULL — a
+    // non-null exactly on right rows, so last/first(ignoreNulls) carries
+    // the nearest *row* even when its member values are NULL — a
     // per-column carry would skip a null-valued match and leak an older
     // row's value, and couldn't distinguish "no match" from "matched row
-    // with null value". One window expression instead of N is also
-    // cheaper to evaluate.
+    // with null value". The matched right time rides along as "__rt" so
+    // tolerance and nearest-distance apply post-carry. One window
+    // expression per direction instead of N is also cheaper to evaluate.
     val rStructType = org.apache.spark.sql.types.StructType(
-      rightVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+      rightVals.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField("__rt", right.schema(rightTime).dataType))
 
     val leftCols = left.columns.toSeq
     val l = left
@@ -86,15 +103,42 @@ object AsOfJoin {
       .withColumn("__side", lit(0))
       .select((keys.map(col) :+ col("__t") :+ col("__side")) ++
         leftCols.filterNot(keys.contains).map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")) :+
-        struct(rightVals.map(c => col(c).as(c)): _*).as("__r"): _*)
+        struct(rightVals.map(c => col(c).as(c)) :+ col(rightTime).as("__rt"): _*).as("__r"): _*)
 
-    val w = Window
-      .partitionBy(keys.map(col): _*)
+    // Backward scans the preceding frame with right rows (side 0) sorting
+    // BEFORE equal-time left rows, so rt == lt is included; forward scans
+    // the following frame with the side order flipped (desc), so equal-
+    // time right rows land at-or-after the left row there too.
+    val wB = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    l.unionByName(r)
-      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+    def dist(s: Column): Column =
+      abs(col("__t").cast("double") - s.getField("__rt").cast("double"))
+    def withinTol(s: Column): Column = tolerance match {
+      case Some(tol) => when(s.isNotNull && dist(s) <= tol, s)
+      case None => s
+    }
+
+    val unioned = l.unionByName(r)
+    val carried = direction match {
+      case "backward" => unioned
+        .withColumn("__asof", withinTol(last(col("__r"), ignoreNulls = true).over(wB)))
+      case "forward" => unioned
+        .withColumn("__asof", withinTol(first(col("__r"), ignoreNulls = true).over(wF)))
+      case "nearest" => unioned
+        .withColumn("__b", withinTol(last(col("__r"), ignoreNulls = true).over(wB)))
+        .withColumn("__f", withinTol(first(col("__r"), ignoreNulls = true).over(wF)))
+        .withColumn("__asof",
+          when(col("__b").isNull, col("__f"))
+            .when(col("__f").isNull, col("__b"))
+            .when(dist(col("__f")) < dist(col("__b")), col("__f"))
+            .otherwise(col("__b"))) // tie -> backward
+    }
+    carried
       .filter(col("__side") === 1)
       .select(keys.map(col) ++
         leftCols.filterNot(keys.contains).map(c => col(s"__l_$c").as(c)) ++

@@ -283,6 +283,44 @@ object WindowQueries {
         FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events WHERE event_type = 'view') v
           ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id""")),
+
+    // B13, pandas-merge_asof direction/tolerance surface: each purchase
+    // attaches the NEXT view within one hour (forward direction +
+    // tolerance) — DuckDB has no forward ASOF, so the oracle brute-forces
+    // it as min-of-later-within-window. Same union+window plan shape as
+    // q34: one shuffle per side, no pair blowup; the tolerance is a
+    // post-carry filter, not a join predicate.
+    Q(
+      "q127_asof_forward_tolerance",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("ts").as("view_ts"))
+        AsOfJoin.asOf(purchases, views, Seq("user_id"), "ts", "ts", Seq("view_ts"),
+            direction = "forward", tolerance = Some(3600.0))
+          .select(
+            col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+            date_format(col("asof_view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("next_view_ts"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+        v AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+              FROM events WHERE event_type = 'view'),
+        m AS (SELECT p.event_id, MIN(v.ts) AS next_ts
+              FROM p JOIN v
+                ON v.user_id = p.user_id AND v.ts >= p.ts
+               AND epoch(v.ts) - epoch(p.ts) <= 3600
+              GROUP BY p.event_id)
+        SELECT p.event_id, p.user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(m.next_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_view_ts
+        FROM p LEFT JOIN m USING (event_id)
         ORDER BY p.event_id"""))
   )
 }

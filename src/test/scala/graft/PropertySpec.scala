@@ -248,6 +248,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("asOf forward/nearest/tolerance equal an in-memory reference") {
+    val r = new Random(99)
+    val leftRows = (1 to 400).map(_ => (r.nextInt(15).toLong, r.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    // rv == rt so ties among equal-time right rows carry identical values
+    val rightRows = (1 to 600).map(_ => (r.nextInt(15).toLong, r.nextInt(1000).toLong))
+      .map { case (k, t) => (k, t, t) }
+    val left = leftRows.toDF("k", "t", "lid")
+    val right = rightRows.toDF("k", "t", "rv")
+    val byKey = rightRows.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+
+    def expected(dir: String, tol: Option[Double]): Map[Long, Option[Long]] =
+      leftRows.map { case (k, t, lid) =>
+        val ts = byKey.getOrElse(k, Vector.empty)
+        def ok(rt: Long) = tol.forall(x => math.abs(rt - t) <= x)
+        val m = dir match {
+          case "backward" => ts.filter(rt => rt <= t && ok(rt)).lastOption
+          case "forward" => ts.filter(rt => rt >= t && ok(rt)).headOption
+          case "nearest" =>
+            val c = ts.filter(ok)
+            if (c.isEmpty) None
+            else Some(c.minBy(rt => (math.abs(rt - t), rt > t))) // tie -> backward
+        }
+        lid -> m
+      }.toMap
+
+    for ((dir, tol) <- Seq(("backward", Some(30.0)), ("forward", None),
+        ("forward", Some(25.0)), ("nearest", None), ("nearest", Some(10.0)))) {
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("rv"), dir, tol)
+        .select("lid", "asof_rv").as[(Long, Option[Long])].collect().toMap
+      val exp = expected(dir, tol)
+      assert(got.size === exp.size, s"$dir/$tol row count")
+      exp.foreach { case (lid, m) =>
+        assert(got(lid) === m, s"dir=$dir tol=$tol lid=$lid got=${got(lid)} exp=$m")
+      }
+    }
+  }
+
   test("asOf join equals brute-force max-of-earlier per left row") {
     val left = (1 to 500).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(10000).toLong))
       .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
