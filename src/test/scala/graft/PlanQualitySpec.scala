@@ -88,6 +88,22 @@ class PlanQualitySpec extends SparkSpec {
       || p.contains("BroadcastHashJoin"), s"no equi join on bins:\n$p")
   }
 
+  test("q125: substring dedup is equi-join + anti-join, partial-agg'd, no nested loop") {
+    val p = plan("q125_substring_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span cut degraded to a nested loop:\n$p")
+    // the dup-gram aggregate must combine map-side (partial_count before
+    // the gram shuffle), and the position cut must be a real anti join
+    assert(p.contains("partial_count"), s"gram df aggregate not partial-agg'd:\n$p")
+    assert(p.contains("LeftAnti"), s"position cut is not an anti join:\n$p")
+  }
+
+  test("q126: centroid table broadcasts under the distance join") {
+    val p = plan("q126_nearest_centroid")
+    assert(p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"distance pass went cartesian:\n$p")
+  }
+
   test("q76: partition filter prunes at the source (PartitionFilters)") {
     val p = plan("q76_partition_pruning")
     assert(p.matches("(?s).*PartitionFilters: \\[[^\\]]*o_orderstatus[^\\]]*\\].*"),
