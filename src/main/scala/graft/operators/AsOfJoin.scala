@@ -109,11 +109,25 @@ object AsOfJoin {
     // BEFORE equal-time left rows, so rt == lt is included; forward scans
     // the following frame with the side order flipped (desc), so equal-
     // time right rows land at-or-after the left row there too.
+    //
+    // Total order: two RIGHT rows sharing (key, t) would otherwise sort in
+    // partition-layout order, making the carried struct flip run-to-run.
+    // The carried struct itself is the final sort key (left rows are all
+    // null there and mutually interchangeable — they contribute nothing
+    // to the ignoreNulls carry), so duplicate right timestamps resolve
+    // deterministically: greatest struct for backward/nearest-ties
+    // (`last` of the frame), least for forward (`first`). Structs with
+    // unorderable members (e.g. maps) keep the old contract: callers
+    // must ensure (key, rightTime) uniqueness there.
+    val tieKey: Seq[Column] =
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(rStructType))
+        Seq(col("__r").asc)
+      else Seq.empty
     val wB = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
+      .orderBy(col("__t").asc +: col("__side").asc +: tieKey: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wF = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(col("__t").asc +: col("__side").desc +: tieKey: _*)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
     def dist(s: Column): Column =

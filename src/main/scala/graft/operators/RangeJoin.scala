@@ -52,6 +52,16 @@ object RangeJoin {
       reCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    // The bin equi-join keeps both sides' columns, and the residual
+    // filters reference lsCol/reCol by bare name — a shared column name
+    // would resolve ambiguously (or clobber caller data via the __bin
+    // withColumn), so fail loudly instead of guessing an aliasing.
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"overlapJoin requires disjoint column names between sides " +
+        s"(shared: ${shared.toSeq.sorted.mkString(", ")}) — rename one side first")
+    require(!left.columns.contains("__bin") && !right.columns.contains("__bin"),
+      "__bin is reserved by overlapJoin; rename the input column")
     val lb = left.withColumn(
       "__bin", explode(sequence(floorDiv(col(lsCol), binWidth), floorDiv(col(leCol), binWidth))))
     val rb = right.withColumn(

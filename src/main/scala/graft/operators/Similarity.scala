@@ -246,17 +246,21 @@ object Similarity {
       vecCol: String,
       cap: Int = 4096): DataFrame = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
-    // Truncation must not be silent: callers beyond q63's bounded baseline
-    // would otherwise read "all pairs" when vectors were dropped. The
-    // probe scans at most cap+1 rows (limit pushes into the scan).
-    if (vectors.select(col(idCol)).limit(cap + 1).count() > cap) {
-      log.warn(
-        s"cosinePairs: input exceeds cap=$cap — pairs are computed over the $cap " +
-          "lowest-id vectors only; use cosinePairsLsh for the unbounded-corpus path")
-    }
     val v = vectors.orderBy(col(idCol)).limit(cap).select(
       col(idCol), col(vecCol),
       l2norm(col(vecCol)).as("nrm"))
+      .persist()
+    // Truncation must not be silent: callers beyond q63's bounded baseline
+    // would otherwise read "all pairs" when vectors were dropped. The
+    // signal is the capped set itself hitting the cap — no separate probe
+    // scan, and the count materializes the cache both cross-join sides
+    // reuse, so the action pays for itself. (An input of exactly `cap`
+    // vectors warns spuriously; the untruncated result is still exact.)
+    if (v.count() >= cap) {
+      log.warn(
+        s"cosinePairs: input reached cap=$cap — pairs are computed over the $cap " +
+          "lowest-id vectors only; use cosinePairsLsh for the unbounded-corpus path")
+    }
     val a = v.select(col(idCol).as("a"), col(vecCol).as("va"), col("nrm").as("na"))
     val b = v.select(col(idCol).as("b"), col(vecCol).as("vb"), col("nrm").as("nb"))
     a.crossJoin(b)

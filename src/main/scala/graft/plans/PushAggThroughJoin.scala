@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType}
 
 /** Optimizer rule: eager aggregation — push a PARTIAL aggregate below an
   * inner equi-join onto the fact side (Yan & Larson, "Eager Aggregation
@@ -45,12 +46,24 @@ import org.apache.spark.sql.internal.SQLConf
   * per level, so the upper sum is cast back to the original result type.
   * Disable with `spark.graft.eagerAgg.enabled=false`.
   *
-  * AVG is deliberately NOT decomposed (sum/count would be algebraically
-  * exact, but re-associating a double sum changes the floating-point
-  * summation order, making results visibly depend on whether the rule
-  * fired — this engine keeps float aggregation bit-stable by policy;
-  * decimal-typed averages in the registry already spell out
-  * sum(decimal)/count explicitly and those pieces push fine).
+  * Float/double SUM and AVG are NOT pushed: per-key partials summed in a
+  * different order (and dim-side duplicate keys adding a partial once
+  * instead of row-by-row) re-associate IEEE-754 addition, so results
+  * could visibly depend on whether the rule fired — this engine keeps
+  * float aggregation bit-stable by policy. Integral and decimal SUM
+  * re-associate exactly and push. Decimal AVG is decomposed into
+  * sum/count and pushed: the final division is taken verbatim from
+  * [[Average.evaluateExpression]] (buffer attrs substituted with the real
+  * Sum/Count aggregates), so precision, scale, rounding, and
+  * divide-by-zero semantics are bit-identical to the un-pushed plan.
+  *
+  * Cardinality guard: pre-aggregation pays only when it collapses rows.
+  * When CBO column stats exist for the pushed grouping keys, the rewrite
+  * is skipped if estimated |distinct keys| / |fact rows| exceeds
+  * `spark.graft.eagerAgg.maxKeyRatio` (default 0.8) — a near-unique key
+  * would add a full extra shuffle pass for ~zero reduction. Without
+  * stats the rule fires on shape (map-side partials keep the downside
+  * small).
   */
 object PushAggThroughJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -60,9 +73,35 @@ object PushAggThroughJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def decomposable(ae: AggregateExpression): Boolean =
     !ae.isDistinct && ae.filter.isEmpty && ae.deterministic &&
       (ae.aggregateFunction match {
-        case _: Sum | _: Min | _: Max | _: Count => true
+        // Sum over float/double re-associates IEEE-754 addition (see
+        // class doc); integral, decimal, and interval sums are exact.
+        case s: Sum => s.child.dataType match {
+          case FloatType | DoubleType => false
+          case _ => true
+        }
+        case _: Min | _: Max | _: Count => true
         case _ => false
       })
+
+  /** Rewrite AVG over decimal into the exact sum/count form so the
+    * Sum/Count push machinery applies. The division expression is
+    * Average's own `evaluateExpression` with its two buffer attributes
+    * (sum, count) substituted by real aggregate expressions — not a
+    * re-derivation — so rounding/precision/null semantics cannot drift
+    * from the un-pushed plan. Float/double AVG stays un-decomposed (the
+    * pushed double sum would re-associate; see class doc). */
+  private def decomposeDecimalAvg(exprs: Seq[NamedExpression]): Seq[NamedExpression] =
+    exprs.map(_.transform {
+      case ae @ AggregateExpression(avg: Average, _, false, None, _)
+          if avg.child.dataType.isInstanceOf[DecimalType] && ae.deterministic =>
+        val Seq(sumAttr, countAttr) = avg.aggBufferAttributes
+        val sumAe = AggregateExpression(Sum(avg.child), ae.mode, isDistinct = false)
+        val cntAe = AggregateExpression(Count(Seq(avg.child)), ae.mode, isDistinct = false)
+        avg.evaluateExpression.transform {
+          case a: AttributeReference if a.exprId == sumAttr.exprId => sumAe
+          case a: AttributeReference if a.exprId == countAttr.exprId => cntAe
+        }
+    }.asInstanceOf[NamedExpression])
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -78,8 +117,12 @@ object PushAggThroughJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def rewrite(agg: Aggregate, join: Join): Option[LogicalPlan] = {
+  private def rewrite(agg0: Aggregate, join: Join): Option[LogicalPlan] = {
     if (join.joinType != Inner || join.condition.isEmpty) return None
+    // Decimal AVG → exact sum/count form (only takes effect if the push
+    // succeeds: every bail-out below returns None and the caller keeps
+    // the original aggregate untouched).
+    val agg = agg0.copy(aggregateExpressions = decomposeDecimalAvg(agg0.aggregateExpressions))
     val (l, r) = (join.left, join.right)
     val (leftOut, rightOut) = (AttributeSet(l.output), AttributeSet(r.output))
 
@@ -133,6 +176,21 @@ object PushAggThroughJoin extends Rule[LogicalPlan] with PredicateHelper {
     // computing each distinct aggregate once.
     val pushedKeys = (factKeys ++ factGroupAttrs)
       .groupBy(_.exprId).map(_._2.head).toSeq.sortBy(_.exprId.id)
+
+    // Cardinality guard (see class doc): with column stats available,
+    // skip the push when the key is near-unique on the fact side.
+    val guardRatio = SQLConf.get
+      .getConfString("spark.graft.eagerAgg.maxKeyRatio", "0.8").toDouble
+    val factStats = fact.stats
+    val ndvs = pushedKeys.flatMap(k =>
+      factStats.attributeStats.get(k).flatMap(_.distinctCount))
+    val nearUniqueKey = factStats.rowCount.exists { rows =>
+      ndvs.size == pushedKeys.size && rows > 0 && {
+        val ndv = ndvs.map(BigDecimal(_)).product.min(BigDecimal(rows))
+        ndv / BigDecimal(rows) > guardRatio
+      }
+    }
+    if (nearUniqueKey) return None
     val partials = aggFns.groupBy(_.canonicalized).map(_._2.head).toSeq.zipWithIndex
       .map { case (ae, i) => ae.canonicalized -> (ae, Alias(ae, s"_pp$i")()) }
     val pushed = Aggregate(pushedKeys, pushedKeys ++ partials.map(_._2._2), fact, None)

@@ -61,6 +61,18 @@ object VersionedSink {
     }
   }
 
+  /** Raw `_LATEST` pointer contents, without the lost-pointer fallback. */
+  private def pointerValue(spark: SparkSession, tableDir: String): Option[Long] = {
+    val f = fs(spark, tableDir)
+    val p = new Path(tableDir, Pointer)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
   /** The version `_LATEST` points at. When the pointer file is absent but
     * snapshots exist (the crash window of a pointer swap on a filesystem
     * whose rename cannot overwrite), falls back to the newest *completed*
@@ -70,23 +82,18 @@ object VersionedSink {
     * The fallback can only disagree with a lost pointer after a rollback
     * interrupted mid-swap, where re-issuing the rollback is the repair.
     */
-  def latestVersion(spark: SparkSession, tableDir: String): Option[Long] = {
-    val f = fs(spark, tableDir)
-    val p = new Path(tableDir, Pointer)
-    if (!f.exists(p)) committedVersions(spark, tableDir).lastOption
-    else {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
-      finally in.close()
-    }
-  }
+  def latestVersion(spark: SparkSession, tableDir: String): Option[Long] =
+    pointerValue(spark, tableDir)
+      .orElse(committedVersions(spark, tableDir).lastOption)
 
   /** Atomically repoint `_LATEST` at `v`: write temp, then an
     * overwriting rename (`FileContext.rename(OVERWRITE)`), so the pointer
     * file never disappears mid-swap. On filesystems without an atomic
     * overwrite the [[latestVersion]] fallback still covers the window. */
   private def writePointer(spark: SparkSession, tableDir: String, v: Long): Unit = {
-    val tmp = new Path(tableDir, s"$Pointer.tmp")
+    // Unique temp per attempt: concurrent flips sharing one temp path
+    // race each other's rename (the winner consumes the loser's file).
+    val tmp = new Path(tableDir, s"$Pointer.tmp-${java.util.UUID.randomUUID()}")
     val dst = new Path(tableDir, Pointer)
     val f = fs(spark, tableDir)
     val out = f.create(tmp, true)
@@ -101,13 +108,15 @@ object VersionedSink {
   private def markerPath(tableDir: String, v: Long) =
     new Path(versionDir(tableDir, v), "_BATCH_MARKER")
 
-  /** True iff some committed snapshot already carries `marker` — the
-    * replay-detection probe for exactly-once foreachBatch ingest. Reads
-    * one tiny metadata file per version (metadata-scale, not data-scale).
-    */
-  def hasMarker(spark: SparkSession, tableDir: String, marker: String): Boolean = {
+  /** The version whose snapshot carries `marker`, if any. Markers are
+    * stamped only after the snapshot's completion marker, so a hit
+    * implies the snapshot's data is fully durable — but NOT that the
+    * `_LATEST` flip happened (see [[publishIfBehind]] for that crash
+    * window). Reads one tiny metadata file per version (metadata-scale,
+    * not data-scale). */
+  def markerVersion(spark: SparkSession, tableDir: String, marker: String): Option[Long] = {
     val f = fs(spark, tableDir)
-    versions(spark, tableDir).exists { v =>
+    versions(spark, tableDir).find { v =>
       val p = markerPath(tableDir, v)
       f.exists(p) && {
         val in = f.open(p)
@@ -117,16 +126,90 @@ object VersionedSink {
     }
   }
 
+  /** True iff some committed snapshot already carries `marker` — the
+    * replay-detection probe for exactly-once foreachBatch ingest. A
+    * replaying writer must pair this with [[publishIfBehind]] on the
+    * marker's version: the marker becomes durable BEFORE the pointer
+    * flip, so "marker present" alone admits a crash that left the batch
+    * committed but unpublished — skipping the batch without re-issuing
+    * the flip would lose its rows from every later union. */
+  def hasMarker(spark: SparkSession, tableDir: String, marker: String): Boolean =
+    markerVersion(spark, tableDir, marker).nonEmpty
+
+  /** Close the commit crash window: a commit that durably wrote its
+    * snapshot + markers but crashed before the `_LATEST` flip leaves a
+    * committed-but-unpublished version. Re-issues the flip iff the
+    * current pointer sits strictly below `v`; no-op when the pointer
+    * already covers `v`, and when the pointer is absent it is restored
+    * (the [[latestVersion]] fallback would resolve to the newest
+    * committed snapshot — which includes `v` — so this only makes the
+    * implicit state explicit).
+    *
+    * Racing publishers write-then-re-check: a lower-version flip that
+    * lands after a higher one would regress the pointer, and the loser
+    * cannot detect that from the pointer alone (it reads back its own
+    * value), so each re-check re-targets the newest *committed* version
+    * on disk — by the time the loser re-checks, the winner's completion
+    * marker is durable, so the loser repairs its own regression and the
+    * pointer converges upward. Bounded attempts; a pathological
+    * scheduler leaves a stale-but-consistent pointer that the next
+    * commit's flip repairs. */
+  def publishIfBehind(spark: SparkSession, tableDir: String, v: Long): Unit = {
+    @annotation.tailrec
+    def loop(attempts: Int): Unit = {
+      val target = (committedVersions(spark, tableDir).lastOption.toSeq :+ v).max
+      pointerValue(spark, tableDir) match {
+        case Some(cur) if cur >= target => ()
+        case _ if attempts <= 0 => ()
+        case _ =>
+          // A racing flip can make this attempt's rename lose (e.g. the
+          // checksum shadow file on LocalFS); the re-check retries it.
+          try writePointer(spark, tableDir, target)
+          catch { case _: java.io.IOException => () }
+          loop(attempts - 1)
+      }
+    }
+    loop(5)
+  }
+
+  /** Version-number reservation: an exclusive create (`overwrite=false`,
+    * atomic on HDFS; best-effort check-then-create on the local FS) so
+    * two concurrent committers can never interleave parquet files into
+    * the same `v=N` directory. The reservation outlives a crash — the
+    * number is then skipped forever, which is harmless (versions need
+    * not be contiguous) — and is deleted after the snapshot dir itself
+    * exists to take over collision duty. */
+  private def reservePath(tableDir: String, v: Long) = new Path(tableDir, s"_RESERVE_v$v")
+
+  private def tryReserve(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    try { f.create(p, false).close(); true }
+    catch { case _: java.io.IOException => false }
+
   /** Write `df` as the next snapshot and publish it. Returns the new
     * version number. The snapshot write happens entirely before the
     * pointer flip, so concurrent readers see either the old or the new
     * version, never a partial one. An optional `marker` (e.g. a streaming
     * batch id) is stamped into the snapshot directory before the pointer
     * flip, letting a replayed writer detect an already-committed batch via
-    * [[hasMarker]]. Underscore-prefixed, so parquet readers ignore it. */
+    * [[hasMarker]] (which that writer must pair with [[publishIfBehind]]).
+    *
+    * Concurrency contract: version numbers are allocated by atomic
+    * reservation, so concurrent committers get distinct `v=N` dirs and
+    * never corrupt each other's snapshots, and the pointer flip is
+    * advance-only, so it converges to the highest committed version
+    * regardless of flip order. What concurrent commits do NOT get is
+    * serialized read-modify-write: two writers that each `read()` the
+    * old latest and union their own batch will both publish, and the
+    * content of the loser's union is simply superseded (last-version
+    * -wins, like two git commits racing a push). Accumulating ingest
+    * therefore needs a single logical writer — exactly the discipline
+    * Structured Streaming's one-query-per-checkpoint already enforces
+    * for the A14 pipeline. */
   def commit(df: DataFrame, tableDir: String, marker: Option[String] = None): Long = {
     val spark = df.sparkSession
-    val next = versions(spark, tableDir).lastOption.map(_ + 1).getOrElse(0L)
+    val f = fs(spark, tableDir)
+    var next = versions(spark, tableDir).lastOption.map(_ + 1).getOrElse(0L)
+    while (!tryReserve(f, reservePath(tableDir, next))) next += 1
     df.write.mode("errorifexists").parquet(versionDir(tableDir, next).toString)
     // Completion marker BEFORE the pointer flip: readers (and the
     // lost-pointer fallback) treat marker-less dirs as uncommitted debris.
@@ -140,7 +223,11 @@ object VersionedSink {
       try out.write(m.getBytes("UTF-8"))
       finally out.close()
     }
-    writePointer(spark, tableDir, next)
+    // Advance-only flip: a concurrent committer of a higher version may
+    // have already published past us; going backwards would un-publish
+    // its rows. (Deliberate backwards moves go through rollback.)
+    publishIfBehind(spark, tableDir, next)
+    f.delete(reservePath(tableDir, next), false)
     next
   }
 

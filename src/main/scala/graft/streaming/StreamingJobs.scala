@@ -110,13 +110,23 @@ object StreamingJobs {
     import graft.sinks.VersionedSink
     val spark = batch.sparkSession
     val marker = s"batch-$batchId"
-    if (!VersionedSink.hasMarker(spark, tableDir, marker)) {
-      val acc = VersionedSink.latestVersion(spark, tableDir) match {
-        case Some(_) => VersionedSink.read(spark, tableDir).unionByName(batch.toDF())
-        case None => batch.toDF()
-      }
-      VersionedSink.commit(acc, tableDir, marker = Some(marker))
-      afterCommit(batchId)
+    VersionedSink.markerVersion(spark, tableDir, marker) match {
+      case Some(v) =>
+        // Replay of an already-committed batch. The marker becomes durable
+        // BEFORE the _LATEST flip, so a crash inside that window leaves
+        // this batch committed but unpublished — merely skipping here
+        // would strand the pointer below v and every later union would
+        // silently drop this batch's rows. Re-issuing the (idempotent)
+        // flip closes the window; on the common post-commit replay it is
+        // a no-op.
+        VersionedSink.publishIfBehind(spark, tableDir, v)
+      case None =>
+        val acc = VersionedSink.latestVersion(spark, tableDir) match {
+          case Some(_) => VersionedSink.read(spark, tableDir).unionByName(batch.toDF())
+          case None => batch.toDF()
+        }
+        VersionedSink.commit(acc, tableDir, marker = Some(marker))
+        afterCommit(batchId)
     }
   }
 

@@ -14,10 +14,13 @@ class EagerAggSpec extends SparkSpec {
 
   graft.plans.GraftExtensions.ensureRegistered(spark)
 
+  // d = exact decimal twin of x; double sums are excluded from the push
+  // by policy (re-associated IEEE-754 addition), so the push tests
+  // aggregate d and the guard tests prove x does NOT push.
   private def fact = Seq(
     (1L, 10.0, 1), (1L, 20.0, 2), (2L, 30.0, 3), (2L, 40.0, 4),
     (3L, 50.0, 5), (4L, -5.0, 6), (4L, 0.5, 7),
-  ).toDF("k", "x", "n")
+  ).toDF("k", "x", "n").withColumn("d", col("x").cast("decimal(18,2)"))
 
   // note key 2 duplicated (dim-side multiplicity) and key 9 childless
   private def dim = Seq(
@@ -45,13 +48,14 @@ class EagerAggSpec extends SparkSpec {
 
   test("sum/count/min/max group-by-dim: pushed plan, identical results (dup dim keys)") {
     def q = fact.join(dim, "k").groupBy("g").agg(
-      sum("x").as("sx"), count(lit(1)).as("c"), min("x").as("mn"), max("n").as("mx"))
+      sum("d").as("sx"), count(lit(1)).as("c"), min("x").as("mn"), max("n").as("mx"))
     assertSameOnOff(q)
     assert(fired(q), "rule did not push the aggregate below the join")
     // dup dim key 2 must double-count its fact rows, exactly like the
-    // un-pushed plan: g=b rows (2 dim dups × 2 fact rows) → c=4, sx=140
+    // un-pushed plan: g=b rows (2 dim dups × 2 fact rows) → c=2, sx=70
     val b = q.filter(col("g").isin("b", "b2")).collect()
-    assert(b.forall(r => r.getLong(2) === 2L && r.getDouble(1) === 70.0))
+    assert(b.forall(r => r.getLong(2) === 2L &&
+      r.getDecimal(1) === new java.math.BigDecimal("70.00")))
   }
 
   test("count-only aggregate pushes toward the non-grouped side") {
@@ -62,7 +66,7 @@ class EagerAggSpec extends SparkSpec {
 
   test("empty fact side: pushed COUNT still returns 0, not null") {
     def q = fact.filter(col("x") > 1e9).join(dim, "k")
-      .agg(count(lit(1)).as("c"), sum(col("x")).as("sx"))
+      .agg(count(lit(1)).as("c"), sum(col("d")).as("sx"))
     assertSameOnOff(q)
     val r = q.collect()(0)
     assert(r.getLong(0) === 0L)
@@ -78,13 +82,42 @@ class EagerAggSpec extends SparkSpec {
     assertSameOnOff(q)
   }
 
+  test("decimal AVG decomposes into sum/count and pushes; schema and rows identical") {
+    def q = fact.join(dim, "k").groupBy("g").agg(avg("d").as("a"), sum("d").as("sx"))
+    val offSchema = withRule(false)(q.schema)
+    val onSchema = withRule(true)(q.schema)
+    assert(onSchema === offSchema) // avg(decimal(18,2)) stays decimal(22,6)
+    assertSameOnOff(q)
+    assert(fired(q), "decimal AVG must push as sum/count")
+    // dup dim key b: avg over (30, 40) with dim multiplicity 1 per alias
+    val b = q.filter(col("g") === "b").collect()(0)
+    assert(b.getDecimal(1) === new java.math.BigDecimal("35.000000"))
+  }
+
+  test("float/double SUM and AVG never push (IEEE-754 re-association policy)") {
+    // 0.1 is not exactly representable: per-key partial sums would
+    // round differently from row-by-row accumulation if pushed.
+    val fpFact = Seq((1L, 0.1), (1L, 0.2), (1L, 0.3), (2L, 1e16), (2L, 1.0), (2L, -1e16))
+      .toDF("k", "x")
+    def qSum = fpFact.join(dim, "k").groupBy("g").agg(sum("x").as("sx"))
+    def qAvg = fpFact.join(dim, "k").groupBy("g").agg(avg("x").as("a"))
+    for (q <- Seq(qSum, qAvg)) {
+      assert(!fired(q), s"double aggregate must not push:\n${q.queryExecution.optimizedPlan}")
+      assertSameOnOff(q)
+    }
+    // the mixed case bails entirely: one non-decomposable fn blocks all
+    def qMixed = fpFact.join(dim, "k").groupBy("g")
+      .agg(sum("x").as("sx"), count(lit(1)).as("c"))
+    assert(!fired(qMixed))
+  }
+
   test("guards: distinct, non-decomposable, theta joins, and mixed-side groupings bail") {
     def qDistinct = fact.join(dim, "k").groupBy("g").agg(countDistinct("n").as("c"))
     def qAvg = fact.join(dim, "k").groupBy("g").agg(avg("x").as("a"))
     def qTheta = fact.as("f").join(dim.as("d"), col("f.k") < col("d.k"))
-      .groupBy(col("d.g")).agg(sum("x").as("sx"))
+      .groupBy(col("d.g")).agg(sum("d").as("sx"))
     def qMixed = fact.as("f").join(dim.as("d"), col("f.k") === col("d.k"))
-      .groupBy(concat(col("g"), col("n"))).agg(sum("x").as("sx"))
+      .groupBy(concat(col("g"), col("n"))).agg(sum("d").as("sx"))
     for (q <- Seq(qDistinct, qAvg, qTheta, qMixed)) {
       assert(!fired(q), s"rule must not fire on:\n${q.queryExecution.optimizedPlan}")
       assertSameOnOff(q)
@@ -92,10 +125,45 @@ class EagerAggSpec extends SparkSpec {
   }
 
   test("fires only once: the pushed plan is a fixpoint") {
-    val q = fact.join(dim, "k").groupBy("g").agg(sum("x").as("sx"))
+    val q = fact.join(dim, "k").groupBy("g").agg(sum("d").as("sx"))
     val aggsBelowJoins = q.queryExecution.optimizedPlan.collect {
       case j: Join => Seq(j.left, j.right).count(_.isInstanceOf[Aggregate])
     }.sum
     assert(aggsBelowJoins === 1)
+  }
+
+  test("cardinality guard: near-unique fact key with column stats suppresses the push") {
+    val prev = spark.conf.getOption("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // unique key (ndv == rowCount): pushing would shuffle everything
+      // for zero reduction — the guard must bail
+      spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS decimal(18,2)) AS d")
+        .write.mode("overwrite").saveAsTable("eager_fact_unique")
+      // 10 distinct keys over 1000 rows: 100x reduction — must still push
+      spark.range(0, 1000).selectExpr("id % 10 AS k", "CAST(id AS decimal(18,2)) AS d")
+        .write.mode("overwrite").saveAsTable("eager_fact_dense")
+      spark.sql("ANALYZE TABLE eager_fact_unique COMPUTE STATISTICS FOR COLUMNS k")
+      spark.sql("ANALYZE TABLE eager_fact_dense COMPUTE STATISTICS FOR COLUMNS k")
+      val dimT = spark.range(0, 1000).selectExpr("id AS k", "CAST(id % 7 AS string) AS g")
+
+      def qUnique = spark.table("eager_fact_unique").join(dimT, "k")
+        .groupBy("g").agg(sum("d").as("sx"))
+      assert(!fired(qUnique),
+        s"guard must suppress push on near-unique key:\n${qUnique.queryExecution.optimizedPlan}")
+      assertSameOnOff(qUnique)
+
+      def qDense = spark.table("eager_fact_dense").join(dimT, "k")
+        .groupBy("g").agg(sum("d").as("sx"))
+      assert(fired(qDense), "low-ndv key with stats must still push")
+      assertSameOnOff(qDense)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.cbo.enabled", v)
+        case None => spark.conf.unset("spark.sql.cbo.enabled")
+      }
+      spark.sql("DROP TABLE IF EXISTS eager_fact_unique")
+      spark.sql("DROP TABLE IF EXISTS eager_fact_dense")
+    }
   }
 }

@@ -248,6 +248,19 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("overlapJoin refuses shared or reserved column names") {
+    val a = Seq((1L, 5L, "x")).toDF("ls", "le", "tag")
+    val clash = Seq((2L, 6L, "y")).toDF("rs", "re", "tag") // "tag" on both sides
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.overlapJoin(a, clash, "ls", "le", "rs", "re", 8)
+    }
+    assert(ex.getMessage.contains("tag"))
+    val reserved = Seq((2L, 6L, 1L)).toDF("rs", "re", "__bin")
+    intercept[IllegalArgumentException] {
+      graft.operators.RangeJoin.overlapJoin(a, reserved, "ls", "le", "rs", "re", 8)
+    }
+  }
+
   test("asOf forward/nearest/tolerance equal an in-memory reference") {
     val r = new Random(99)
     val leftRows = (1 to 400).map(_ => (r.nextInt(15).toLong, r.nextInt(1000).toLong))
@@ -282,6 +295,65 @@ class PropertySpec extends SparkSpec {
       assert(got.size === exp.size, s"$dir/$tol row count")
       exp.foreach { case (lid, m) =>
         assert(got(lid) === m, s"dir=$dir tol=$tol lid=$lid got=${got(lid)} exp=$m")
+      }
+    }
+  }
+
+  test("asOf duplicate right timestamps resolve deterministically in all directions") {
+    val r = new Random(7)
+    // every (k, t) appears 3x with DISTINCT values — pure tie stress.
+    // Contract under ties: the carried struct (rv first field) is the
+    // GREATEST for backward and nearest-ties, the LEAST for forward.
+    val rightRows = for {
+      k <- 0L until 8L; t <- Seq(100L, 200L, 300L); dup <- 1 to 3
+    } yield (k, t, t * 10 + dup + k)
+    val leftRows = (1 to 200).map(_ => (r.nextInt(8).toLong, r.nextInt(400).toLong))
+      .zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val byKey = rightRows.groupBy(_._1)
+
+    def expected(dir: String): Map[Long, Option[Long]] =
+      leftRows.map { case (k, t, lid) =>
+        val ts = byKey.getOrElse(k, Seq.empty)
+        val m = dir match {
+          case "backward" =>
+            val c = ts.filter(_._2 <= t)
+            if (c.isEmpty) None else Some(c.maxBy(x => (x._2, x._3))._3)
+          case "forward" =>
+            val c = ts.filter(_._2 >= t)
+            if (c.isEmpty) None else Some(c.minBy(x => (x._2, x._3))._3)
+          case "nearest" =>
+            // nearest = the better of the two directional carries, so a
+            // forward win carries forward's LEAST-value tie resolution
+            val b = ts.filter(_._2 <= t) match {
+              case c if c.isEmpty => None; case c => Some(c.maxBy(x => (x._2, x._3)))
+            }
+            val f = ts.filter(_._2 >= t) match {
+              case c if c.isEmpty => None; case c => Some(c.minBy(x => (x._2, x._3)))
+            }
+            (b, f) match {
+              case (None, x) => x.map(_._3)
+              case (x, None) => x.map(_._3)
+              case (Some(bb), Some(ff)) =>
+                if (math.abs(ff._2 - t) < math.abs(bb._2 - t)) Some(ff._3) else Some(bb._3)
+            }
+        }
+        lid -> m
+      }.toMap
+
+    // three physically different input layouts must all give the pinned answer
+    val layouts = Seq(
+      (rightRows.toDF("k", "t", "rv"), leftRows.toDF("k", "t", "lid")),
+      (r.shuffle(rightRows).toDF("k", "t", "rv").repartition(7),
+        r.shuffle(leftRows).toDF("k", "t", "lid").repartition(5)),
+      (rightRows.reverse.toDF("k", "t", "rv").repartition(1),
+        leftRows.reverse.toDF("k", "t", "lid").repartition(3)))
+    for (dir <- Seq("backward", "forward", "nearest"); (right, left) <- layouts) {
+      val got = AsOfJoin.asOf(left, right, Seq("k"), "t", "t", Seq("rv"), dir)
+        .select("lid", "asof_rv").as[(Long, Option[Long])].collect().toMap
+      val exp = expected(dir)
+      assert(got.size === exp.size)
+      exp.foreach { case (lid, m) =>
+        assert(got(lid) === m, s"dir=$dir lid=$lid got=${got(lid)} exp=$m")
       }
     }
   }

@@ -58,6 +58,26 @@ class RegistrySpec extends SparkSpec {
       s"oracle-checked queries with driver-unhashable output columns:\n${offenders.mkString("\n")}")
   }
 
+  test("eager-agg rule on/off changes no oracle-checked result (registry-wide sweep)") {
+    // The per-shape A/B lives in EagerAggSpec; this closes the gap the
+    // driver gate can't (it only ever runs with the rule ON): prove the
+    // rewrite is result-invisible on EVERY oracle-checked query, not just
+    // the shapes the rule was designed against. Oracle-checked entries
+    // are deterministic by contract, so a sorted row-string comparison is
+    // exact.
+    def sweep(on: Boolean): Map[String, Seq[String]] = {
+      spark.conf.set("spark.graft.eagerAgg.enabled", on.toString)
+      try QueryRegistry.all.filter(_.oracle.isDefined).map { q =>
+        q.name -> q.run(spark, dir).collect().map(_.toString).sorted.toSeq
+      }.toMap
+      finally spark.conf.set("spark.graft.eagerAgg.enabled", "true")
+    }
+    val off = sweep(on = false)
+    val on = sweep(on = true)
+    val diffs = off.keys.filter(k => on(k) != off(k)).toSeq.sorted
+    assert(diffs.isEmpty, s"eager-agg rule changed results for: ${diffs.mkString(", ")}")
+  }
+
   test("query names are unique and well-formed") {
     val names = QueryRegistry.all.map(_.name)
     assert(names.distinct.size === names.size)

@@ -101,6 +101,57 @@ class VersionedSinkSpec extends SparkSpec {
     assert(VersionedSink.read(spark, dir).as[(Int, String)].collect() === Array((2, "b")))
   }
 
+  test("crash between marker write and pointer flip: replay republishes, not skips") {
+    val dir = Files.createTempDirectory("vtable7").toString
+    // batch 0 committed and published normally
+    graft.streaming.StreamingJobs.commitVersionedBatch(dir)(
+      Seq((1, "a")).toDF("id", "s"), 0L)
+    // batch 1's commit durably wrote snapshot v=1 + its marker but
+    // "crashed" before the _LATEST flip — simulate by committing fully
+    // and then forcing the pointer back to v=0 (bit-identical on-disk
+    // state to the real crash window)
+    graft.streaming.StreamingJobs.commitVersionedBatch(dir)(
+      Seq((2, "b")).toDF("id", "s"), 1L)
+    VersionedSink.rollback(spark, dir, 0L)
+    assert(VersionedSink.read(spark, dir).count() === 1) // the lost-rows state
+
+    // replayed batch 1: marker hit must NOT silently skip — it must
+    // re-issue the pointer flip so v=1's rows are published again
+    graft.streaming.StreamingJobs.commitVersionedBatch(dir)(
+      Seq((2, "b")).toDF("id", "s"), 1L)
+    assert(VersionedSink.versions(spark, dir) === Seq(0L, 1L)) // no re-commit
+    assert(VersionedSink.latestVersion(spark, dir) === Some(1L))
+    assert(VersionedSink.read(spark, dir).as[(Int, String)].collect().toSet
+      === Set((1, "a"), (2, "b")))
+    // ...and batch 2 unions on top of the repaired latest, losing nothing
+    graft.streaming.StreamingJobs.commitVersionedBatch(dir)(
+      Seq((3, "c")).toDF("id", "s"), 2L)
+    assert(VersionedSink.read(spark, dir).as[(Int, String)].collect().toSet
+      === Set((1, "a"), (2, "b"), (3, "c")))
+    // post-commit replay (the common case) stays a pure no-op
+    graft.streaming.StreamingJobs.commitVersionedBatch(dir)(
+      Seq((3, "c")).toDF("id", "s"), 2L)
+    assert(VersionedSink.versions(spark, dir) === Seq(0L, 1L, 2L))
+  }
+
+  test("concurrent committers get distinct versions; pointer converges to the max") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val dir = Files.createTempDirectory("vtable8").toString
+    val commits = (1 to 4).map { i =>
+      Future(VersionedSink.commit(Seq((i, s"w$i")).toDF("id", "s"), dir))
+    }
+    val got = Await.result(Future.sequence(commits), 120.seconds)
+    // atomic reservation: four distinct version numbers, no interleaved dirs
+    assert(got.toSet.size === 4)
+    assert(VersionedSink.committedVersions(spark, dir).toSet === got.toSet)
+    // advance-only flip: the pointer lands on the highest version no
+    // matter the flip order, and that snapshot is intact
+    assert(VersionedSink.latestVersion(spark, dir) === Some(got.max))
+    assert(VersionedSink.read(spark, dir).count() === 1)
+  }
+
   test("reader survives a lost _LATEST pointer (falls back to newest snapshot)") {
     val dir = Files.createTempDirectory("vtable4").toString
     VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir)
