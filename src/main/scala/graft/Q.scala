@@ -36,7 +36,8 @@ object QueryRegistry {
         queries.VectorQueries.qs ++
         queries.IngestQueries.qs ++
         queries.UdxQueries.qs ++
-        queries.AgriQueries.qs
+        queries.AgriQueries.qs ++
+        queries.MaintenanceQueries.qs
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     qs

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table maintenance: MERGE-style upsert application and snapshot
+  * diffing (CDC) — the two halves of the accumulate-and-version loop the
+  * reference workflow runs as "fetch page, overwrite CSV, git-commit the
+  * data dir" (`/root/reference/fetch_data.py:120-167`, `run.yml:29-35`).
+  * [[mergeUpsert]] generalizes the overwrite into keyed
+  * update/insert/delete semantics; [[diffSnapshots]] recovers the change
+  * set BETWEEN two retained versions (what `git diff` gives the
+  * reference for free on its data directory, restated over
+  * [[graft.sinks.VersionedSink]] snapshots).
+  *
+  * Scale notes: both operators are pure keyed joins — one shuffle per
+  * side on the merge key, sort-merge past the broadcast threshold, AQE
+  * handles skewed keys. No collects, no windows, no wide full-outer row
+  * in the upsert (anti-join + union beats full-outer + per-column
+  * coalesce: the kept target rows stream through untouched instead of
+  * being rebuilt column-by-column).
+  */
+object Merge {
+
+  /** Apply a keyed change set to a target table (Delta/Iceberg
+    * `MERGE INTO` semantics, expressed as composition of built-ins):
+    *
+    *  - target row whose key appears in `source`: replaced by the source
+    *    row (or dropped, when the source row's `deleteFlag` is true);
+    *  - source row with an unseen key: inserted (unless delete-flagged,
+    *    which is then a no-op);
+    *  - all other target rows pass through untouched.
+    *
+    * `source` must carry the target's schema (plus the optional boolean
+    * `deleteFlag` column) and must be key-unique — like SQL MERGE, a
+    * source with duplicate keys has no well-defined "the matching row"
+    * (SQL engines raise; here the duplicate source rows would all
+    * survive). Key columns must be non-null on both sides (the anti-join
+    * would pass a null-keyed target row even when source has one).
+    */
+  def mergeUpsert(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      deleteFlag: Option[String] = None): DataFrame = {
+    val extra = source.columns.toSet -- target.columns.toSet -- deleteFlag.toSet
+    require(extra.isEmpty, s"source carries columns absent from target: ${extra.mkString(", ")}")
+    require(keys.nonEmpty, "mergeUpsert needs at least one key column")
+    // Touched keys are a two-column-ish projection of the change set —
+    // at real scale the change set is tiny next to the target, so the
+    // anti join broadcasts it; either way only keys travel.
+    val touched = source.select(keys.map(col): _*).distinct()
+    val kept = target.join(touched, keys, "left_anti")
+    val applied = deleteFlag match {
+      case Some(f) => source.filter(!col(f)).drop(f)
+      case None => source
+    }
+    kept.unionByName(applied)
+  }
+
+  /** Change-data capture between two snapshots of a keyed table: one row
+    * per differing key with `op` ∈ insert | update | delete, the key
+    * columns, and the full before/after rows as structs (`old`, `new`;
+    * null on the missing side). Equal rows (null-safe, full-row
+    * comparison) are dropped. One full-outer sort-merge join on the key;
+    * both sides stream. */
+  def diffSnapshots(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      s"snapshots must share a schema: ${oldSnap.columns.mkString(",")} vs ${newSnap.columns.mkString(",")}")
+    val vals = oldSnap.columns.filterNot(keys.contains).toSeq
+    def pack(df: DataFrame, as: String) = df.select(
+      keys.map(col) :+ struct(vals.map(col): _*).as(as): _*)
+    pack(oldSnap, "old").join(pack(newSnap, "new"), keys, "full_outer")
+      .withColumn("op",
+        when(col("old").isNull, "insert")
+          .when(col("new").isNull, "delete")
+          .when(!(col("old") <=> col("new")), "update"))
+      .filter(col("op").isNotNull)
+      .select(col("op") +: keys.map(col) :+ col("old") :+ col("new"): _*)
+  }
+}

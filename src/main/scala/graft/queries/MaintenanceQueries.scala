@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance + string-similarity operators: MERGE-style upsert
+  * (graft.operators.Merge.mergeUpsert), snapshot CDC diff
+  * (Merge.diffSnapshots), and the segment-filter edit-distance join
+  * (graft.operators.EditDistanceJoin). The upsert/diff pair restates the
+  * reference workflow's accumulate-then-git-commit loop
+  * (`/root/reference/run.yml:29-35`) as keyed table operations; the
+  * edit-distance join is the text-pipeline near-dup primitive for typo-
+  * level duplicates that shingle/minhash blocking is too coarse to rank.
+  *
+  * The change set is derived deterministically from `orders` itself
+  * (update keys: multiples of 13 that aren't multiples of 19; deletes:
+  * multiples of 19; inserts: keys ≡ 3 mod 17, re-keyed +1e9), so Spark
+  * and DuckDB construct bit-identical inputs with no fixture files.
+  */
+object MaintenanceQueries {
+
+  private val insertOffset = 1000000000L
+
+  private def ordersCols = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** The shared Spark-side merge: target = orders, change set derived
+    * from it (see class doc). */
+  private def mergedOrders(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val o = Tables.orders(s, dir)
+    val updates = o
+      .filter(col("o_orderkey") % 13 === 0 && col("o_orderkey") % 19 =!= 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("__del", lit(false))
+    val inserts = o
+      .filter(col("o_orderkey") % 17 === 3)
+      .withColumn("o_orderkey", col("o_orderkey") + insertOffset)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("__del", lit(false))
+    val deletes = o
+      .filter(col("o_orderkey") % 19 === 0)
+      .withColumn("__del", lit(true))
+    val src = updates.unionByName(inserts).unionByName(deletes)
+    (o, graft.operators.Merge.mergeUpsert(o, src, Seq("o_orderkey"), Some("__del")))
+  }
+
+  /** The identical change set + merge in DuckDB SQL (CTE reused by both
+    * oracles). */
+  private val mergedSql = s"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority, FALSE AS del
+      FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 19 <> 0
+      UNION ALL
+      SELECT o_orderkey + $insertOffset, o_custkey, 'N',
+             o_totalprice, o_orderdate, o_orderpriority, FALSE
+      FROM orders WHERE o_orderkey % 17 = 3
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority, TRUE
+      FROM orders WHERE o_orderkey % 19 = 0
+    ),
+    merged AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM src WHERE NOT del
+    )"""
+
+  val qs: Seq[Q] = Seq(
+    // MERGE INTO semantics (update/insert/delete in one keyed pass):
+    // the post-merge table summarized per status — updates surface as
+    // status 'U', inserts as 'N', deletes as missing key mass.
+    Q(
+      "q128_merge_upsert",
+      (s, dir) => {
+        val (_, merged) = mergedOrders(s, dir)
+        merged.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""$mergedSql
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // CDC between two snapshots: diff(orders, merged) must recover the
+    // change set exactly — op x count x key checksum.
+    Q(
+      "q129_snapshot_diff",
+      (s, dir) => {
+        val (o, merged) = mergedOrders(s, dir)
+        graft.operators.Merge.diffSnapshots(o, merged, Seq("o_orderkey"))
+          .groupBy("op")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("op")
+      },
+      Some(s"""$mergedSql
+        SELECT op, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum
+        FROM (
+          SELECT COALESCE(o.o_orderkey, m.o_orderkey) AS k,
+                 CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                      WHEN m.o_orderkey IS NULL THEN 'delete'
+                      WHEN o.o_custkey IS DISTINCT FROM m.o_custkey
+                        OR o.o_orderstatus IS DISTINCT FROM m.o_orderstatus
+                        OR o.o_totalprice IS DISTINCT FROM m.o_totalprice
+                        OR o.o_orderdate IS DISTINCT FROM m.o_orderdate
+                        OR o.o_orderpriority IS DISTINCT FROM m.o_orderpriority
+                      THEN 'update' END AS op
+          FROM orders o FULL JOIN merged m ON o.o_orderkey = m.o_orderkey
+        )
+        WHERE op IS NOT NULL
+        GROUP BY op
+        ORDER BY op""")),
+
+    // Segment-filter (PassJoin) edit-distance self-join over document
+    // prefixes: typo-level near-dup pairs without a cross join. The
+    // oracle IS the cross join — completeness of the segment phase is
+    // exactly what the hash comparison proves.
+    Q(
+      "q130_editdist_join",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"),
+          substring(regexp_replace(lower(col("text")), "[^a-z ]", ""), 1, 16).as("pfx"))
+        val a = docs.select(col("doc_id").as("a_id"), col("pfx").as("a_pfx"))
+        val b = docs.select(col("doc_id").as("b_id"), col("pfx").as("b_pfx"))
+        graft.operators.EditDistanceJoin
+          .editDistanceJoin(a, "a_id", "a_pfx", b, "b_id", "b_pfx", maxDist = 1)
+          .filter(col("a_id") < col("b_id"))
+          .orderBy("a_id", "b_id")
+      },
+      Some("""
+        WITH p AS (
+          SELECT doc_id,
+                 substring(regexp_replace(lower(text), '[^a-z ]', '', 'g'), 1, 16) AS pfx
+          FROM documents
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
+        FROM p a JOIN p b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.pfx, b.pfx) <= 1
+        ORDER BY a_id, b_id"""))
+  )
+}

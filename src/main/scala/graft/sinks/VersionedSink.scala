@@ -172,18 +172,32 @@ object VersionedSink {
     loop(5)
   }
 
-  /** Version-number reservation: an exclusive create (`overwrite=false`,
-    * atomic on HDFS; best-effort check-then-create on the local FS) so
-    * two concurrent committers can never interleave parquet files into
-    * the same `v=N` directory. The reservation outlives a crash — the
-    * number is then skipped forever, which is harmless (versions need
-    * not be contiguous) — and is deleted after the snapshot dir itself
-    * exists to take over collision duty. */
+  /** Version-number reservation: an exclusive create so two concurrent
+    * committers can never interleave parquet files into the same `v=N`
+    * directory. On HDFS `create(overwrite=false)` is atomic (namenode
+    * lease); Hadoop's LOCAL filesystem implements it as check-then-create,
+    * which two threads can both win — there the reservation goes through
+    * POSIX `O_CREAT|O_EXCL` (`Files.createFile`) instead. The reservation
+    * outlives a crash — the number is then skipped forever, which is
+    * harmless (versions need not be contiguous) — and is deleted after
+    * the snapshot dir itself exists to take over collision duty. */
   private def reservePath(tableDir: String, v: Long) = new Path(tableDir, s"_RESERVE_v$v")
 
-  private def tryReserve(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
-    try { f.create(p, false).close(); true }
-    catch { case _: java.io.IOException => false }
+  private def tryReserve(f: org.apache.hadoop.fs.FileSystem, p: Path): Boolean = f match {
+    case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+      try {
+        val local = java.nio.file.Paths.get(p.toUri.getPath)
+        java.nio.file.Files.createDirectories(local.getParent)
+        java.nio.file.Files.createFile(local)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    case _ =>
+      try { f.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+  }
 
   /** Write `df` as the next snapshot and publish it. Returns the new
     * version number. The snapshot write happens entirely before the

@@ -1,0 +1,105 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.{EditDistanceJoin, Merge}
+import org.apache.spark.sql.functions._
+
+/** Merge/CDC table maintenance + segment-filter edit-distance join. */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def target = Seq(
+    (1L, "a", 10), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40),
+  ).toDF("k", "s", "v")
+
+  test("mergeUpsert applies update/insert/delete in one pass") {
+    val src = Seq(
+      (2L, "B", 99, false), // update
+      (5L, "e", 50, false), // insert
+      (3L, "c", 30, true),  // delete
+      (9L, "z", 0, true),   // delete of unseen key: no-op
+    ).toDF("k", "s", "v", "del")
+    val out = Merge.mergeUpsert(target, src, Seq("k"), Some("del"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(out === Set((1L, "a", 10), (2L, "B", 99), (4L, "d", 40), (5L, "e", 50)))
+  }
+
+  test("mergeUpsert without delete flag is pure upsert; schema guard trips") {
+    val src = Seq((1L, "A", 11), (6L, "f", 60)).toDF("k", "s", "v")
+    val out = Merge.mergeUpsert(target, src, Seq("k"))
+      .as[(Long, String, Int)].collect().toSet
+    assert(out === Set((1L, "A", 11), (2L, "b", 20), (3L, "c", 30), (4L, "d", 40), (6L, "f", 60)))
+    intercept[IllegalArgumentException] {
+      Merge.mergeUpsert(target, src.withColumn("extra", lit(1)), Seq("k"))
+    }
+  }
+
+  test("diffSnapshots recovers insert/update/delete and drops equal rows (null-safe)") {
+    val old = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, None, 30), (4L, Some("d"), 40),
+    ).toDF("k", "s", "v")
+    val neu = Seq(
+      (1L, Some("a"), 10),  // unchanged → dropped
+      (2L, Some("B"), 20),  // update
+      (3L, None, 30),       // unchanged with null member → dropped
+      (5L, Some("e"), 50),  // insert
+    ).toDF("k", "s", "v")  // 4 deleted
+    val got = Merge.diffSnapshots(old, neu, Seq("k"))
+      .select("op", "k").as[(String, Long)].collect().toSet
+    assert(got === Set(("update", 2L), ("insert", 5L), ("delete", 4L)))
+    // round-trip: applying the diff as a merge reproduces the new snapshot
+    val diff = Merge.diffSnapshots(old, neu, Seq("k"))
+    val asSrc = diff.select(col("k"),
+      coalesce(col("new.s"), col("old.s")).as("s"),
+      coalesce(col("new.v"), col("old.v")).as("v"),
+      (col("op") === "delete").as("del"))
+    val replayed = Merge.mergeUpsert(old, asSrc, Seq("k"), Some("del"))
+      .as[(Long, Option[String], Int)].collect().toSet
+    assert(replayed === neu.as[(Long, Option[String], Int)].collect().toSet)
+  }
+
+  test("editDistanceJoin equals brute-force levenshtein on random strings (d=0,1,2)") {
+    val rnd = new Random(42)
+    // small alphabet + short lengths → dense collisions, ties, empties
+    def mkStrings(n: Int): Seq[(Long, String)] =
+      (0 until n).map(i => (i.toLong, (0 until rnd.nextInt(9)).map(_ => "abc" (rnd.nextInt(3))).mkString))
+    val ls = mkStrings(120)
+    val rs = mkStrings(150)
+    val left = ls.toDF("a_id", "a_s")
+    val right = rs.toDF("b_id", "b_s")
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => if (i == 0) j else if (j == 0) i else 0))
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+          dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dp(a.length)(b.length)
+    }
+    for (d <- 0 to 2) {
+      val got = EditDistanceJoin.editDistanceJoin(left, "a_id", "a_s", right, "b_id", "b_s", d)
+        .as[(Long, Long, Int)].collect().toSet
+      val exp = (for {
+        (ai, as) <- ls; (bi, bs) <- rs
+        dist = lev(as, bs) if dist <= d
+      } yield (ai, bi, dist)).toSet
+      assert(got === exp, s"d=$d: ${got.size} got vs ${exp.size} expected; " +
+        s"missing=${(exp -- got).take(5)} spurious=${(got -- exp).take(5)}")
+    }
+  }
+
+  test("editDistanceJoin plans the candidate phase as an equi-join, not a nested loop") {
+    val df = (0L until 50L).map(i => (i, s"string$i")).toDF("a_id", "a_s")
+    val df2 = (0L until 50L).map(i => (i, s"string$i")).toDF("b_id", "b_s")
+    val q = EditDistanceJoin.editDistanceJoin(df, "a_id", "a_s", df2, "b_id", "b_s", 1)
+    val plan = q.queryExecution.executedPlan.toString
+    // the long-string candidate phase must be hash/sort-merge on the
+    // segment key; the only tolerated nested loop is the short-string
+    // bucket (strings of length <= 2, empty here but planned)
+    val segJoins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("__seg")) => j
+    }
+    assert(segJoins.nonEmpty, s"no segment equi-join found in:\n$plan")
+    assert(segJoins.forall(_.condition.get.toString.contains("=")))
+  }
+}
