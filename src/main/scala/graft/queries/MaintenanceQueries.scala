@@ -119,6 +119,66 @@ object MaintenanceQueries {
         GROUP BY op
         ORDER BY op""")),
 
+    // Incremental view maintenance: refresh the orders-by-status rollup
+    // from the CDC diff ALONE (never rescanning the base), and require
+    // it to hash-match DuckDB recomputing the same rollup over the fully
+    // merged table — refresh ≡ recompute, the IVM correctness contract.
+    Q(
+      "q131_incremental_agg",
+      (s, dir) => {
+        val (o, merged) = mergedOrders(s, dir)
+        val baseView = o.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+        val diff = graft.operators.Merge.diffSnapshots(o, merged, Seq("o_orderkey"))
+        graft.operators.Merge.incrementalRefresh(
+            baseView, diff, Seq("o_orderstatus"), "n", Map("o_custkey" -> "cust_sum"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""$mergedSql
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
+    // Z-order (Morton) clustering arithmetic: the z-value histogram of
+    // orders over (custkey, order epoch-day), 4 bits per dim over fixed
+    // frames — integer-exact cross-engine, proving the interleave that
+    // the zorder() layout operator range-partitions on. (The pruning
+    // payoff itself is pinned physically in LayoutSpec.)
+    Q(
+      "q132_zorder_values",
+      (s, dir) => {
+        import org.apache.spark.sql.types.DateType
+        val od = unix_date(col("o_orderdate").cast(DateType)).cast("long")
+        val z = graft.operators.Layout.zvalue(Seq(
+          graft.operators.Layout.widthBucket(col("o_custkey"), 0L, 199999L, 4),
+          graft.operators.Layout.widthBucket(od, 8035L, 10592L, 4)), 4)
+        Tables.orders(s, dir)
+          .select(z.as("z"), col("o_custkey"))
+          .groupBy("z")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+          .orderBy("z")
+      },
+      Some("""
+        WITH b AS (
+          SELECT least(15, greatest(0,
+                   CAST(floor(o_custkey * 16 / 200000.0) AS BIGINT))) AS ck,
+                 least(15, greatest(0,
+                   CAST(floor((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - 8035)
+                              * 16 / 2558.0) AS BIGINT))) AS dy,
+                 o_custkey
+          FROM orders
+        )
+        SELECT (((ck >> 0) & 1) << 0) | (((dy >> 0) & 1) << 1) |
+               (((ck >> 1) & 1) << 2) | (((dy >> 1) & 1) << 3) |
+               (((ck >> 2) & 1) << 4) | (((dy >> 2) & 1) << 5) |
+               (((ck >> 3) & 1) << 6) | (((dy >> 3) & 1) << 7) AS z,
+               COUNT(*) AS n, CAST(SUM(o_custkey) AS BIGINT) AS cust_sum
+        FROM b
+        GROUP BY 1
+        ORDER BY z""")),
+
     // Segment-filter (PassJoin) edit-distance self-join over document
     // prefixes: typo-level near-dup pairs without a cross join. The
     // oracle IS the cross join — completeness of the segment phase is

@@ -61,11 +61,28 @@ object VersionedSink {
     }
   }
 
-  /** Raw `_LATEST` pointer contents, without the lost-pointer fallback. */
+  private def isLocal(f: org.apache.hadoop.fs.FileSystem): Boolean =
+    f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+
+  private def localPath(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
+
+  /** Raw `_LATEST` pointer contents, without the lost-pointer fallback.
+    * On the LOCAL filesystem the pointer is read via java.nio, bypassing
+    * Hadoop's ChecksumFileSystem: its `.crc` shadow file makes every
+    * pointer swap two non-atomic renames, and two racing swaps can pair
+    * one writer's data with the other's checksum — a permanently
+    * unreadable pointer. HDFS has no side files and an atomic rename, so
+    * it keeps the Hadoop path. */
   private def pointerValue(spark: SparkSession, tableDir: String): Option[Long] = {
     val f = fs(spark, tableDir)
     val p = new Path(tableDir, Pointer)
-    if (!f.exists(p)) None
+    if (isLocal(f)) {
+      val lp = localPath(p)
+      if (!java.nio.file.Files.exists(lp)) None
+      else Some(new String(java.nio.file.Files.readAllBytes(lp), "UTF-8").trim.toLong)
+    } else if (!f.exists(p)) None
     else {
       val in = f.open(p)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
@@ -91,17 +108,33 @@ object VersionedSink {
     * file never disappears mid-swap. On filesystems without an atomic
     * overwrite the [[latestVersion]] fallback still covers the window. */
   private def writePointer(spark: SparkSession, tableDir: String, v: Long): Unit = {
-    // Unique temp per attempt: concurrent flips sharing one temp path
-    // race each other's rename (the winner consumes the loser's file).
-    val tmp = new Path(tableDir, s"$Pointer.tmp-${java.util.UUID.randomUUID()}")
     val dst = new Path(tableDir, Pointer)
     val f = fs(spark, tableDir)
-    val out = f.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8"))
-    finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-      f.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (isLocal(f)) {
+      // java.nio, not Hadoop's LocalFileSystem: the checksum shadow file
+      // breaks racing swaps (see pointerValue doc). One POSIX rename is
+      // atomic and last-wins; readers see the old or new value, never a
+      // torn one. A stale .crc from an older Hadoop-written pointer is
+      // removed so nothing ever pairs it with nio-written data.
+      val dir = localPath(new Path(tableDir))
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = java.nio.file.Files.createTempFile(dir, s"$Pointer.tmp-", "")
+      java.nio.file.Files.write(tmp, v.toString.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(dir.resolve(s".$Pointer.crc"))
+      java.nio.file.Files.move(tmp, localPath(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      // Unique temp per attempt: concurrent flips sharing one temp path
+      // race each other's rename (the winner consumes the loser's file).
+      val tmp = new Path(tableDir, s"$Pointer.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8"))
+      finally out.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
   }
 
   /** Marker file recording which ingest batch produced a snapshot. */

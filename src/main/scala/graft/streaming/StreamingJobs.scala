@@ -130,6 +130,39 @@ object StreamingJobs {
     }
   }
 
+  /** CDC-apply streaming sink: each micro-batch is a keyed change set
+    * (target schema + optional boolean delete-flag column) merged into
+    * the latest published [[graft.sinks.VersionedSink]] snapshot via
+    * [[graft.operators.Merge.mergeUpsert]], committing a new version per
+    * batch — a streaming materialization of a mutable keyed table with
+    * full version history. Replay discipline is identical to
+    * [[commitVersionedBatch]]: batch markers detect an already-committed
+    * batch, and a marker hit re-issues the (idempotent) pointer flip to
+    * close the crash window between marker write and publish. */
+  def applyChangesBatch(
+      tableDir: String,
+      keys: Seq[String],
+      deleteFlag: Option[String],
+      afterCommit: Long => Unit = _ => ())(
+      batch: Dataset[org.apache.spark.sql.Row], batchId: Long): Unit = {
+    import graft.sinks.VersionedSink
+    val spark = batch.sparkSession
+    val marker = s"cdc-$batchId"
+    VersionedSink.markerVersion(spark, tableDir, marker) match {
+      case Some(v) => VersionedSink.publishIfBehind(spark, tableDir, v)
+      case None =>
+        val merged = VersionedSink.latestVersion(spark, tableDir) match {
+          case Some(_) =>
+            graft.operators.Merge.mergeUpsert(
+              VersionedSink.read(spark, tableDir), batch.toDF(), keys, deleteFlag)
+          case None =>
+            deleteFlag.fold(batch.toDF())(f => batch.toDF().filter(!col(f)).drop(f))
+        }
+        VersionedSink.commit(merged, tableDir, marker = Some(marker))
+        afterCommit(batchId)
+    }
+  }
+
   def ingestVersionedSnapshots(
       spark: SparkSession,
       srcDir: String,

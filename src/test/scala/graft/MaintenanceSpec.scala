@@ -59,6 +59,54 @@ class MaintenanceSpec extends SparkSpec {
     assert(replayed === neu.as[(Long, Option[String], Int)].collect().toSet)
   }
 
+  test("incrementalRefresh ≡ full recompute on random CDC (incl. group-moving updates)") {
+    val rnd = new Random(11)
+    def mkRows(n: Int, keyOffset: Long): Seq[(Long, String, Long)] =
+      (0 until n).map(i => (keyOffset + i, "g" + rnd.nextInt(5), rnd.nextInt(1000).toLong))
+    for (trial <- 1 to 5) {
+      val oldRows = mkRows(300, 0)
+      // new state: drop ~20%, mutate ~30% (some changing group), add 50
+      val kept = oldRows.filter(_ => rnd.nextDouble() > 0.2)
+      val mutated = kept.map { case r @ (k, g, v) =>
+        if (rnd.nextDouble() < 0.3) (k, "g" + rnd.nextInt(5), v + rnd.nextInt(100)) else r
+      }
+      val newRows = mutated ++ mkRows(50, 1000)
+      val old = oldRows.toDF("k", "g", "v")
+      val neu = newRows.toDF("k", "g", "v")
+
+      def view(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val diff = Merge.diffSnapshots(old, neu, Seq("k"))
+      val refreshed = Merge.incrementalRefresh(view(old), diff, Seq("g"), "n", Map("v" -> "sv"))
+        .as[(String, Long, Long)].collect().toSet
+      val recomputed = view(neu).as[(String, Long, Long)].collect().toSet
+      assert(refreshed === recomputed, s"trial $trial")
+    }
+  }
+
+  test("applyChangesBatch: streamed CDC batches materialize a mutable keyed table") {
+    import graft.sinks.VersionedSink
+    val dir = java.nio.file.Files.createTempDirectory("cdctable").toString
+    val apply = graft.streaming.StreamingJobs.applyChangesBatch(dir, Seq("k"), Some("del")) _
+    // batch 0: initial inserts
+    apply(Seq((1L, "a", 10, false), (2L, "b", 20, false)).toDF("k", "s", "v", "del"), 0L)
+    // batch 1: update 1, delete 2, insert 3
+    apply(Seq((1L, "A", 11, false), (2L, "b", 20, true), (3L, "c", 30, false))
+      .toDF("k", "s", "v", "del"), 1L)
+    assert(VersionedSink.read(spark, dir).as[(Long, String, Int)].collect().toSet
+      === Set((1L, "A", 11), (3L, "c", 30)))
+    // replay of batch 1 is a no-op (no new version, same content)
+    apply(Seq((1L, "A", 11, false), (2L, "b", 20, true), (3L, "c", 30, false))
+      .toDF("k", "s", "v", "del"), 1L)
+    assert(VersionedSink.versions(spark, dir) === Seq(0L, 1L))
+    // crash window: force the pointer back, replay must republish
+    VersionedSink.rollback(spark, dir, 0L)
+    apply(Seq.empty[(Long, String, Int, Boolean)].toDF("k", "s", "v", "del"), 1L)
+    assert(VersionedSink.latestVersion(spark, dir) === Some(1L))
+    // every historical state remains time-travelable
+    assert(VersionedSink.readAsOf(spark, dir, 0L).count() === 2)
+  }
+
   test("editDistanceJoin equals brute-force levenshtein on random strings (d=0,1,2)") {
     val rnd = new Random(42)
     // small alphabet + short lengths → dense collisions, ties, empties
