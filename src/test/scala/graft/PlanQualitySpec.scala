@@ -116,6 +116,34 @@ class PlanQualitySpec extends SparkSpec {
       s"query set not broadcast:\n$p")
   }
 
+  test("q128/q129: merge plans an anti join; the CDC diff is ONE full-outer sort-merge") {
+    val pMerge = plan("q128_merge_upsert")
+    assert(pMerge.contains("LeftAnti"), s"merge kept-rows path is not an anti join:\n$pMerge")
+    assert(!pMerge.contains("CartesianProduct"), s"merge went cartesian:\n$pMerge")
+    val diffQe = QueryRegistry.byName("q129_snapshot_diff").run(spark, dir).queryExecution
+    val fullOuters = diffQe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
+    }
+    assert(fullOuters.size === 1, s"diff must be ONE full-outer join:\n${diffQe.optimizedPlan}")
+    assert("SortMergeJoin.*FullOuter".r.findFirstIn(diffQe.executedPlan.toString).isDefined,
+      s"diff is not a full-outer sort-merge:\n${diffQe.executedPlan}")
+  }
+
+  test("zorder clustering is exactly one range shuffle") {
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val q = graft.operators.Layout.zorder(
+      df, Seq(("o_orderkey", 0L, 99999L), ("o_custkey", 0L, 9999L)), 8, bits = 8)
+    // string-level: AQE wraps the plan, so count exchanges textually
+    val p = q.queryExecution.executedPlan.toString
+    assert("Exchange ".r.findAllIn(p).size === 1,
+      s"zorder must cost exactly one shuffle:\n$p")
+    assert(p.contains("rangepartitioning(__z"),
+      s"zorder shuffle is not a range partition on the z-value:\n$p")
+  }
+
   test("no registered query cartesian-joins two unbounded sides") {
     // The scale rule: a CartesianProductExec over two unbounded inputs is
     // O(n²) work however clever the rest of the plan — every occurrence
