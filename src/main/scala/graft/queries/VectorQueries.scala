@@ -435,6 +435,54 @@ object VectorQueries {
         SELECT label, clabel AS pred_label, COUNT(*) AS cnt
         FROM r WHERE rn = 1
         GROUP BY 1, 2
-        ORDER BY label, pred_label"""))
+        ORDER BY label, pred_label""")),
+
+    // Embedding-level semantic dedup, end to end: cosine-threshold pairs
+    // (B43) become the edge set of ConnectedComponents (B7's cluster
+    // engine), producing dedup clusters whose sizes the oracle recomputes
+    // with a RECURSIVE transitive closure in SQL — the distributed
+    // min-label/pointer-jump loop must agree exactly with a from-first-
+    // principles reachability fixpoint, including multi-hop chains where
+    // a~b and b~c but a,c are NOT directly similar.
+    Q(
+      "q133_semantic_dedup",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        val pairs = Similarity.cosinePairs(v, "vec_id", "vec", cap = 4096)
+          .filter(col("cos_r") >= 0.42)
+        val capped = v.orderBy("vec_id").limit(4096).select(col("vec_id"))
+        graft.operators.ConnectedComponents
+          .components(capped, pairs.select(col("a"), col("b")), "vec_id")
+          .groupBy("comp")
+          .agg(count(lit(1)).as("n_members"))
+          .filter(col("n_members") >= 2)
+          .orderBy("comp")
+      },
+      Some(s"""
+        WITH RECURSIVE $OPOS,
+        capped AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        dots AS (SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS d
+                 FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                 JOIN capped ca ON ca.vec_id = a.vec_id
+                 JOIN capped cb ON cb.vec_id = b.vec_id
+                 GROUP BY 1, 2),
+        edges AS (SELECT a, b FROM (SELECT a, b, round(d / (na.nrm * nb.nrm), 6) AS c
+                  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
+                  WHERE c >= 0.42),
+        sym AS (SELECT a AS src, b AS dst FROM edges
+                UNION ALL SELECT b, a FROM edges),
+        reach(node, lbl) AS (
+          SELECT vec_id, vec_id FROM capped
+          UNION
+          SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+        ),
+        comp AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node)
+        SELECT comp, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM comp
+        GROUP BY comp
+        HAVING COUNT(*) >= 2
+        ORDER BY comp"""))
   )
 }
