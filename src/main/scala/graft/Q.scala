@@ -37,7 +37,8 @@ object QueryRegistry {
         queries.IngestQueries.qs ++
         queries.UdxQueries.qs ++
         queries.AgriQueries.qs ++
-        queries.MaintenanceQueries.qs
+        queries.MaintenanceQueries.qs ++
+        queries.CurationQueries.qs
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     qs

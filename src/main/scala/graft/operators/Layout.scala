@@ -45,6 +45,37 @@ object Layout {
     terms.reduce(_.bitwiseOR(_)).cast("long")
   }
 
+  /** File-skipping bookkeeping: per-zone min/max/count stats over a
+    * cluster column (the footer stats a reader consults before opening a
+    * file). `zoneCol` is whatever identifies a written unit — a z-value
+    * prefix, a partition value, a file id. */
+  def zoneStats(df: DataFrame, zoneCol: Column, statCol: Column): DataFrame =
+    df.groupBy(zoneCol.as("zone"))
+      .agg(min(statCol).as("zmin"), max(statCol).as("zmax"),
+        count(lit(1)).as("zrows"))
+
+  /** Evaluate how well the zone layout skips for `statCol BETWEEN lo AND
+    * hi`: a zone is read iff its [zmin, zmax] intersects [lo, hi]. Returns
+    * one row — zones/rows total vs. scanned vs. actually matching — the
+    * exact numbers a 100 TB reader's planner would act on (scanned/total
+    * is the I/O fraction after pruning; matching/scanned the post-scan
+    * selectivity). */
+  def skipSummary(
+      df: DataFrame, zoneCol: Column, statCol: Column,
+      lo: Long, hi: Long): DataFrame = {
+    val stats = df.groupBy(zoneCol.as("zone"))
+      .agg(min(statCol).as("zmin"), max(statCol).as("zmax"),
+        count(lit(1)).as("zrows"),
+        sum(when(statCol.between(lo, hi), 1L).otherwise(0L)).as("zmatch"))
+    val scanned = col("zmax") >= lo && col("zmin") <= hi
+    stats.agg(
+      count(lit(1)).as("zones_total"),
+      sum(when(scanned, 1L).otherwise(0L)).as("zones_scanned"),
+      sum(col("zrows")).as("rows_total"),
+      sum(when(scanned, col("zrows")).otherwise(0L)).as("rows_scanned"),
+      sum(col("zmatch")).as("rows_matching"))
+  }
+
   /** Cluster `df` into `numFiles` z-ordered output partitions over the
     * given (column, frame lo, frame hi) dimensions. Write the result
     * with any parquet sink; each file then covers a tight range of every

@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cappedCollectFunction)
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.tdigestFunction)
+    ext.injectFunction(GraftExtensions.bottomKFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteIntersectOverlap)
     ext.injectOptimizerRule(_ => PushAggThroughJoin)
@@ -107,6 +108,18 @@ object GraftExtensions {
       TDigestAgg(children.head, ps).toAggregateExpression()
     })
 
+  /** graft_bottom_k(keyCol, payloadCol, k) — k smallest (key, payload)
+    * pairs per group, the one-shuffle coordinated-sampling kernel. */
+  val bottomKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bottom_k"),
+    new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottom_k"),
+    (children: Seq[Expression]) => children match {
+      case Seq(key, payload, Literal(k: Int, _)) =>
+        BottomKAgg(key, payload, k).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_bottom_k takes (keyCol, payloadCol, k: int literal)")
+    })
+
   /** graft_hll(hash60Col) — HyperLogLog register array (64 ints). */
   val hllFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_hll"),
@@ -143,6 +156,9 @@ object GraftExtensions {
     }
     if (!registry.functionExists(FunctionIdentifier("graft_tdigest"))) {
       registry.registerFunction(tdigestFunction._1, tdigestFunction._2, tdigestFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_bottom_k"))) {
+      registry.registerFunction(bottomKFunction._1, bottomKFunction._2, bottomKFunction._3)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =

@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Corpus-curation operators a 100 TB training-data pipeline runs between
+  * ingest and tokenization: coordinated (seed-reproducible) sampling,
+  * weighted sampling, co-occurrence mining with apriori pruning,
+  * link-authority ranking (PageRank) for source prioritization, grouped
+  * OLS trend fitting, and zone-map skipping effectiveness — each exact in
+  * integer / hash arithmetic so DuckDB replays it bit-identically.
+  *
+  * The sampling entries restate the reference's spot-check workflow (it
+  * eyeballs harvested slices per commodity, `/root/reference/
+  * fetch_data.py:64-167`) as engine operators with a reproducibility
+  * contract.
+  */
+object CurationQueries {
+
+  /** DuckDB twin of GraftFunctions.hash60(seed, e). */
+  private def h60(seed: String, e: String): String =
+    s"('0x' || substr(md5('$seed:' || $e), 1, 15))::BIGINT"
+
+  /** Unrolled integer PageRank oracle: iteration i as a CTE over i-1. */
+  private def pagerankSql(iters: Int, scale: Long, dampNum: Long, dampDen: Long): String = {
+    val base = s"(SELECT (($scale * ${dampDen - dampNum}) // $dampDen) // COUNT(*) FROM nodes)"
+    val iterCtes = (1 to iters).map { i =>
+      s"""it$i AS (
+        SELECT n.node, $base + COALESCE(m.mass, 0) AS score
+        FROM nodes n LEFT JOIN (
+          SELECT e.dst AS node,
+                 SUM(((p.score * $dampNum) // $dampDen) // d.outdeg) AS mass
+          FROM edges e JOIN it${i - 1} p ON e.src = p.node
+                       JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) m ON m.node = n.node)"""
+    }.mkString(",\n")
+    s"""
+      WITH edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey),
+      nodes AS (SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      it0 AS (SELECT node, $scale // (SELECT COUNT(*) FROM nodes) AS score
+              FROM nodes),
+      $iterCtes
+      SELECT n.n_name, CAST(p.score AS BIGINT) AS score
+      FROM it$iters p JOIN nation n ON n.n_nationkey = p.node
+      ORDER BY n.n_name"""
+  }
+
+  val qs: Seq[Q] = Seq(
+    // Coordinated bottom-k sampling per language — executed as ONE
+    // partial-aggregated shuffle via the native graft_bottom_k
+    // TypedImperativeAggregate (k pairs per group leave each map task);
+    // the oracle is the row_number()-window formulation that would sort
+    // every row, and the hash match proves the aggregate equivalent.
+    Q(
+      "q134_bottomk_sample",
+      (s, dir) => {
+        graft.operators.Sampling
+          .bottomK(Tables.documents(s, dir), Seq("lang"), "doc_id", 5, "s134")
+          .orderBy("lang", "rk")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT lang, doc_id,
+                 ${h60("s134", "CAST(doc_id AS VARCHAR)")} AS hv
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY hv, doc_id) AS INT) AS rk
+          FROM h)
+        SELECT lang, doc_id, rk FROM r WHERE rk <= 5
+        ORDER BY lang, rk""")),
+
+    // Deterministic weighted sampling: weight w in 1..4 from doc length,
+    // w lottery tickets per doc (scan-stage explode), global bottom-k of
+    // the ticket hashes via TakeOrdered — inclusion ∝ w, reproducible
+    // from the seed alone, no RNG state anywhere.
+    Q(
+      "q135_weighted_sample",
+      (s, dir) => {
+        graft.operators.Sampling.weightedSample(
+          Tables.documents(s, dir), "doc_id",
+          (col("n_chars") % 4 + 1), 20, "s135")
+      },
+      Some(s"""
+        WITH w AS (
+          SELECT doc_id, CAST(n_chars % 4 + 1 AS INT) AS wt FROM documents),
+        t AS (
+          SELECT doc_id, r AS replica
+          FROM w, (VALUES (1), (2), (3), (4)) AS g(r)
+          WHERE r <= wt),
+        sc AS (
+          SELECT doc_id, replica,
+                 ${h60("s135", "CAST(doc_id AS VARCHAR) || ':' || CAST(replica AS VARCHAR)")} AS h
+          FROM t)
+        SELECT doc_id, replica, h FROM sc
+        ORDER BY h, doc_id, replica LIMIT 20""")),
+
+    // Frequent co-occurring pairs (market-basket over order line items)
+    // with the apriori step: items below part-level support can appear in
+    // no frequent pair, so they are pruned BEFORE the self-join — the
+    // pruning that turns an all-pairs blowup into a bounded join at
+    // scale. Top-30 pairs under a total order.
+    Q(
+      "q136_cooccur_pairs",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val frequent = li.groupBy("pk")
+          .agg(count(lit(1)).as("df")).filter(col("df") >= 3).select("pk")
+        val items = li.join(frequent, "pk")
+        val a = items.select(col("ok"), col("pk").as("p1"))
+        val b = items.select(col("ok"), col("pk").as("p2"))
+        a.join(b, "ok")
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("p1"), col("p2"))
+          .limit(30)
+      },
+      Some("""
+        WITH li AS (
+          SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        freq AS (SELECT pk FROM li GROUP BY pk HAVING COUNT(*) >= 3),
+        items AS (SELECT ok, pk FROM li WHERE pk IN (SELECT pk FROM freq))
+        SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n
+        FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        ORDER BY n DESC, p1, p2
+        LIMIT 30""")),
+
+    // Link-authority ranking: 4 rounds of integer-scaled PageRank over
+    // the nation-to-nation shipping graph (supplier nation -> customer
+    // nation, derived by joins). The oracle unrolls the same iterations
+    // as CTEs — every division truncating, so scores match to the unit.
+    Q(
+      "q137_pagerank",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val pr = graft.operators.PageRank.run(edges, "src", "dst", iters = 4)
+        pr.join(Tables.nation(s, dir), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("score"))
+          .orderBy("n_name")
+      },
+      Some(pagerankSql(iters = 4, scale = 1000000000000L, dampNum = 85L, dampDen = 100L))),
+
+    // Grouped OLS trend: slope of quantity vs ship-day per return flag,
+    // reported as the exact integer numerator/denominator of the
+    // closed-form least-squares slope (n·Σxy − Σx·Σy) / (n·Σxx − (Σx)²).
+    // One partial-agg'd shuffle; days are centered on the corpus frame so
+    // every product stays in int64 at sf0.1 (switch the five sums to
+    // decimal(38,0) beyond sf1).
+    Q(
+      "q138_trend_ols",
+      (s, dir) => {
+        val x = (unix_date(col("l_shipdate").cast(DateType)).cast("long") - 8035L).as("x")
+        val y = col("l_quantity").cast("long").as("y")
+        Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), x, y)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("l_returnflag"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH t AS (
+          SELECT l_returnflag,
+                 datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) - 8035 AS x,
+                 CAST(l_quantity AS BIGINT) AS y
+          FROM lineitem)
+        SELECT l_returnflag,
+               CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+               CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+        FROM t
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
+    // Zone-map skipping effectiveness over the z-ordered layout of q132:
+    // per-z-value min/max/count stats on the order day, then the exact
+    // zones/rows a reader would scan for a one-quarter day predicate —
+    // the planner arithmetic behind Layout.zorder's I/O payoff, proved
+    // cross-engine.
+    Q(
+      "q139_skip_summary",
+      (s, dir) => {
+        val od = unix_date(col("o_orderdate").cast(DateType)).cast("long")
+        val z = graft.operators.Layout.zvalue(Seq(
+          graft.operators.Layout.widthBucket(col("o_custkey"), 0L, 14999L, 4),
+          graft.operators.Layout.widthBucket(od, 8035L, 10592L, 4)), 4)
+        val df = Tables.orders(s, dir)
+          .select(z.as("z"), od.as("day"))
+        graft.operators.Layout.skipSummary(df, col("z"), col("day"), 10200L, 10383L)
+      },
+      Some("""
+        WITH b AS (
+          SELECT least(15, greatest(0,
+                   CAST(floor(o_custkey * 16 / 15000.0) AS BIGINT))) AS ck,
+                 least(15, greatest(0,
+                   CAST(floor((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) - 8035)
+                              * 16 / 2558.0) AS BIGINT))) AS dy,
+                 datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day
+          FROM orders),
+        zv AS (
+          SELECT (((ck >> 0) & 1) << 0) | (((dy >> 0) & 1) << 1) |
+                 (((ck >> 1) & 1) << 2) | (((dy >> 1) & 1) << 3) |
+                 (((ck >> 2) & 1) << 4) | (((dy >> 2) & 1) << 5) |
+                 (((ck >> 3) & 1) << 6) | (((dy >> 3) & 1) << 7) AS z,
+                 day
+          FROM b),
+        st AS (
+          SELECT z, MIN(day) AS zmin, MAX(day) AS zmax, COUNT(*) AS zrows,
+                 SUM(CASE WHEN day BETWEEN 10200 AND 10383 THEN 1 ELSE 0 END) AS zmatch
+          FROM zv GROUP BY z)
+        SELECT CAST(COUNT(*) AS BIGINT) AS zones_total,
+               CAST(SUM(CASE WHEN zmax >= 10200 AND zmin <= 10383 THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned,
+               CAST(SUM(zrows) AS BIGINT) AS rows_total,
+               CAST(SUM(CASE WHEN zmax >= 10200 AND zmin <= 10383 THEN zrows ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(SUM(zmatch) AS BIGINT) AS rows_matching
+        FROM st"""))
+  )
+}

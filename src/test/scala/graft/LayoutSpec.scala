@@ -30,6 +30,18 @@ class LayoutSpec extends SparkSpec {
     assert(got.toSeq === Seq(0L, 0L, 0L, 1L, 1L, 1L, 1L))
   }
 
+  test("skipSummary reports exact zone/row pruning arithmetic") {
+    // 4 zones of 10 rows: values 0-9, 10-19, 20-29, 30-39; predicate
+    // [12, 27] must scan zones 1 and 2 (20 rows) and match 16 rows.
+    val df = (0L until 40L).map(v => (v / 10, v)).toDF("zone", "v")
+    val row = Layout.skipSummary(df, col("zone"), col("v"), 12L, 27L).collect().head
+    assert(row.getAs[Long]("zones_total") === 4)
+    assert(row.getAs[Long]("zones_scanned") === 2)
+    assert(row.getAs[Long]("rows_total") === 40)
+    assert(row.getAs[Long]("rows_scanned") === 20)
+    assert(row.getAs[Long]("rows_matching") === 16)
+  }
+
   test("z-ordered files prune on BOTH dimensions; single-column sort prunes on one") {
     val rnd = new Random(17)
     val n = 20000

@@ -1,0 +1,69 @@
+package graft
+
+import scala.util.Random
+
+import graft.operators.PageRank
+
+/** Integer PageRank vs an in-memory reference on random graphs, plus the
+  * closed-form checks (symmetric cycle, mass bounds). */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(99)
+  private val Scale = 1000000000000L
+
+  /** Reference implementation: same truncating integer arithmetic. */
+  private def reference(
+      edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val base = (Scale * 15L / 100L) / n
+    var score = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 0 until iters) {
+      val in = edges
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (s, _) =>
+          (score(s) * 85L / 100L) / outdeg(s)
+        }.sum).toMap
+      score = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    score
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    PageRank.run(edges.toDF("s", "d"), "s", "d", iters)
+      .as[(Long, Long)].collect().toMap
+
+  test("PageRank matches the integer reference on random graphs") {
+    for (trial <- 1 to 5) {
+      val n = 4 + rnd.nextInt(8)
+      val edges = (for {
+        s <- 0L until n
+        d <- 0L until n
+        if s != d && rnd.nextInt(3) == 0
+      } yield (s, d)).distinct
+      if (edges.nonEmpty) {
+        val iters = 1 + rnd.nextInt(3)
+        assert(run(edges, iters) === reference(edges, iters), s"trial $trial")
+      }
+    }
+  }
+
+  test("symmetric 2-cycle keeps both scores equal") {
+    val scores = run(Seq((1L, 2L), (2L, 1L)), 4)
+    assert(scores(1L) === scores(2L))
+  }
+
+  test("total mass stays within scale (rounding only ever loses mass)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val total = run(edges, 3).values.sum
+    assert(total <= Scale)
+    assert(total > Scale * 9 / 10)
+  }
+
+  test("zero iterations returns the uniform start vector") {
+    val scores = run(Seq((1L, 2L), (2L, 1L), (3L, 1L)), 0)
+    assert(scores.values.toSet === Set(Scale / 3))
+  }
+}

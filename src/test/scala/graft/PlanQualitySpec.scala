@@ -130,6 +130,37 @@ class PlanQualitySpec extends SparkSpec {
       s"diff is not a full-outer sort-merge:\n${diffQe.executedPlan}")
   }
 
+  test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
+    val p = plan("q134_bottomk_sample")
+    assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
+    assert(!p.contains("Window"), s"sample degraded to a window sort:\n$p")
+    assert(p.contains("ObjectHashAggregate"), s"no object hash aggregate:\n$p")
+  }
+
+  test("q136: co-occurrence pairs partial-aggregate and equi-join (no cartesian)") {
+    val p = plan("q136_cooccur_pairs")
+    assert(!p.contains("CartesianProduct"), s"pair join went cartesian:\n$p")
+    assert(p.contains("partial_count"), s"pair counting not partial-agg'd:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-30 is not a TakeOrdered:\n$p")
+  }
+
+  test("q138: OLS trend is one partial->final aggregate over the scan") {
+    val p = plan("q138_trend_ols")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"moment sums not partial-agg'd:\n$p")
+    assert(!p.contains("Exchange hashpartitioning") ||
+      "Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"OLS should shuffle exactly once:\n$p")
+  }
+
+  test("q139: skip summary is two aggregates, no join, no window") {
+    val p = plan("q139_skip_summary")
+    assert(!p.contains("Join"), s"skip summary should not join:\n$p")
+    assert(!p.contains("Window"), s"skip summary should not window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"zone stats not partial-agg'd:\n$p")
+  }
+
   test("zorder clustering is exactly one range shuffle") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/orders.parquet")
