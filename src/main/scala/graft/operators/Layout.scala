@@ -45,6 +45,48 @@ object Layout {
     terms.reduce(_.bitwiseOR(_)).cast("long")
   }
 
+  /** The query side of the z-order layout: all z-values whose per-dim
+    * bucket coordinates fall inside the given per-dim bucket ranges
+    * (`boxes(d) = (loBucket, hiBucket)`, inclusive), compressed to
+    * inclusive [zlo, zhi] ranges. A reader filters the z column with
+    * [[zFilter]] over these ranges; because z-ordered files cover tight
+    * z intervals, the ranges prune at file/row-group level through plain
+    * parquet min/max stats — no custom index structure. Exact by
+    * construction: enumerates the box's bucket grid (driver-side, so the
+    * box volume is required bounded — a planner computation, like
+    * partition-pruning literal evaluation) and merges the Morton curve's
+    * naturally-contiguous runs.
+    */
+  def zRanges(boxes: Seq[(Long, Long)], bits: Int): Seq[(Long, Long)] = {
+    val dims = boxes.size
+    require(dims >= 1 && bits * dims <= 62, "need 1+ dims and bits*dims <= 62")
+    val top = (1L << bits) - 1
+    val volume = boxes.map { case (lo, hi) =>
+      require(lo >= 0 && lo <= hi && hi <= top, s"bucket range ($lo,$hi) outside [0,$top]")
+      hi - lo + 1
+    }.product
+    require(volume <= (1L << 22), s"box volume $volume too large to enumerate")
+    // spread the bits of bucket value v of dim d to its interleaved slots
+    def spread(v: Long, d: Int): Long =
+      (0 until bits).map(i => ((v >> i) & 1L) << (i * dims + d)).sum
+    val zs = boxes.zipWithIndex
+      .foldLeft(Seq(0L)) { case (acc, ((lo, hi), d)) =>
+        for (z <- acc; v <- lo to hi) yield z | spread(v, d)
+      }
+      .sorted
+    // merge contiguous z runs
+    zs.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, z) if z == hi + 1 => (lo, z) :: tail
+      case (acc, z) => (z, z) :: acc
+    }.reverse
+  }
+
+  /** Predicate selecting the given inclusive z ranges — an OR of BETWEENs
+    * that Spark pushes into the parquet scan as min/max-skippable
+    * filters. */
+  def zFilter(zCol: Column, ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (lo, hi) => zCol.between(lo, hi) }.reduce(_ || _)
+
   /** File-skipping bookkeeping: per-zone min/max/count stats over a
     * cluster column (the footer stats a reader consults before opening a
     * file). `zoneCol` is whatever identifies a written unit — a z-value

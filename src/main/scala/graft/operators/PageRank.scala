@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Fixed-iteration PageRank in exact integer arithmetic.
   *
@@ -17,11 +18,17 @@ import org.apache.spark.sql.functions._
   * are bit-identical across engines and run-to-run — no float drift, and
   * a DuckDB oracle can replay the same iterations exactly (q137).
   *
-  * Scale shape per iteration: scores ⋈ out-degrees (broadcast if small) ⋈
-  * edges shuffled on src, one partial-agg'd shuffle on dst, left-join back
-  * to the node set. Edge partitioning on src is reused across rounds when
-  * the input is pre-partitioned; each round's result is cached and the
-  * previous unpersisted so the plan does not grow with iterations.
+  * Size-guarded routing (the simhash-pairs pattern): the iteration state
+  * is O(nodes), and link graphs that fit comfortably on the driver
+  * (≤ `localEdgeLimit` edges after dedup — e.g. a domain graph, vs. a
+  * page graph) iterate in memory at zero per-round job cost, after the
+  * one distributed pass that derived the edges. Larger graphs run the
+  * distributed loop: per iteration, scores ⋈ out-degrees ⋈ edges
+  * shuffled on src, one partial-agg'd shuffle on dst, left-join back to
+  * the node set; each round's result is cached and the previous
+  * unpersisted so the plan does not grow with iterations. Both routes
+  * compute the identical integer recurrence.
+  *
   * Dangling mass (nodes with no out-edges) is dropped, the standard
   * simplification; rounding mass lost to integral division is bounded by
   * one unit per edge per round.
@@ -30,7 +37,7 @@ object PageRank {
 
   /** Run `iters` rounds over `edges(srcCol, dstCol)` (self-loops and
     * duplicate edges should be pre-removed by the caller). Returns
-    * (node, score) with score out of `scale`. */
+    * (node: long, score: long) with score out of `scale`. */
   def run(
       edges: DataFrame,
       srcCol: String,
@@ -38,16 +45,56 @@ object PageRank {
       iters: Int,
       scale: Long = 1000000000000L,
       dampNum: Long = 85L,
-      dampDen: Long = 100L): DataFrame = {
+      dampDen: Long = 100L,
+      localEdgeLimit: Long = 4L << 20): DataFrame = {
     require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen,
       "need iters >= 0 and 0 <= dampNum <= dampDen")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // Cache the edge list: everything below re-reads it, and the caller's
+    // edge derivation can be arbitrarily expensive — without this the
+    // upstream plan re-executes once per round.
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .cache()
+    val m = e.count()
+    require(m > 0, "empty graph")
+    val out =
+      if (m <= localEdgeLimit) runLocal(e, iters, scale, dampNum, dampDen)
+      else runDistributed(e, iters, scale, dampNum, dampDen)
+    e.unpersist()
+    out
+  }
+
+  /** Driver-side loop for graphs whose EDGE LIST is bounded (node state
+    * is strictly smaller). Same recurrence, zero per-round Spark jobs. */
+  private def runLocal(
+      e: DataFrame, iters: Int, scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val base = (scale * (dampDen - dampNum) / dampDen) / n
+    var score = nodes.map(_ -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      val in = es.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        (score(s) * dampNum / dampDen) / outdeg(s)
+      }.sum).toMap
+      score = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    val rows = nodes.map(v => Row(v, score(v))).toSeq
+    e.sparkSession.createDataFrame(
+      e.sparkSession.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("score", LongType, nullable = false))))
+  }
+
+  /** Distributed join-aggregate loop for graphs past the driver bound. */
+  private def runDistributed(
+      e: DataFrame, iters: Int, scale: Long, dampNum: Long, dampDen: Long): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().cache()
     // One bounded driver scalar (like the k-means means): N is needed
     // inside integer literals of the next plan, not as a column.
     val n = nodes.count()
-    require(n > 0, "empty graph")
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val base = (scale * (dampDen - dampNum) / dampDen) / n
     var scores = nodes.withColumn("score", lit(scale / n))
@@ -71,6 +118,10 @@ object PageRank {
       previous = Some(next)
       scores = next
     }
+    // the final scores stay cached (materialized above); the helper
+    // tables only feed the loop and can release their executors' memory
+    nodes.unpersist()
+    deg.unpersist()
     scores
   }
 }

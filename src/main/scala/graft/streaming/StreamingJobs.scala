@@ -342,6 +342,36 @@ object StreamingJobs {
       }
   }
 
+  case class SampleIn(grp: String, id: Long, h: Long)
+  case class SampleOut(grp: String, seen: Long, ids: Seq[Long])
+  case class SampleState(pairs: Seq[(Long, Long)], seen: Long)
+
+  /** Streaming twin of `Sampling.bottomK` (q134): per-group state is the
+    * k lexicographically-smallest (hash, id) pairs seen so far — the
+    * bottom-k sketch is mergeable and order-insensitive, so the stream
+    * converges to exactly the batch sample whatever the arrival order or
+    * batch boundaries (pinned in StreamingSpec). State is O(k) per live
+    * group, bounded forever; each update emits the group's current
+    * sample membership in hash (rank) order. `h` is the caller-computed
+    * portable hash (GraftFunctions.hash60(seed, id)), keeping the
+    * seed-reproducibility contract identical to the batch operator.
+    */
+  def samplerBottomK(rows: Dataset[SampleIn], k: Int): Dataset[SampleOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[SampleIn], state: GroupState[SampleState]) =>
+          val prev = state.getOption.getOrElse(SampleState(Seq.empty, 0L))
+          val batch = it.toSeq
+          val merged = (prev.pairs ++ batch.map(r => (r.h, r.id)))
+            .sorted.distinct.take(k)
+          val seen = prev.seen + batch.size
+          state.update(SampleState(merged, seen))
+          Iterator(SampleOut(grp, seen, merged.map(_._2)))
+      }
+  }
+
   /** B38: custom keyed state — running per-user counters via
     * flatMapGroupsWithState (the progress-tracking shape of A3, but
     * per-key, fault-tolerant and store-backed).

@@ -42,6 +42,76 @@ class LayoutSpec extends SparkSpec {
     assert(row.getAs[Long]("rows_matching") === 16)
   }
 
+  test("zRanges enumerates exactly the box's z-values, merged to runs") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 30) {
+      val bits = 1 + rnd.nextInt(4)
+      val dims = 1 + rnd.nextInt(3)
+      val top = (1L << bits) - 1
+      val boxes = Seq.fill(dims) {
+        val a = rnd.nextInt(top.toInt + 1).toLong
+        val b = rnd.nextInt(top.toInt + 1).toLong
+        (math.min(a, b), math.max(a, b))
+      }
+      val ranges = Layout.zRanges(boxes, bits)
+      // brute force: decode every possible z, keep those inside the box
+      def coord(z: Long, d: Int): Long =
+        (0 until bits).map(i => ((z >> (i * dims + d)) & 1L) << i).sum
+      val want = (0L until (1L << (bits * dims))).filter { z =>
+        boxes.zipWithIndex.forall { case ((lo, hi), d) =>
+          val c = coord(z, d); c >= lo && c <= hi
+        }
+      }.toSet
+      val got = ranges.flatMap { case (lo, hi) => lo to hi }.toSet
+      assert(got === want, s"trial $trial bits=$bits dims=$dims boxes=$boxes")
+      // ranges are sorted, non-overlapping, non-adjacent (maximal runs)
+      ranges.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+        case _ => ()
+      }
+    }
+  }
+
+  test("zFilter over zRanges selects exactly the box rows (bucket-aligned)") {
+    // x, y in 0..31 ARE the buckets (bits=5, identity frame): z-filtering
+    // a box must equal filtering the original dimension predicates.
+    val rows = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val df = rows.toDF("x", "y")
+      .withColumn("z", Layout.zvalue(Seq(col("x"), col("y")), 5))
+    val box = Seq((5L, 17L), (20L, 29L))
+    val ranges = Layout.zRanges(box, 5)
+    val viaZ = df.filter(Layout.zFilter(col("z"), ranges))
+      .select("x", "y").collect().toSet
+    val direct = df.filter(col("x").between(5, 17) && col("y").between(20, 29))
+      .select("x", "y").collect().toSet
+    assert(viaZ === direct)
+  }
+
+  test("zFilter ranges push into the parquet scan as min/max-skippable filters") {
+    val tmp = java.nio.file.Files.createTempDirectory("zpush").toFile
+    try {
+      val rows = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
+      rows.toDF("x", "y")
+        .withColumn("z", Layout.zvalue(Seq(col("x"), col("y")), 6))
+        .repartitionByRange(8, col("z")).sortWithinPartitions("z")
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val ranges = Layout.zRanges(Seq((0L, 15L), (0L, 15L)), 6)
+      val q = spark.read.parquet(tmp.getAbsolutePath)
+        .filter(Layout.zFilter(col("z"), ranges))
+      val plan = q.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(plan.contains("PushedFilters") &&
+        "PushedFilters: \\[[^\\]]*z[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+        s"z ranges not pushed to the scan:\n$plan")
+      assert(q.count() === 16L * 16L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("z-ordered files prune on BOTH dimensions; single-column sort prunes on one") {
     val rnd = new Random(17)
     val n = 20000

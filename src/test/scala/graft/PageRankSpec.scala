@@ -50,6 +50,17 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("local and distributed routes compute identical scores") {
+    val edges = (for {
+      s <- 0L until 9L; d <- 0L until 9L
+      if s != d && (s + d) % 3 != 1
+    } yield (s, d)).distinct
+    val local = run(edges, 3)
+    val dist = PageRank.run(edges.toDF("s", "d"), "s", "d", 3, localEdgeLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
+  }
+
   test("symmetric 2-cycle keeps both scores equal") {
     val scores = run(Seq((1L, 2L), (2L, 1L)), 4)
     assert(scores(1L) === scores(2L))

@@ -388,6 +388,38 @@ class StreamingSpec extends SparkSpec {
     assert(expected.contains(("A", 40)), "planted spike must be flagged")
   }
 
+  test("streaming bottom-k sampler converges to the batch sample across batches") {
+    import StreamingJobs.{SampleIn, SampleOut}
+    import graft.functions.GraftFunctions.hash60
+    import org.apache.spark.sql.functions.col
+    val k = 4
+    val data = (1 to 200).map(i => (s"g${i % 3}", i.toLong * 13 % 997))
+      .distinct
+    val df = data.toDF("grp", "id")
+    // the same portable hash feeds both formulations
+    val inputs = df.select(col("grp"), col("id"), hash60("sseed", col("id")).as("h"))
+      .as[SampleIn].collect().toSeq
+    val stream = MemoryStream[SampleIn](11, spark, None)
+    val q = StreamingJobs.samplerBottomK(stream.toDS(), k).toDF()
+      .writeStream.format("memory").queryName("sample_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // arbitrary split + shuffled arrival order: the sketch must not care
+      val (a, b) = new scala.util.Random(7).shuffle(inputs).splitAt(inputs.size / 3)
+      stream.addData(a: _*)
+      q.processAllAvailable()
+      stream.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("sample_out").as[SampleOut].collect()
+      .groupBy(_.grp).map { case (g, rows) => g -> rows.maxBy(_.seen).ids.toSeq }
+    val batch = graft.operators.Sampling.bottomK(df, Seq("grp"), "id", k, "sseed")
+      .orderBy("grp", "rk").collect()
+      .groupBy(_.getAs[String]("grp"))
+      .map { case (g, rows) => g -> rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("id")).toSeq }
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState keeps running per-key counters (B38)") {
     val events = MemoryStream[StreamingJobs.UserEvent](4, spark, None)
     val counted = StreamingJobs.runningCounters(events.toDS())
