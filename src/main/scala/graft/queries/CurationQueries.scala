@@ -199,6 +199,102 @@ object CurationQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // Rendezvous (highest-random-weight) sharding: each doc goes to the
+    // shard maximizing hash(shard, doc) — the consistent-hashing scheme
+    // where growing the fleet 8 -> 9 moves ONLY the keys won by the new
+    // shard (~1/9 of them) and nothing reshuffles between survivors. The
+    // query asserts that property in-data: every moved doc landed on
+    // shard 8, and per-shard counts stay balanced. Scan-stage arithmetic
+    // (9 hashes + max_by per row), no shuffle before the final rollup.
+    Q(
+      "q140_rendezvous_shards",
+      (s, dir) => {
+        import graft.functions.GraftFunctions.hash60
+        val hs = (0 until 9).map(sh => hash60(s"shard$sh", col("doc_id")))
+        // winner = the shard whose hash is the greatest of the first n
+        // (hashes are 60-bit md5 slices — ties impossible in practice,
+        // and the same arithmetic runs on both engines either way)
+        def shard(n: Int) = {
+          val g = greatest(hs.take(n): _*)
+          (0 until n).foldRight(lit(null).cast("int")) { (sh, acc) =>
+            when(hs(sh) === g, lit(sh)).otherwise(acc)
+          }
+        }
+        Tables.documents(s, dir)
+          .select(col("doc_id"), shard(8).as("s8"), shard(9).as("s9"))
+          .groupBy(col("s9").as("shard"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L)).as("moved_in"),
+            sum(when(col("s8") =!= col("s9") && col("s9") =!= 8, 1L).otherwise(0L))
+              .as("moved_wrongly"))
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH h AS (
+          SELECT doc_id,
+                 ${(0 until 9).map(sh =>
+                    s"${h60(s"shard$sh", "CAST(doc_id AS VARCHAR)")} AS h$sh")
+                    .mkString(", ")}
+          FROM documents),
+        a AS (
+          SELECT doc_id,
+                 CASE ${(0 until 8).map(sh =>
+                    s"WHEN h$sh = greatest(${(0 until 8).map("h" + _).mkString(", ")}) THEN $sh")
+                    .mkString(" ")} END AS s8,
+                 CASE ${(0 until 9).map(sh =>
+                    s"WHEN h$sh = greatest(${(0 until 9).map("h" + _).mkString(", ")}) THEN $sh")
+                    .mkString(" ")} END AS s9
+          FROM h)
+        SELECT s9 AS shard, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT) AS moved_in,
+               CAST(SUM(CASE WHEN s8 <> s9 AND s9 <> 8 THEN 1 ELSE 0 END) AS BIGINT) AS moved_wrongly
+        FROM a
+        GROUP BY s9
+        ORDER BY shard""")),
+
+    // Winsorized (trimmed) mean: per return flag, the mean quantity after
+    // dropping the bottom and top 5% by a TOTAL rank order — the robust
+    // statistic quality filters use so corpus outliers can't drag a
+    // threshold. Exact rank trimming (window) here; at 100 TB the same
+    // trim runs shuffle-free off t-digest thresholds (q109's sketch)
+    // with a bounded approximation instead of a global sort.
+    Q(
+      "q141_trimmed_mean",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+        val ranked = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+        ranked
+          .filter(col("r") > floor(col("n") * 5 / 100) &&
+            col("r") <= col("n") - floor(col("n") * 5 / 100))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("kept"), sum(col("q")).as("qsum"))
+          // truncating integral division, not float `/` — a double
+          // quotient can round up across an integer boundary and floor
+          // differently than the oracle's `//`
+          .withColumn("mean_e6", expr("qsum * 1000000 div kept"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber) AS r,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS kept,
+               CAST(SUM(q) AS BIGINT) AS qsum,
+               CAST(SUM(q) * 1000000 // COUNT(*) AS BIGINT) AS mean_e6
+        FROM ranked
+        WHERE r > n * 5 // 100 AND r <= n - n * 5 // 100
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // Zone-map skipping effectiveness over the z-ordered layout of q132:
     // per-z-value min/max/count stats on the order day, then the exact
     // zones/rows a reader would scan for a one-quarter day predicate —

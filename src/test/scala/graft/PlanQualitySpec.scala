@@ -161,6 +161,13 @@ class PlanQualitySpec extends SparkSpec {
       s"zone stats not partial-agg'd:\n$p")
   }
 
+  test("q140: rendezvous shard pick is scan-stage — one rollup shuffle, no join") {
+    val p = plan("q140_rendezvous_shards")
+    assert(!p.contains("Join"), s"shard assignment must not join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"shard rollup should shuffle exactly once:\n$p")
+  }
+
   test("zorder clustering is exactly one range shuffle") {
     import org.apache.spark.sql.functions.col
     val df = spark.read.parquet(s"$dir/orders.parquet")
