@@ -24,6 +24,66 @@ class AdaptiveSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter injection semi-reduces the fact side of a selective join") {
+    // The third runtime-filtering tier next to static partition pruning
+    // (q76) and DPP: a selective filter on the dim side materializes a
+    // bloom filter that pre-filters the fact scan BEFORE the join
+    // shuffle — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the matching sliver. Thresholds are
+    // lowered to test scale; the assertion is that Spark's
+    // InjectRuntimeFilter actually plants BloomFilterMightContain on the
+    // fact side of this plan shape.
+    withConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val dir = "/root/testdata/sf0.001"
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      val o = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$optimized")
+      assert(q.collect().nonEmpty)
+    }
+  }
+
+  test("dynamic partition pruning subsets the fact scan from the dim filter") {
+    // DPP proper: the fact table is PARTITIONED on the join key, the dim
+    // side carries a selective filter, and the fact scan's partition list
+    // is decided at runtime from the dim rows — the directory-level
+    // counterpart of the bloom test above.
+    val tmp = java.nio.file.Files.createTempDirectory("dpp").toFile
+    try {
+      (0 until 2000).map(i => (i % 20, i.toLong))
+        .toDF("pk", "v")
+        .write.partitionBy("pk").mode("overwrite")
+        .parquet(s"${tmp.getAbsolutePath}/fact")
+      (0 until 20).map(i => (i, if (i < 2) "keep" else "drop"))
+        .toDF("dk", "tag")
+        .write.mode("overwrite").parquet(s"${tmp.getAbsolutePath}/dim")
+      val fact = spark.read.parquet(s"${tmp.getAbsolutePath}/fact")
+      // the dim must be a real scan: a LocalRelation filter constant-folds
+      // away before the DPP rule looks for a selective predicate
+      val dim = spark.read.parquet(s"${tmp.getAbsolutePath}/dim")
+      val q = fact.join(dim, col("pk") === col("dk"))
+        .filter(col("tag") === "keep")
+        .groupBy("pk").count()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"no dynamic partition pruning in:\n$plan")
+      assert(q.collect().map(_.getInt(0)).toSet === Set(0, 1))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp)
+    }
+  }
+
   test("AQE skew-join splits the hot partition at shuffle-read time") {
     withConf(
       "spark.sql.adaptive.enabled" -> "true",
