@@ -40,8 +40,14 @@ object ConnectedComponents {
       idCol: String,
       maxIter: Int = 20): DataFrame = {
     val spark = nodes.sparkSession
-    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+    // symmetrize in ONE pass over the pair plan: a union of two selects
+    // would evaluate the (possibly expensive — q133's edges are an exact
+    // cosine self-join) edge derivation twice while filling the cache;
+    // the explode fans each pair out to both directions scan-stage.
+    val sym = edges.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head().getDecimal(0)
