@@ -295,6 +295,56 @@ object CurationQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // Dedup threshold tuning curve: for each candidate cosine cutoff
+    // t/10, how many near-dup pairs fire and how many documents are
+    // touched — the curve an operator reads before committing a dedup
+    // threshold corpus-wide. One bounded exact pair pass (cosinePairs'
+    // cap) reused across all cutoffs via a tiny threshold cross join;
+    // comparisons are on the 6-dp-rounded cosine both engines already
+    // agree on bit-for-bit (q63/q133).
+    Q(
+      "q142_dup_threshold_curve",
+      (s, dir) => {
+        import graft.functions.GraftFunctions.asDouble
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        val pairs = graft.operators.Similarity
+          .cosinePairs(v, "vec_id", "vec", cap = 4096)
+          .filter(col("cos_r") >= 0.3)
+        val ts = s.range(3, 10).select(col("id").as("t"))
+        val tp = pairs.join(ts, col("cos_r") >= col("t") / 10.0)
+        val nPairs = tp.groupBy("t").agg(count(lit(1)).as("n_pairs"))
+        val nDocs = tp
+          .select(col("t"), explode(array(col("a"), col("b"))).as("doc"))
+          .groupBy("t").agg(countDistinct(col("doc")).as("n_docs"))
+        nPairs.join(nDocs, "t").orderBy("t")
+      },
+      Some(s"""
+        WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                          CAST(unnest(embedding) AS DOUBLE) AS v
+                   FROM embeddings),
+        capped AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        dots AS (SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS d
+                 FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                 JOIN capped ca ON ca.vec_id = a.vec_id
+                 JOIN capped cb ON cb.vec_id = b.vec_id
+                 GROUP BY 1, 2),
+        pairs AS (SELECT a, b, round(d / (na.nrm * nb.nrm), 6) AS cos_r
+                  FROM dots JOIN nrm na ON na.vec_id = a
+                            JOIN nrm nb ON nb.vec_id = b
+                  WHERE round(d / (na.nrm * nb.nrm), 6) >= 0.3),
+        ts AS (SELECT CAST(t AS BIGINT) AS t
+               FROM (VALUES (3), (4), (5), (6), (7), (8), (9)) AS v(t)),
+        tp AS (SELECT t, a, b FROM pairs JOIN ts ON cos_r >= t / 10.0),
+        np AS (SELECT t, COUNT(*) AS n_pairs FROM tp GROUP BY t),
+        nd AS (SELECT t, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+               FROM (SELECT t, a AS doc FROM tp UNION ALL SELECT t, b FROM tp)
+               GROUP BY t)
+        SELECT np.t, np.n_pairs, nd.n_docs
+        FROM np JOIN nd ON np.t = nd.t
+        ORDER BY np.t""")),
+
     // Zone-map skipping effectiveness over the z-ordered layout of q132:
     // per-z-value min/max/count stats on the order day, then the exact
     // zones/rows a reader would scan for a one-quarter day predicate —
