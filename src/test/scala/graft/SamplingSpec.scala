@@ -84,6 +84,18 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("graft_bottom_k is SQL-callable and skips null keys/payloads") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    Seq((Some(5L), Some(50L)), (None, Some(60L)), (Some(3L), None),
+      (Some(1L), Some(10L)), (Some(2L), Some(20L)))
+      .toDF("h", "id").createOrReplaceTempView("bk_in")
+    val got = spark.sql(
+      "SELECT graft_bottom_k(h, id, 2) AS bk FROM bk_in")
+      .selectExpr("inline(bk)").as[(Long, Long)].collect().toSeq
+    // null key and null payload rows contribute nothing; 2 smallest remain
+    assert(got === Seq((1L, 10L), (2L, 20L)))
+  }
+
   test("weightedSample: k winners, ticket counts respect weights, deterministic") {
     val df = (1 to 300).map(i => (i.toLong, 1 + i % 4)).toDF("id", "w")
     val got = Sampling.weightedSample(df, "id", col("w"), 25, "ws")
