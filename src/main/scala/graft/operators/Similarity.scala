@@ -308,4 +308,143 @@ object Similarity {
       .select(col("a"), col("b"),
         round(cosinePre(call_function("graft_dot", col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ) — the memory-bound ANN tier (Jégou et al.,
+  // "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+  // Each vector is split into m subvectors, each quantized to one of
+  // ksub learned centroids: dims x 4 bytes collapse to m single-byte
+  // codes (64-dim float -> 4 bytes at m=4, a 64x reduction), and query
+  // scoring becomes m table lookups per vector (asymmetric distance,
+  // ADC) instead of a dims-long dot product. Codebooks are m x ksub x
+  // (dims/m) doubles of driver state — bounded like the k-means means —
+  // trained on a deterministic TakeOrdered sample. Encode and score are
+  // scan-stage column expressions; candidate selection is a TakeOrdered;
+  // the final exact rerank touches only k x oversample vectors.
+  // ---------------------------------------------------------------------
+
+  /** Train per-subspace codebooks on the `trainCap` lowest-id vectors
+    * (deterministic, TakeOrderedAndProject — the k-means init shape).
+    *
+    * All m sub-quantizers train JOINTLY: training vectors explode into
+    * (subspace, subvector) rows once, each Lloyd's round assigns every
+    * row within its own subspace's centroid block and aggregates all
+    * m x ksub x (dims/m) means in ONE action — m separate KMeans.fit
+    * loops would pay m times the per-action overhead for the same
+    * arithmetic (measured 3.2 s -> ~1 s on q143). Driver state stays
+    * m x ksub x (dims/m) doubles.
+    */
+  def pqTrain(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      ksub: Int,
+      iters: Int,
+      trainCap: Int = 1024): Seq[Array[Array[Double]]] = {
+    GraftExtensions.ensureRegistered(vectors.sparkSession)
+    val dims = vectors.select(size(col(vecCol))).head().getInt(0)
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val train = vectors.orderBy(col(idCol)).limit(trainCap)
+      .select(col(idCol), col(vecCol)).persist()
+    // init: the ksub lowest-id vectors seed every subspace — one collect
+    val seed = train.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect().map(_.getSeq[Double](0).toArray)
+    require(seed.length >= 1, "empty training set")
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      Array.tabulate(ksub)(c => seed(c % seed.length).slice(j * sub, (j + 1) * sub))
+    }
+    val ex = train.select(explode(array((0 until m).map { j =>
+        struct(lit(j).as("j"), slice(col(vecCol), j * sub + 1, sub).as("sv"))
+      }: _*)).as("e"))
+      .select(col("e.j").as("j"), col("e.sv").as("sv"))
+    for (_ <- 1 to iters) {
+      // per-row argmin within the row's own subspace block
+      val cell = (0 until m).foldRight(lit(-1)) { (j, acc) =>
+        when(col("j") === j, pqAssign(col("sv"), books(j))).otherwise(acc)
+      }
+      val sums = ex.withColumn("cell", cell)
+        .select(col("j"), col("cell"), posexplode(col("sv")).as(Seq("d", "v")))
+        .groupBy("j", "cell", "d")
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .collect() // m x ksub x sub bounded rows — never data rows
+      sums.foreach { r =>
+        books(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          r.getDouble(3) / r.getLong(4) // empty cells keep their centroid
+      }
+    }
+    train.unpersist()
+    books.toSeq
+  }
+
+  /** Nearest centroid of one subspace WITHOUT the per-row |v|² term:
+    * argmin_c |v−c|² = argmin_c (−2⟨v,c⟩ + |c|²), so each centroid costs
+    * one dot product instead of two — and the row's self-dot isn't
+    * re-expanded ksub times in the codegen tree (the full assignStruct
+    * tripled q143's wall-clock on expression size alone). */
+  private def pqAssign(sv: Column, book: Array[Array[Double]]): Column = {
+    val scored = book.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.toIndexedSeq.map(lit): _*)
+      struct(
+        round(lit(c.map(x => x * x).sum) -
+          lit(2.0) * call_function("graft_dot", sv, cCol), 9).as("d"),
+        lit(i).as("cell"))
+    }
+    array_min(array(scored.toIndexedSeq: _*)).getField("cell")
+  }
+
+  /** Scan-stage encoder: array of m codes (nearest sub-centroid each). */
+  def pqEncode(vecCol: Column, codebooks: Seq[Array[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    array(codebooks.zipWithIndex.map { case (book, j) =>
+      pqAssign(slice(vecCol, j * sub + 1, sub), book)
+    }: _*)
+  }
+
+  /** Scan-stage asymmetric-distance score of encoded vectors against one
+    * query: per subspace the query→centroid distances collapse to a ksub
+    * literal table, and a row's score is m element_at lookups summed. */
+  def pqAdcScore(
+      codesCol: Column,
+      query: Array[Double],
+      codebooks: Seq[Array[Array[Double]]]): Column = {
+    val sub = codebooks.head.head.length
+    codebooks.zipWithIndex.map { case (book, j) =>
+      val q = query.slice(j * sub, (j + 1) * sub)
+      val table = book.map(_.zip(q).map { case (a, b) => val d = a - b; d * d }.sum)
+      element_at(array(table.toIndexedSeq.map(lit): _*),
+        element_at(codesCol, j + 1).cast("int") + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Exact squared L2 to a query literal (for the rerank pass). */
+  private def sqDistTo(vecCol: Column, query: Array[Double]): Column = {
+    val qCol = array(query.toIndexedSeq.map(lit): _*)
+    call_function("graft_dot", vecCol, vecCol) -
+      lit(2.0) * call_function("graft_dot", vecCol, qCol) +
+      lit(query.map(x => x * x).sum)
+  }
+
+  /** PQ ANN: encode once, ADC-score, TakeOrdered k*oversample candidates,
+    * exact rerank to the top k. Returns (idCol, d2) ascending. */
+  def annPq(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      query: Array[Double],
+      k: Int,
+      codebooks: Seq[Array[Array[Double]]],
+      oversample: Int = 8): DataFrame = {
+    GraftExtensions.ensureRegistered(vectors.sparkSession)
+    val cand = vectors
+      .withColumn("__adc", pqAdcScore(pqEncode(col(vecCol), codebooks), query, codebooks))
+      .orderBy(col("__adc"), col(idCol))
+      .limit(k * oversample)
+    cand
+      .withColumn("d2", round(sqDistTo(col(vecCol), query), 9))
+      .orderBy(col("d2"), col(idCol))
+      .limit(k)
+      .select(col(idCol), col("d2"))
+  }
 }

@@ -483,6 +483,49 @@ object VectorQueries {
         FROM comp
         GROUP BY comp
         HAVING COUNT(*) >= 2
-        ORDER BY comp"""))
+        ORDER BY comp""")),
+
+    // B43's memory-bound tier: product quantization (Jégou et al. 2011).
+    // 64-dim float vectors collapse to 4 one-byte codes (4 subspaces x 16
+    // learned centroids); query scoring is 4 table lookups per row (ADC)
+    // and the exact rerank touches only k x oversample candidates. The
+    // codebooks come from k-means, so outputs are not SQL-reproducible —
+    // the q86 contract pattern applies: every code in range, PQ recall@10
+    // against the exact L2 top-10 at least half (empirically ~1.0 here),
+    // anchored by the cross-engine corpus count. Exactness of the
+    // oversample-covers-everything limit is property-pinned in
+    // OperatorsSpec.
+    Q(
+      "q143_ann_pq",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        val books = Similarity.pqTrain(v, "vec_id", "v", m = 4, ksub = 16, iters = 2)
+        val query = v.orderBy("vec_id").limit(1).select("v")
+          .head().getSeq[Double](0).toArray
+        val k = 10
+        val enc = v.select(Similarity.pqEncode(col("v"), books).as("codes"))
+        val cr = enc.select(explode(col("codes")).as("c"))
+          .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax")).head()
+        val codesInRange = cr.getInt(0) >= 0 && cr.getInt(1) < 16
+        val approx = Similarity.annPq(v, "vec_id", "v", query, k, books)
+          .select("vec_id")
+        val qArr = array(query.toIndexedSeq.map(lit): _*)
+        val exact = v
+          .withColumn("d2",
+            call_function("graft_dot", col("v"), col("v")) -
+              lit(2.0) * call_function("graft_dot", col("v"), qArr) +
+              lit(query.map(x => x * x).sum))
+          .orderBy(col("d2"), col("vec_id")).limit(k).select("vec_id")
+        val hits = approx.join(exact, "vec_id").count()
+        v.agg(count(lit(1)).as("n_vectors_total"))
+          .withColumn("codes_in_range", lit(codesInRange))
+          .withColumn("recall_ge_half", lit(hits * 2 >= k))
+      },
+      Some("""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors_total,
+               TRUE AS codes_in_range,
+               TRUE AS recall_ge_half
+        FROM embeddings"""))
   )
 }

@@ -285,6 +285,56 @@ class OperatorsSpec extends SparkSpec {
     assert(comp.size === 21)
   }
 
+  test("PQ: codes in range; full-oversample annPq equals the exact top-k") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(31)
+    val n = 300
+    val dims = 16
+    // three separated gaussian-ish blobs so the codebooks have structure
+    val data = (0L until n).map { i =>
+      val center = (i % 3).toInt * 10.0
+      (i, Array.fill(dims)(center + rnd.nextGaussian()).toSeq)
+    }.toDF("id", "v")
+    val books = Similarity.pqTrain(data, "id", "v", m = 4, ksub = 8, iters = 2)
+    assert(books.size === 4 && books.forall(_.length === 8))
+    val codes = data
+      .select(explode(Similarity.pqEncode(col("v"), books)).as("c"))
+      .agg(min("c"), max("c")).head()
+    assert(codes.getInt(0) >= 0 && codes.getInt(1) < 8)
+    val query = data.filter(col("id") === 7L).head().getSeq[Double](1).toArray
+    val k = 12
+    // oversample covering the whole corpus => the rerank IS exact brute
+    // force, so approximate and exact must agree id-for-id
+    val full = Similarity.annPq(data, "id", "v", query, k, books,
+      oversample = n / k + 1).select("id").as[Long].collect().toSeq
+    val qArr = array(query.toIndexedSeq.map(lit): _*)
+    // round like annPq's rerank so near-equal distances tie-break on id
+    // identically on both sides
+    val exact = data
+      .withColumn("d2", round(graft.functions.GraftFunctions.dot(col("v"), col("v")) -
+        lit(2.0) * graft.functions.GraftFunctions.dot(col("v"), qArr) +
+        lit(query.map(x => x * x).sum), 9))
+      .orderBy(col("d2"), col("id")).limit(k).select("id").as[Long].collect().toSeq
+    assert(full === exact)
+    // normal oversample: the planted self-query must be found first, and
+    // recall vs exact stays high on blob data
+    val approx = Similarity.annPq(data, "id", "v", query, k, books)
+      .select("id").as[Long].collect().toSeq
+    assert(approx.head === 7L)
+    assert(approx.toSet.intersect(exact.toSet).size >= k * 3 / 4,
+      s"low PQ recall: $approx vs $exact")
+  }
+
+  test("annPq candidate selection plans as TakeOrdered, encode is scan-stage") {
+    import graft.operators.Similarity
+    val data = (0L until 50L).map(i => (i, Seq.fill(8)(i.toDouble))).toDF("id", "v")
+    val books = Similarity.pqTrain(data, "id", "v", m = 2, ksub = 4, iters = 1)
+    val plan = Similarity.annPq(data, "id", "v", Array.fill(8)(1.0), 5, books)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), s"PQ scoring must not shuffle:\n$plan")
+  }
+
   test("hash60 is non-negative and stable") {
     val vals = Seq("a", "b", "a").toDF("s").select(hash60(col("s")).as("h"))
       .as[Long].collect()
