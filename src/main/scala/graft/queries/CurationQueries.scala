@@ -345,6 +345,53 @@ object CurationQueries {
         FROM np JOIN nd ON np.t = nd.t
         ORDER BY np.t""")),
 
+    // Deterministic negative sampling for contrastive training pairs:
+    // slot i's negative for anchor a is doc hash(i, a) mod N — a pure
+    // function of the data, so the (anchor, negative) pairs are
+    // reproducible forever, with self and exact-duplicate negatives
+    // anti-filtered on the normalized content fingerprint (a dup of the
+    // anchor is a false negative that poisons the contrastive loss).
+    // Scale shape: a broadcast count scalar + two fingerprint equi-joins;
+    // precondition is dense ids (at scale, substitute a row_number-ranked
+    // id once per corpus version).
+    Q(
+      "q144_negative_samples",
+      (s, dir) => {
+        import graft.functions.GraftFunctions.{hash60, tokens}
+        val docs = Tables.documents(s, dir)
+        val n = docs.select(count(lit(1)).as("n"))
+        val fp = docs.select(col("doc_id"),
+          md5(concat_ws(" ", tokens(lower(col("text"))))).as("fp"))
+        val probes = docs.select(col("doc_id").as("anchor"))
+          .crossJoin(broadcast(n))
+          .select(col("anchor"),
+            explode(array((1 to 4).map(lit): _*)).as("slot"), col("n"))
+          .withColumn("neg_id",
+            hash60(concat(lit("neg"), col("slot").cast("string"),
+              lit(":"), col("anchor").cast("string"))) % col("n"))
+        probes
+          .join(fp.select(col("doc_id").as("neg_id"), col("fp").as("neg_fp")), "neg_id")
+          .join(fp.select(col("doc_id").as("anchor"), col("fp").as("a_fp")), "anchor")
+          .filter(col("neg_id") =!= col("anchor") && col("neg_fp") =!= col("a_fp"))
+          .select(col("anchor"), col("slot"), col("neg_id"))
+          .orderBy("anchor", "slot")
+      },
+      Some("""
+        WITH n AS (SELECT COUNT(*) AS n FROM documents),
+        fp AS (SELECT doc_id,
+                      md5(array_to_string(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> ''), ' ')) AS fp
+               FROM documents),
+        probes AS (
+          SELECT d.doc_id AS anchor, s.slot,
+                 ('0x' || substr(md5('neg' || CAST(s.slot AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % n.n AS neg_id
+          FROM documents d, (VALUES (1), (2), (3), (4)) AS s(slot), n)
+        SELECT p.anchor, p.slot, p.neg_id
+        FROM probes p
+        JOIN fp fa ON fa.doc_id = p.anchor
+        JOIN fp fn ON fn.doc_id = p.neg_id
+        WHERE p.neg_id <> p.anchor AND fn.fp <> fa.fp
+        ORDER BY anchor, slot""")),
+
     // Zone-map skipping effectiveness over the z-ordered layout of q132:
     // per-z-value min/max/count stats on the order day, then the exact
     // zones/rows a reader would scan for a one-quarter day predicate —
