@@ -388,6 +388,29 @@ class StreamingSpec extends SparkSpec {
     assert(expected.contains(("A", 40)), "planted spike must be flagged")
   }
 
+  test("stream-static join decontaminates arriving docs against a benchmark table") {
+    // decontamination-on-ingest: each micro-batch left-anti joins the
+    // STATIC benchmark fingerprint table — the stream-static join tier
+    // (no watermark, static side broadcastable and re-read per batch).
+    val benchmark = Seq("the quick brown fox", "lorem ipsum dolor")
+      .toDF("text").select(md5(col("text")).as("fp"))
+    benchmark.createOrReplaceTempView("bench_fps")
+    val stream = MemoryStream[(Long, String)](12, spark, None)
+    val cleaned = stream.toDF().toDF("id", "text")
+      .withColumn("fp", md5(col("text")))
+      .join(spark.table("bench_fps"), Seq("fp"), "left_anti")
+    val q = cleaned.writeStream.format("memory").queryName("decon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData((1L, "the quick brown fox"), (2L, "novel content one"))
+      q.processAllAvailable()
+      stream.addData((3L, "lorem ipsum dolor"), (4L, "novel content two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("decon_out").select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L), s"contaminated rows not dropped: $kept")
+  }
+
   test("streaming bottom-k sampler converges to the batch sample across batches") {
     import StreamingJobs.{SampleIn, SampleOut}
     import graft.functions.GraftFunctions.hash60
