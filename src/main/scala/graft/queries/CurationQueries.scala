@@ -392,6 +392,36 @@ object CurationQueries {
         WHERE p.neg_id <> p.anchor AND fn.fp <> fa.fp
         ORDER BY anchor, slot""")),
 
+    // Grouped top-k as ONE aggregate — graft_bottom_k with a metric key
+    // instead of a hash: the 3 longest docs per language, via key =
+    // −n_chars (smallest negated length = largest length, ties on the
+    // smaller doc_id as payload order). Same O(groups × k) shuffle story
+    // as q134; the oracle is the window-sort formulation that would sort
+    // every row of every group.
+    Q(
+      "q145_grouped_topk",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val picked = Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(call_function("graft_bottom_k",
+            -col("n_chars"), col("doc_id"), lit(3)).as("bk"))
+        picked
+          .select(col("lang"), posexplode(col("bk")).as(Seq("pos", "kv")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+            col("kv.v").as("doc_id"), (-col("kv.k")).as("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        SELECT lang, rk, doc_id, n_chars
+        FROM (
+          SELECT lang, doc_id, n_chars,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+          FROM documents)
+        WHERE rk <= 3
+        ORDER BY lang, rk""")),
+
     // Zone-map skipping effectiveness over the z-ordered layout of q132:
     // per-z-value min/max/count stats on the order day, then the exact
     // zones/rows a reader would scan for a one-quarter day predicate —
