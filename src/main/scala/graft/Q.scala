@@ -26,6 +26,24 @@ final case class Q(
 }
 
 object QueryRegistry {
+
+  /** The SQL-text entry surface: register every testdata table as a temp
+    * view plus the graft native functions/rules into the session, so a
+    * user arriving with a SQL STRING (not a DataFrame program) can run
+    * `spark.sql("SELECT graft_bottom_k(...) FROM lineitem ...")`
+    * directly. Views are plain parquet scans — Catalyst keeps pushdown/
+    * pruning freedom identical to the DataFrame path (same loaders as
+    * [[Tables]]). Round-trip coverage: SqlSurfaceSpec proves the custom
+    * aggregates and the rewrite rules fire from SQL text exactly as they
+    * do from the DataFrame API. */
+  def sqlViews(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    plans.GraftExtensions.ensureRegistered(spark)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => Tables.table(spark, sfDir, t).createOrReplaceTempView(t))
+    Tables.events(spark, sfDir).createOrReplaceTempView("events")
+  }
+
   lazy val all: Seq[Q] = {
     val qs =
       queries.CoreQueries.qs ++

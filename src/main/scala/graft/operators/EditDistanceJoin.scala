@@ -14,14 +14,16 @@ import org.apache.spark.sql.functions._
   * therefore meet with one EQUI-shuffle on `(indexed-length, segment
   * index, segment text)`: the index side emits its `d+1` segments, the
   * probe side emits every substring that could BE such a segment (all
-  * indexed lengths within `±d` of its own, all segment slots, all
-  * starts within `±d` of the slot's home position). Exact
-  * `levenshtein <= d` then filters the candidates — the segment phase
-  * affects completeness never correctness, and the lemma makes it
+  * indexed lengths within `±d` of its own, all segment slots, and the
+  * starts the MULTI-MATCH-AWARE window allows — see probeSegments).
+  * Exact `levenshtein <= d` then filters the candidates — the segment
+  * phase affects completeness never correctness, and the lemma makes it
   * complete.
   *
-  * Scale: candidate volume is (2d+1)·(d+1)·(2d+1) keys per probe row —
-  * constant fan-out, linear in corpus size, vs the n² cross join the
+  * Scale: candidate volume is at most (2d+1)·(d+1)·(d+1) keys per probe
+  * row (the multi-match-aware start window has width ≤ d+1, vs 2d+1 for
+  * the naive ±d window) — constant fan-out, linear in corpus size, vs
+  * the n² cross join the
   * exact predicate otherwise forces (Spark plans a non-equi string
   * condition as BroadcastNestedLoop). One shuffle to meet candidates,
   * one `distinct`, two id-equi joins to re-attach strings. Indexed
@@ -67,28 +69,24 @@ object EditDistanceJoin {
            |            (length($rightStr) div $k) + IF(i < length($rightStr) % $k, 1, 0))))""".stripMargin)))
       .select(col(rightId), col("__seg"))
 
-    // Probe side: for every indexed length tl within ±d (and >= k), every
-    // segment slot i, and every start within ±d of the slot's home
-    // position, the substring of that slot's length. Range emptiness is
-    // handled by filter() (sequence() would flip to a descending range).
-    val probeSegs = l.filter(length(col(leftStr)) >= 1)
-      .withColumn("__seg", explode(expr(
-        s"""flatten(flatten(transform(
-           |  filter(sequence(greatest(length($leftStr) - $d, $k),
-           |                  greatest(length($leftStr) + $d, $k)),
-           |         tl -> tl <= length($leftStr) + $d),
-           |  tl -> transform(sequence(0, $d), i ->
-           |    transform(
-           |      filter(sequence(0, length($leftStr)), p ->
-           |        p >= greatest(i * (tl div $k) + least(i, tl % $k) - $d, 0) AND
-           |        p <= least(i * (tl div $k) + least(i, tl % $k) + $d,
-           |                   length($leftStr) - ((tl div $k) + IF(i < tl % $k, 1, 0)))),
-           |      p -> named_struct(
-           |        'tl', tl,
-           |        'i', i,
-           |        'sub', substring($leftStr, p + 1,
-           |                 (tl div $k) + IF(i < tl % $k, 1, 0))))))))""".stripMargin)))
-      .select(col(leftId), col("__seg"))
+    // Probe side: for every indexed length tl within ±d (and >= k) and
+    // every segment slot i, the substrings at the starts the
+    // MULTI-MATCH-AWARE selection allows (Li, Deng & Feng, PassJoin):
+    // with home = slot i's start in the indexed string and
+    // delta = probe length − tl, a start p = home + Δ is viable only if
+    //   |Δ| <= i                  (the shift is indels before slot i; if
+    //                              slot i is the FIRST matching slot,
+    //                              each earlier slot holds an edit, and a
+    //                              larger shift forces a match in an
+    //                              earlier slot's window instead)
+    //   |delta − Δ| <= d − i      (edits after the slot must absorb the
+    //                              remaining length difference)
+    // i.e. p ∈ [max(home − i, home + delta − (d − i)),
+    //           min(home + i, home + delta + (d − i))] — width ≤ d+1,
+    // roughly halving candidate volume vs the sound-but-loose ±d window
+    // (asserted in MaintenanceSpec; completeness is pinned by the
+    // brute-force property test and q130's cross-join oracle).
+    val probeSegs = probeSegments(l, leftId, leftStr, d)
 
     val segCandidates = probeSegs.join(idxSegs, "__seg").select(col(leftId), col(rightId))
 
@@ -107,5 +105,37 @@ object EditDistanceJoin {
       .withColumn("dist", levenshtein(col(leftStr), col(rightStr)))
       .filter(col("dist") <= d)
       .select(col(leftId), col(rightId), col("dist"))
+  }
+
+  /** The probe-side (tl, slot, substring) generation under the
+    * multi-match-aware window — exposed for the fan-out assertion in
+    * MaintenanceSpec. Range emptiness is handled by filter() (sequence()
+    * would flip to a descending range). */
+  private[graft] def probeSegments(
+      l: DataFrame, leftId: String, leftStr: String, d: Int): DataFrame = {
+    val k = d + 1
+    l.filter(length(col(leftStr)) >= 1)
+      .withColumn("__seg", explode(expr(
+        s"""flatten(flatten(transform(
+           |  filter(sequence(greatest(length($leftStr) - $d, $k),
+           |                  greatest(length($leftStr) + $d, $k)),
+           |         tl -> tl <= length($leftStr) + $d),
+           |  tl -> transform(sequence(0, $d), i ->
+           |    transform(
+           |      filter(sequence(0, length($leftStr)), p ->
+           |        p >= greatest(i * (tl div $k) + least(i, tl % $k) - i,
+           |                      i * (tl div $k) + least(i, tl % $k)
+           |                        + (length($leftStr) - tl) - ($d - i),
+           |                      0) AND
+           |        p <= least(i * (tl div $k) + least(i, tl % $k) + i,
+           |                   i * (tl div $k) + least(i, tl % $k)
+           |                     + (length($leftStr) - tl) + ($d - i),
+           |                   length($leftStr) - ((tl div $k) + IF(i < tl % $k, 1, 0)))),
+           |      p -> named_struct(
+           |        'tl', tl,
+           |        'i', i,
+           |        'sub', substring($leftStr, p + 1,
+           |                 (tl div $k) + IF(i < tl % $k, 1, 0))))))))""".stripMargin)))
+      .select(col(leftId), col("__seg"))
   }
 }

@@ -32,6 +32,54 @@ object Layout {
       ((c.cast("long") - lo) * n / span).cast("long")))
   }
 
+  /** Quantile bucket of `v` given explicit ascending boundary columns:
+    * bucket = number of boundaries ≤ v, in [0, boundaries.size]. With
+    * 2^bits − 1 boundaries at the 1/2^bits … (2^bits−1)/2^bits quantiles
+    * this equal-DEPTH bucketing is the skew-robust drop-in for
+    * [[widthBucket]]'s equal-WIDTH one: a column whose mass piles into a
+    * narrow value range (the real corpus's Modal_Price: min 1, median
+    * 824, max 53,393) collapses into one or two fixed-width buckets —
+    * and a z-order built on a collapsed dim prunes nothing on it —
+    * while quantile buckets hold ~n/2^bits rows each by construction.
+    * Pure comparison arithmetic, value-deterministic (no rank
+    * tie-breaking), so cross-engine exact given equal boundaries. */
+  def quantileBucket(v: Column, boundaries: Seq[Column]): Column =
+    boundaries.map(b => when(v >= b, 1L).otherwise(0L)).reduce(_ + _)
+
+  /** The production boundary source: `approx_percentile` at the 2^bits−1
+    * equi-spaced quantiles — one partial-agg'd pass, 2^bits−1 scalars to
+    * the driver (bounded planner metadata, like any statistics
+    * collection; never data rows). Sketch picks are engine-specific, so
+    * verification queries use [[exactQuantileBoundaries]] instead. */
+  def approxQuantileBoundaries(
+      df: DataFrame, valueCol: String, bits: Int): Seq[Double] = {
+    val nb = 1 << bits
+    val ps = (1 until nb).map(j => s"${j.toDouble / nb}d").mkString(", ")
+    df.select(expr(
+        s"approx_percentile(CAST($valueCol AS DOUBLE), array($ps), 10000)").as("b"))
+      .head().getSeq[Double](0)
+  }
+
+  /** Exact, value-DETERMINISTIC boundaries, replayable in any SQL engine:
+    * `b_j = min { v : 2^bits · cum(v) ≥ j · n }` over the per-distinct-
+    * value cumulative counts — integer threshold arithmetic, no rank
+    * tie-breaking, so two engines agree bit-for-bit however duplicated
+    * the rows. The window runs over DISTINCT values only (value
+    * cardinality, not row count — bounded the way a dictionary is); at
+    * genuinely unbounded cardinality use [[approxQuantileBoundaries]].
+    * Returns one row with columns b1 … b(2^bits − 1). */
+  def exactQuantileBoundaries(
+      df: DataFrame, valueCol: String, bits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nb = 1 << bits
+    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
+    val cum = vc.withColumn("cum", sum("c").over(Window.orderBy("v")))
+    val n = df.agg(count(lit(1)).as("n"))
+    val first +: rest = (1 until nb).map(j =>
+      min(when(col("cum") * nb >= col("n") * j, col("v"))).as(s"b$j"))
+    cum.crossJoin(broadcast(n)).agg(first, rest: _*)
+  }
+
   /** Morton interleave of pre-bucketed dims (each already in
     * [0, 2^bits)): bit i of dim d lands at position i*dims.length + d.
     * Pure shift/or column expression — codegen-resident, no UDF. */
@@ -129,6 +177,28 @@ object Layout {
       bits: Int = 8): DataFrame = {
     val z = zvalue(dims.map { case (c, lo, hi) => widthBucket(col(c), lo, hi, bits) }, bits)
     df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+  }
+
+  /** [[zorder]] with equal-DEPTH (quantile) buckets instead of
+    * fixed-width frames — the layout that stays balanced on skewed
+    * columns. Boundaries come from one `approx_percentile` pass per dim
+    * (2^bits − 1 driver scalars each, bounded metadata); the interleave
+    * and the single range shuffle are identical to [[zorder]]. The skip
+    * payoff on skew is proved cross-engine in q150 (quantile vs
+    * fixed-width rows_scanned on the real corpus's Modal_Price). */
+  def zorderQuantile(
+      df: DataFrame,
+      dims: Seq[String],
+      numFiles: Int,
+      bits: Int = 8): DataFrame = {
+    val buckets = dims.map { c =>
+      val bs = approxQuantileBoundaries(df, c, bits)
+      quantileBucket(col(c).cast("double"), bs.map(lit(_).cast("double")))
+    }
+    df.withColumn("__z", zvalue(buckets, bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

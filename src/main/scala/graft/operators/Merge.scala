@@ -108,6 +108,67 @@ object Merge {
         col(c).cast(aggView.schema(c).dataType).as(c)): _*)
   }
 
+  /** Incremental view maintenance WITH non-retractable aggregates
+    * (MIN/MAX): the touched-group recompute-and-splice path.
+    *
+    * SUM/COUNT are retractable — a delete subtracts — so
+    * [[incrementalRefresh]] never needs the base table. MIN/MAX are not:
+    * deleting the row holding a group's max says nothing about the new
+    * max without looking at the group again. The standard fix: recompute
+    * ONLY the groups the change set touches (a scan of `newBase`
+    * semi-joined to the touched dim keys — prunable at the source when
+    * the dims are partition/cluster columns) and splice the recomputed
+    * rows over the old view, streaming every untouched view row through
+    * unchanged. Groups whose last row was deleted vanish, exactly as a
+    * full recompute would drop them.
+    *
+    * Cost at scale: |untouched view| + one keyed sub-scan of the base
+    * for |touched groups| — still never a full-table re-aggregation, and
+    * the touched key set is typically tiny and broadcast. Refresh ≡
+    * recompute is oracle-checked (q148) and property-tested with deletes
+    * that hit the group max (MaintenanceSpec).
+    *
+    * @param aggView the materialized aggregate:
+    *                `dims ++ (cnt, sums…, mins…, maxs…)`
+    * @param newBase the base table AFTER the change set was applied
+    * @param diff    output of [[diffSnapshots]] over the base table
+    * @param dims    grouping columns (names in `aggView`, fields inside
+    *                diff's old/new structs, columns of `newBase`)
+    * @param cnt     name of the count(*) column in `aggView`
+    * @param sums    measure name → aggView sum-column name
+    * @param mins    measure name → aggView min-column name
+    * @param maxs    measure name → aggView max-column name
+    */
+  def incrementalRefreshWithExtrema(
+      aggView: DataFrame,
+      newBase: DataFrame,
+      diff: DataFrame,
+      dims: Seq[String],
+      cnt: String,
+      sums: Map[String, String],
+      mins: Map[String, String],
+      maxs: Map[String, String]): DataFrame = {
+    val viewCols = dims ++ (cnt +: (sums.values.toSeq ++ mins.values.toSeq ++ maxs.values.toSeq))
+    def sideDims(side: String) = diff
+      .filter(col(side).isNotNull)
+      .select(dims.map(d => col(s"$side.$d").as(d)): _*)
+    val touched = sideDims("old").unionByName(sideDims("new")).distinct()
+    val untouched = aggView
+      .select(viewCols.map(col): _*)
+      .join(touched, dims, "left_anti")
+    val recomputed = newBase
+      .join(touched, dims, "left_semi")
+      .groupBy(dims.map(col): _*)
+      .agg(
+        count(lit(1)).cast(aggView.schema(cnt).dataType).as(cnt),
+        (sums.toSeq.map { case (m, a) =>
+          sum(col(m)).cast(aggView.schema(a).dataType).as(a)
+        } ++ mins.toSeq.map { case (m, a) => min(col(m)).as(a) } ++
+          maxs.toSeq.map { case (m, a) => max(col(m)).as(a) }): _*)
+      .select(viewCols.map(col): _*)
+    untouched.unionByName(recomputed)
+  }
+
   /** Change-data capture between two snapshots of a keyed table: one row
     * per differing key with `op` ∈ insert | update | delete, the key
     * columns, and the full before/after rows as structs (`old`, `new`;

@@ -31,6 +31,10 @@ object Sampling {
     * O(groups x k) no matter how large the table — the row_number()
     * window formulation this replaces sorts EVERY row of every group.
     * Output: groupCols ++ (idCol, rk) with rk in 1..k by hash order.
+    * Duplicate ids within a group occupy separate sample slots (same as
+    * the row_number oracle); feed unique ids per group — which any real
+    * id column is — for agreement with the deduping streaming twin
+    * (StreamingJobs.samplerBottomK).
     */
   def bottomK(
       df: DataFrame,
@@ -50,13 +54,20 @@ object Sampling {
         (col("__pos") + 1).cast("int").as("rk")): _*)
   }
 
-  /** Deterministic weighted sample: global bottom-k over rows replicated
-    * `weight` times (integer weights), hashing (seed, id, replica). A row
-    * with weight w gets w lottery tickets, so inclusion probability is
-    * ∝ w while staying a pure function of the seed. The explode is
-    * scan-stage (no shuffle); the global top-k is a TakeOrdered — partial
-    * top-k per partition, k rows to the driver — never a full sort.
-    * Output: (idCol, replica, h) for the k winning tickets, ascending h.
+  /** Deterministic weighted sample by TICKET REPLICATION: global bottom-k
+    * over rows replicated `weight` times (positive integer weights),
+    * hashing (seed, id, replica). A row with weight w gets w lottery
+    * tickets, which approximates probability-proportional-to-size — the
+    * proportionality is exact only at k = 1; for k > 1 multi-ticket rows
+    * are mildly over-included relative to strict PPS (a row can win with
+    * any of its tickets). For exact one-ticket-per-row weighted sampling
+    * with fractional weights, use [[weightedBottomK]]. Rows with
+    * weight < 1 get no tickets and are excluded (a bare
+    * `sequence(1, w)` would DESCEND for w < 1 and mint phantom tickets).
+    * The explode is scan-stage (no shuffle); the global top-k is a
+    * TakeOrdered — partial top-k per partition, k rows to the driver —
+    * never a full sort. Output: (idCol, replica, h) for the k winning
+    * tickets, ascending h.
     */
   def weightedSample(
       df: DataFrame,
@@ -65,6 +76,7 @@ object Sampling {
       k: Int,
       seed: String): DataFrame = {
     val replicated = df
+      .filter(weightCol >= 1)
       .select(col(idCol), explode(sequence(lit(1), weightCol.cast("int"))).as("replica"))
     replicated
       .withColumn("h",
@@ -72,5 +84,55 @@ object Sampling {
           lit(":"), col("replica").cast("string"))))
       .orderBy("h", idCol, "replica")
       .limit(k)
+  }
+
+  /** Exact weighted sampling with ONE ticket per row and fractional
+    * weights welcome: Efraimidis–Spirakis order sampling. Each row draws
+    * the uniform `u = (hash60(seed, id) + 1) / 2^60 ∈ (0, 1]` and the key
+    * `-ln(u) / w` — an Exponential(rate = w) variate, so the k smallest
+    * keys per group are the weighted-without-replacement sample in which
+    * every successive draw selects a row with probability proportional to
+    * its weight among the rows remaining (Efraimidis & Spirakis 2006,
+    * in the equivalent `u^(1/w)` max-key form). At k = 1 inclusion
+    * probability is exactly w / Σw; no ticket replication, so a
+    * weight-1000.5 row costs the same one ticket as a weight-1 row.
+    *
+    * Like [[bottomK]] this rides the native `graft_bottom_k` aggregate:
+    * each map task ships at most k (key, id) pairs per group, O(groups×k)
+    * shuffle whatever the table size, and the sample is a pure function
+    * of (seed, data) — reproducible across runs, engines and
+    * partitionings. The minimum-key order (hence membership AND rank) is
+    * replayable in SQL from the same hash arithmetic; ln() may wobble by
+    * 1 ulp between engines, astronomically below the typical gap between
+    * adjacent keys, so rank outputs compare exactly (q147's oracle).
+    *
+    * Rows with weight <= 0 (or null weight/id) are excluded — zero weight
+    * means "never sample me", and a negative rate has no Exponential.
+    * Output: groupCols ++ (idCol, rk) with rk in 1..k by key order.
+    */
+  def weightedBottomK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      weightCol: Column,
+      k: Int,
+      seed: String): DataFrame = {
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    // (h + 1) as INTEGER first, then one cast: 2^60 > 2^53, so
+    // cast-then-add would round differently than add-then-cast, and the
+    // oracle must replay the exact same order of operations. Dividing by
+    // 2^60 is exact (power of two — exponent shift, no rounding).
+    val u = (hash60(seed, col(idCol)) + lit(1L)).cast("double") /
+      lit((1L << 60).toDouble)
+    val key = -log(u) / weightCol.cast("double")
+    val picked = df
+      .filter(weightCol > 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(call_function("graft_bottom_k", key, col(idCol), lit(k)).as("__bk"))
+    picked
+      .select(groupCols.map(col) :+ posexplode(col("__bk")).as(Seq("__pos", "__kv")): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("__kv.v").as(idCol),
+        (col("__pos") + 1).cast("int").as("rk")): _*)
   }
 }

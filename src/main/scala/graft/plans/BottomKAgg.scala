@@ -5,87 +5,132 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
-/** Exact bottom-k aggregate: `graft_bottom_k(keyCol, payloadCol, k)` keeps
-  * the k smallest `(key, payload)` pairs per group, ordered
-  * lexicographically. Output is `array<struct<k: long, v: long>>`, sorted
-  * ascending — deterministic whatever the row arrival order.
+/** Exact bottom-k aggregate: `graft_bottom_k(keyCol, payloadCol, k[, desc])`
+  * keeps the k smallest `(key, payload)` pairs per group — or the k
+  * LARGEST keys with `desc = true` — ordered by key then payload. Key and
+  * payload may be ANY orderable Catalyst type (numeric, string, date,
+  * struct, array of orderables…); output is
+  * `array<struct<k: keyType, v: payloadType>>` in rank order —
+  * deterministic whatever the row arrival order.
   *
   * This is the one-shuffle scale path for coordinated (consistent)
-  * sampling: with `key = hash(seed, id)` the k smallest hashes per group
-  * ARE a uniform random sample of the group that (a) is reproducible from
-  * the seed alone, (b) needs no per-group count or second pass, and
-  * (c) composes across engines and across time — two tables sampled with
-  * the same seed pick the same ids, so samples can be joined (Broder-style
-  * bottom-k / consistent sketch sampling). The alternative — a
-  * row_number() window over the hash order — must shuffle and SORT every
-  * row of every group; this aggregate ships at most k pairs per group out
-  * of each map task (partial aggregation applies), so the shuffle is
-  * O(groups x k) regardless of table size. The driver oracle (q134) proves
-  * the two formulations row-identical.
+  * sampling AND for grouped top-k: with `key = hash(seed, id)` the k
+  * smallest hashes per group ARE a uniform random sample of the group
+  * that (a) is reproducible from the seed alone, (b) needs no per-group
+  * count or second pass, and (c) composes across engines and across time
+  * — two tables sampled with the same seed pick the same ids, so samples
+  * can be joined (Broder-style bottom-k / consistent sketch sampling).
+  * With `key = <metric>, desc = true` it is grouped top-k-by-metric in a
+  * single aggregate. The alternative — a row_number() window over the
+  * order — must shuffle and SORT every row of every group; this aggregate
+  * ships at most k pairs per group out of each map task (partial
+  * aggregation applies), so the shuffle is O(groups x k) regardless of
+  * table size. The driver oracles (q134, q145, q146) prove the two
+  * formulations row-identical.
   *
-  * Buffer is a bounded binary max-heap keyed on the lexicographic pair
-  * order: insert when under k, else replace-max when smaller — O(log k)
-  * per row, O(k) memory, merge = replay the smaller heap into the larger.
+  * Buffer is a bounded max-heap (head = worst kept pair) under the
+  * (key, payload) order: insert when under k, else replace-worst when
+  * smaller — O(log k) per row, O(k) memory; merge replays the smaller
+  * heap into the larger. Null keys/payloads are ignored (an aggregate
+  * input with no rank is not a candidate).
   */
 case class BottomKAgg(
     keyExpr: Expression,
     payloadExpr: Expression,
     k: Int,
+    desc: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[BottomKAgg.Heap] {
+    extends TypedImperativeAggregate[BottomKAgg.Buf] {
 
   require(k > 0, "k must be positive")
 
   override def children: Seq[Expression] = Seq(keyExpr, payloadExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
-    StructType(Seq(StructField("k", LongType, nullable = false),
-      StructField("v", LongType, nullable = false))),
+    StructType(Seq(StructField("k", keyExpr.dataType, nullable = false),
+      StructField("v", payloadExpr.dataType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): BottomKAgg.Heap = new BottomKAgg.Heap(k)
+  /** Any orderable type is accepted; a non-orderable one (map, binary
+    * payloads aside) fails ANALYSIS, not execution — no blind casts. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val kc = TypeUtils.checkForOrderingExpr(keyExpr.dataType, prettyName)
+    if (kc.isFailure) kc
+    else TypeUtils.checkForOrderingExpr(payloadExpr.dataType, prettyName)
+  }
 
-  override def update(buf: BottomKAgg.Heap, input: InternalRow): BottomKAgg.Heap = {
+  @transient private lazy val pairOrd: Ordering[(Any, Any)] =
+    BottomKAgg.pairOrdering(keyExpr.dataType, payloadExpr.dataType, desc)
+  @transient private lazy val pairProj: UnsafeProjection =
+    UnsafeProjection.create(Array(keyExpr.dataType, payloadExpr.dataType))
+  @transient private lazy val serRow: InternalRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+
+  override def createAggregationBuffer(): BottomKAgg.Buf =
+    new BottomKAgg.Buf(k, pairOrd)
+
+  override def update(buf: BottomKAgg.Buf, input: InternalRow): BottomKAgg.Buf = {
     val kv = keyExpr.eval(input)
-    val pv = payloadExpr.eval(input)
-    if (kv != null && pv != null) buf.offer(kv.asInstanceOf[Long], pv.asInstanceOf[Long])
+    if (kv != null) {
+      val pv = payloadExpr.eval(input)
+      // copy AFTER the cheap bound check: most rows lose to the heap's
+      // worst pair and never need their values copied out of the scan row
+      if (pv != null) buf.offer(kv, pv, InternalRow.copyValue)
+    }
     buf
   }
 
-  override def merge(b1: BottomKAgg.Heap, b2: BottomKAgg.Heap): BottomKAgg.Heap = {
-    b2.foreachPair((key, v) => b1.offer(key, v))
-    b1
+  override def merge(b1: BottomKAgg.Buf, b2: BottomKAgg.Buf): BottomKAgg.Buf = {
+    // replay the smaller heap into the larger: min(n1, n2) O(log k) offers
+    val (big, small) = if (b1.size >= b2.size) (b1, b2) else (b2, b1)
+    small.foreachPair((key, v) => big.offer(key, v, identity))
+    big
   }
 
-  override def eval(buf: BottomKAgg.Heap): Any = {
-    val rows = buf.sortedPairs.map { case (key, v) =>
-      InternalRow(key, v)
-    }
+  override def eval(buf: BottomKAgg.Buf): Any = {
+    val rows = buf.sortedPairs.map { case (key, v) => InternalRow(key, v) }
     new GenericArrayData(rows.toArray[Any])
   }
 
-  override def serialize(buf: BottomKAgg.Heap): Array[Byte] = {
+  override def serialize(buf: BottomKAgg.Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    val pairs = buf.sortedPairs
-    out.writeInt(pairs.length)
-    pairs.foreach { case (key, v) => out.writeLong(key); out.writeLong(v) }
+    out.writeInt(buf.size)
+    buf.foreachPair { (key, v) =>
+      serRow.update(0, key); serRow.update(1, v)
+      val bytes = pairProj(serRow).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): BottomKAgg.Heap = {
+  override def deserialize(bytes: Array[Byte]): BottomKAgg.Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val heap = new BottomKAgg.Heap(k)
-    (1 to n).foreach(_ => heap.offer(in.readLong(), in.readLong()))
-    heap
+    val buf = createAggregationBuffer()
+    val row = new UnsafeRow(2)
+    (1 to n).foreach { _ =>
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      row.pointTo(rowBytes, len)
+      // values read from an UnsafeRow alias its byte buffer; copyValue
+      // detaches them (each row has its own freshly-read array, but the
+      // heap outlives `row`, so detach defensively)
+      buf.offer(
+        InternalRow.copyValue(row.get(0, keyExpr.dataType)),
+        InternalRow.copyValue(row.get(1, payloadExpr.dataType)),
+        identity)
+    }
+    buf
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): BottomKAgg =
@@ -100,49 +145,46 @@ case class BottomKAgg(
 
 object BottomKAgg {
 
-  /** Bounded max-heap of (key, payload) pairs under lexicographic order,
-    * backed by two parallel long arrays (no boxing on the hot path). */
-  final class Heap(k: Int) {
-    private val keys = new Array[Long](k)
-    private val vals = new Array[Long](k)
-    private var n = 0
+  /** The aggregate's rank order: key first (reversed under `desc`), the
+    * payload as the always-ascending tie-break — interpreted orderings
+    * over the dynamic Catalyst types. */
+  def pairOrdering(
+      keyType: DataType,
+      payloadType: DataType,
+      desc: Boolean = false): Ordering[(Any, Any)] = {
+    val keyBase = TypeUtils.getInterpretedOrdering(keyType)
+    val keyOrd = if (desc) keyBase.reverse else keyBase
+    val payloadOrd = TypeUtils.getInterpretedOrdering(payloadType)
+    new Ordering[(Any, Any)] {
+      override def compare(a: (Any, Any), b: (Any, Any)): Int = {
+        val c = keyOrd.compare(a._1, b._1)
+        if (c != 0) c else payloadOrd.compare(a._2, b._2)
+      }
+    }
+  }
 
-    @inline private def less(k1: Long, v1: Long, k2: Long, v2: Long): Boolean =
-      k1 < k2 || (k1 == k2 && v1 < v2)
+  /** Bounded "keep the k best pairs" buffer: a max-heap under `ord` whose
+    * head is the WORST kept pair, so admission is one comparison and
+    * replacement is O(log k). Values are copied (via `copy`) only when a
+    * pair is actually admitted. */
+  final class Buf(k: Int, ord: Ordering[(Any, Any)]) {
+    private val heap = mutable.PriorityQueue.empty[(Any, Any)](ord)
 
-    def offer(key: Long, v: Long): Unit = {
-      if (n < k) {
-        keys(n) = key; vals(n) = v; n += 1
-        var i = n - 1 // sift up
-        while (i > 0 && less(keys((i - 1) / 2), vals((i - 1) / 2), keys(i), vals(i))) {
-          swap(i, (i - 1) / 2); i = (i - 1) / 2
-        }
-      } else if (less(key, v, keys(0), vals(0))) {
-        keys(0) = key; vals(0) = v
-        var i = 0 // sift down
-        var done = false
-        while (!done) {
-          val l = 2 * i + 1; val r = 2 * i + 2
-          var big = i
-          if (l < n && less(keys(big), vals(big), keys(l), vals(l))) big = l
-          if (r < n && less(keys(big), vals(big), keys(r), vals(r))) big = r
-          if (big == i) done = true else { swap(i, big); i = big }
-        }
+    def size: Int = heap.size
+
+    def offer(key: Any, v: Any, copy: Any => Any): Unit = {
+      if (heap.size < k) {
+        heap.enqueue((copy(key), copy(v)))
+      } else if (ord.compare((key, v), heap.head) < 0) {
+        heap.dequeue()
+        heap.enqueue((copy(key), copy(v)))
       }
     }
 
-    @inline private def swap(i: Int, j: Int): Unit = {
-      val tk = keys(i); keys(i) = keys(j); keys(j) = tk
-      val tv = vals(i); vals(i) = vals(j); vals(j) = tv
-    }
+    def foreachPair(f: (Any, Any) => Unit): Unit =
+      heap.foreach { case (key, v) => f(key, v) }
 
-    def foreachPair(f: (Long, Long) => Unit): Unit = {
-      var i = 0
-      while (i < n) { f(keys(i), vals(i)); i += 1 }
-    }
-
-    /** Pairs in ascending lexicographic order (the deterministic output). */
-    def sortedPairs: Seq[(Long, Long)] =
-      (0 until n).map(i => (keys(i), vals(i))).sortBy(identity)
+    /** Pairs in ascending rank order (the deterministic output). */
+    def sortedPairs: Seq[(Any, Any)] = heap.toSeq.sorted(ord)
   }
 }

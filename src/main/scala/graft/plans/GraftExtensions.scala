@@ -108,16 +108,20 @@ object GraftExtensions {
       TDigestAgg(children.head, ps).toAggregateExpression()
     })
 
-  /** graft_bottom_k(keyCol, payloadCol, k) — k smallest (key, payload)
-    * pairs per group, the one-shuffle coordinated-sampling kernel. */
+  /** graft_bottom_k(keyCol, payloadCol, k[, desc]) — k smallest (or, with
+    * desc = true, largest) (key, payload) pairs per group over any
+    * orderable key/payload types: the one-shuffle coordinated-sampling
+    * and grouped-top-k kernel. */
   val bottomKFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_bottom_k"),
     new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottom_k"),
     (children: Seq[Expression]) => children match {
       case Seq(key, payload, Literal(k: Int, _)) =>
         BottomKAgg(key, payload, k).toAggregateExpression()
+      case Seq(key, payload, Literal(k: Int, _), Literal(desc: Boolean, _)) =>
+        BottomKAgg(key, payload, k, desc).toAggregateExpression()
       case _ => throw new IllegalArgumentException(
-        "graft_bottom_k takes (keyCol, payloadCol, k: int literal)")
+        "graft_bottom_k takes (keyCol, payloadCol, k: int literal[, desc: boolean literal])")
     })
 
   /** graft_hll(hash60Col) — HyperLogLog register array (64 ints). */

@@ -289,6 +289,91 @@ object AgriQueries {
         WHERE k >= 14
           AND CAST(k * p - sp AS HUGEINT) * CAST(k * p - sp AS HUGEINT)
               > 4 * CAST(k * spp - sp * sp AS HUGEINT)
-        ORDER BY commodity, arrival_date"""))
+        ORDER BY commodity, arrival_date""")),
+
+    // Quantile vs fixed-width z-order A/B on the corpus's skewed
+    // Modal_Price (min 1 / median ~824 / max 53,393): the same Morton
+    // interleave over (price bucket, arrival-day bucket), once with
+    // equal-WIDTH price buckets over [0, 60000) — which collapse, most
+    // of the mass lands in bucket 0 — and once with equal-DEPTH
+    // boundaries from the exact value-deterministic quantile derivation
+    // (Layout.exactQuantileBoundaries: b_j = min{v : 16·cum(v) ≥ j·n},
+    // integer thresholds over distinct values, no rank tie-breaks, so
+    // DuckDB replays it bit-for-bit). A rupee-band predicate
+    // p ∈ [500, 1000] then reads strictly fewer rows off the quantile
+    // layout's zone stats — the I/O arithmetic behind zorderQuantile,
+    // proved cross-engine, asserted in-data by the final boolean.
+    Q(
+      "q150_zorder_quantile_skip",
+      (s, _) => {
+        import graft.operators.Layout
+        val c = Corpus(s).select(
+          col("modal_price").as("v"),
+          unix_date(col("arrival_date")).cast(LongType).as("day"),
+          floor(col("modal_price")).cast(LongType).as("p"))
+        val bRow = Layout.exactQuantileBoundaries(c, "v", 4)
+        val withB = c.crossJoin(broadcast(bRow))
+        val qb = Layout.quantileBucket(col("v"), (1 to 15).map(j => col(s"b$j")))
+        val fw = Layout.widthBucket(col("p"), 0L, 59999L, 4)
+        val dy = Layout.widthBucket(col("day"), 11323L, 20453L, 4)
+        val zq = Layout.zvalue(Seq(qb, dy), 4)
+        val zf = Layout.zvalue(Seq(fw, dy), 4)
+        val sf = Layout
+          .skipSummary(withB.select(zf.as("z"), col("p")), col("z"), col("p"), 500L, 1000L)
+          .select(col("zones_total").as("zones_total_fw"),
+            col("zones_scanned").as("zones_scanned_fw"),
+            col("rows_scanned").as("rows_scanned_fw"),
+            col("rows_total"), col("rows_matching"))
+        val sq = Layout
+          .skipSummary(withB.select(zq.as("z"), col("p")), col("z"), col("p"), 500L, 1000L)
+          .select(col("zones_total").as("zones_total_qb"),
+            col("zones_scanned").as("zones_scanned_qb"),
+            col("rows_scanned").as("rows_scanned_qb"))
+        sf.crossJoin(sq)
+          .withColumn("quantile_strictly_better",
+            col("rows_scanned_qb") < col("rows_scanned_fw"))
+      },
+      Some(s"""
+        WITH $OCORPUS,
+        c AS (
+          SELECT modal_price AS v,
+                 datediff('day', DATE '1970-01-01', arrival_date) AS day,
+                 CAST(floor(modal_price) AS BIGINT) AS p
+          FROM corpus),
+        pv AS (SELECT v, COUNT(*) AS cnt FROM c GROUP BY 1),
+        cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM pv),
+        n AS (SELECT COUNT(*) AS n FROM c),
+        b AS (SELECT ${(1 to 15).map(j =>
+            s"MIN(CASE WHEN cum * 16 >= n * $j THEN v END) AS b$j").mkString(", ")}
+              FROM cum, n),
+        z AS (
+          SELECT ${(1 to 15).map(j => s"(CASE WHEN v >= b$j THEN 1 ELSE 0 END)").mkString(" + ")} AS qb,
+                 least(15, greatest(0, (p * 16) // 60000)) AS fw,
+                 least(15, greatest(0, ((day - 11323) * 16) // 9131)) AS dy,
+                 p
+          FROM c, b),
+        zz AS (
+          SELECT ${(0 to 3).map(i => s"(((qb >> $i) & 1) << ${2 * i}) | (((dy >> $i) & 1) << ${2 * i + 1})").mkString(" | ")} AS zq,
+                 ${(0 to 3).map(i => s"(((fw >> $i) & 1) << ${2 * i}) | (((dy >> $i) & 1) << ${2 * i + 1})").mkString(" | ")} AS zf,
+                 p
+          FROM z),
+        stf AS (SELECT zf, MIN(p) AS zmin, MAX(p) AS zmax, COUNT(*) AS zrows,
+                       SUM(CASE WHEN p BETWEEN 500 AND 1000 THEN 1 ELSE 0 END) AS zmatch
+                FROM zz GROUP BY zf),
+        stq AS (SELECT zq, MIN(p) AS zmin, MAX(p) AS zmax, COUNT(*) AS zrows
+                FROM zz GROUP BY zq),
+        sumf AS (SELECT CAST(COUNT(*) AS BIGINT) AS zones_total_fw,
+                        CAST(SUM(CASE WHEN zmax >= 500 AND zmin <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned_fw,
+                        CAST(SUM(CASE WHEN zmax >= 500 AND zmin <= 1000 THEN zrows ELSE 0 END) AS BIGINT) AS rows_scanned_fw,
+                        CAST(SUM(zrows) AS BIGINT) AS rows_total,
+                        CAST(SUM(zmatch) AS BIGINT) AS rows_matching
+                 FROM stf),
+        sumq AS (SELECT CAST(COUNT(*) AS BIGINT) AS zones_total_qb,
+                        CAST(SUM(CASE WHEN zmax >= 500 AND zmin <= 1000 THEN 1 ELSE 0 END) AS BIGINT) AS zones_scanned_qb,
+                        CAST(SUM(CASE WHEN zmax >= 500 AND zmin <= 1000 THEN zrows ELSE 0 END) AS BIGINT) AS rows_scanned_qb
+                 FROM stq)
+        SELECT sumf.*, sumq.*,
+               (rows_scanned_qb < rows_scanned_fw) AS quantile_strictly_better
+        FROM sumf, sumq"""))
   )
 }

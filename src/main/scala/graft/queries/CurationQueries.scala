@@ -295,6 +295,66 @@ object CurationQueries {
         GROUP BY l_returnflag
         ORDER BY l_returnflag""")),
 
+    // The 100 TB tier of q141 MADE REAL: trimmed mean from t-digest
+    // thresholds — two partial-agg'd passes, zero window sorts (pinned in
+    // TrimmedMeanSpec). The exact rank-trim (q141's window arithmetic,
+    // integer-exact cross-engine) rides along as the anchor; the sketch
+    // tier must land within 2% of it, reported as tolerance booleans
+    // (q104/q109's contract — sketch picks are engine-specific, so the
+    // oracle asserts the anchor exactly and the booleans as TRUE).
+    Q(
+      "q149_trimmed_mean_approx",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+            col("l_orderkey"), col("l_linenumber"))
+        // exact rank-trim anchor (q141's arithmetic)
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy(col("q"), col("l_orderkey"), col("l_linenumber"))
+        val exact = li
+          .withColumn("r", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("l_returnflag")))
+          .filter(col("r") > floor(col("n") * 5 / 100) &&
+            col("r") <= col("n") - floor(col("n") * 5 / 100))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("kept_exact"), sum(col("q")).as("qsum"))
+          .withColumn("mean_e6", expr("qsum * 1000000 div kept_exact"))
+        // sketch tier: no window, no sort
+        val approx = graft.operators.RobustStats
+          .trimmedMeanApprox(li, Seq("l_returnflag"), "q", 0.05)
+          .select(col("l_returnflag"), col("kept").as("kept_approx"),
+            col("trimmed_mean"))
+        // kept band is asymmetric: a THRESHOLD trim keeps every row tied
+        // with the boundary values, and l_quantity has only 50 distinct
+        // values (~2% tie mass each), so the sketch tier structurally
+        // keeps up to ~2×2% more rows than the rank trim — [0.98, 1.06]
+        // covers sketch error plus that tie mass, and the mean still has
+        // to land within 2%
+        exact.join(approx, "l_returnflag")
+          .select(col("l_returnflag"), col("kept_exact"), col("mean_e6"),
+            (abs(col("trimmed_mean") - col("qsum").cast("double") / col("kept_exact")) /
+              (col("qsum").cast("double") / col("kept_exact")) <= 0.02).as("mean_ok"),
+            (col("kept_approx").cast("double") / col("kept_exact"))
+              .between(0.98, 1.06).as("kept_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q,
+                 ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                   ORDER BY CAST(l_quantity AS BIGINT), l_orderkey, l_linenumber) AS r,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS kept_exact,
+               CAST(SUM(q) * 1000000 // COUNT(*) AS BIGINT) AS mean_e6,
+               TRUE AS mean_ok,
+               TRUE AS kept_ok
+        FROM ranked
+        WHERE r > n * 5 // 100 AND r <= n - n * 5 // 100
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag""")),
+
     // Dedup threshold tuning curve: for each candidate cosine cutoff
     // t/10, how many near-dup pairs fire and how many documents are
     // touched — the curve an operator reads before committing a dedup
@@ -354,6 +414,14 @@ object CurationQueries {
     // Scale shape: a broadcast count scalar + two fingerprint equi-joins;
     // precondition is dense ids (at scale, substitute a row_number-ranked
     // id once per corpus version).
+    //
+    // Distribution caveat: `hash60 % n` carries the standard modulo bias
+    // — residues below 2^60 mod n are hit ⌈2^60/n⌉ times vs ⌊2^60/n⌋ —
+    // a relative skew of n/2^60 (~4e-16 at n≈500; still <1e-9 at
+    // n=10^9), so DETERMINISM of the draw is exact while UNIFORMITY is
+    // approximate to that vanishing degree. If exactness of the
+    // distribution ever matters, reject-and-rehash the top partial range
+    // (hash >= n·⌊2^60/n⌋ → rehash with the slot salt bumped).
     Q(
       "q144_negative_samples",
       (s, dir) => {
@@ -393,11 +461,11 @@ object CurationQueries {
         ORDER BY anchor, slot""")),
 
     // Grouped top-k as ONE aggregate — graft_bottom_k with a metric key
-    // instead of a hash: the 3 longest docs per language, via key =
-    // −n_chars (smallest negated length = largest length, ties on the
-    // smaller doc_id as payload order). Same O(groups × k) shuffle story
-    // as q134; the oracle is the window-sort formulation that would sort
-    // every row of every group.
+    // instead of a hash: the 3 longest docs per language, natively via
+    // the desc flag (largest keys win; ties rank the smaller doc_id
+    // first through the ascending payload order). Same O(groups × k)
+    // shuffle story as q134; the oracle is the window-sort formulation
+    // that would sort every row of every group.
     Q(
       "q145_grouped_topk",
       (s, dir) => {
@@ -405,11 +473,11 @@ object CurationQueries {
         val picked = Tables.documents(s, dir)
           .groupBy(col("lang"))
           .agg(call_function("graft_bottom_k",
-            -col("n_chars"), col("doc_id"), lit(3)).as("bk"))
+            col("n_chars"), col("doc_id"), lit(3), lit(true)).as("bk"))
         picked
           .select(col("lang"), posexplode(col("bk")).as(Seq("pos", "kv")))
           .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
-            col("kv.v").as("doc_id"), (-col("kv.k")).as("n_chars"))
+            col("kv.v").as("doc_id"), col("kv.k").as("n_chars"))
           .orderBy("lang", "rk")
       },
       Some("""
@@ -418,6 +486,40 @@ object CurationQueries {
           SELECT lang, doc_id, n_chars,
                  CAST(ROW_NUMBER() OVER (
                    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rk
+          FROM documents)
+        WHERE rk <= 3
+        ORDER BY lang, rk""")),
+
+    // graft_bottom_k over NON-numeric types: a STRING key (2-hex-char
+    // content-hash bucket, so key ties are common) ranked with a STRUCT
+    // payload (doc_id, n_chars) breaking them — proving the generic
+    // aggregate's interpreted orderings (UTF8String binary order, struct
+    // field-lexicographic order) agree with the oracle's collation,
+    // which is what lets string-keyed top-k ride the same O(groups × k)
+    // shuffle as the numeric tiers.
+    Q(
+      "q146_grouped_topk_str",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val d = Tables.documents(s, dir)
+          .select(col("lang"), substring(md5(col("text")), 1, 2).as("hb"),
+            col("doc_id"), col("n_chars"))
+        d.groupBy("lang")
+          .agg(call_function("graft_bottom_k", col("hb"),
+            struct(col("doc_id"), col("n_chars")), lit(3)).as("bk"))
+          .select(col("lang"), posexplode(col("bk")).as(Seq("pos", "kv")))
+          .select(col("lang"), (col("pos") + 1).cast("int").as("rk"),
+            col("kv.k").as("hb"), col("kv.v.doc_id").as("doc_id"),
+            col("kv.v.n_chars").as("n_chars"))
+          .orderBy("lang", "rk")
+      },
+      Some("""
+        SELECT lang, rk, hb, doc_id, n_chars
+        FROM (
+          SELECT lang, substr(md5(text), 1, 2) AS hb, doc_id, n_chars,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(text), 1, 2), doc_id) AS INT) AS rk
           FROM documents)
         WHERE rk <= 3
         ORDER BY lang, rk""")),

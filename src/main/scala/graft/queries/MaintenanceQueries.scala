@@ -141,6 +141,37 @@ object MaintenanceQueries {
         GROUP BY o_orderstatus
         ORDER BY o_orderstatus""")),
 
+    // IVM with NON-retractable aggregates: the rollup now carries
+    // MIN/MAX(o_totalprice), which a delete can invalidate (the deleted
+    // row may HOLD the max). Refresh = retained view rows + recompute of
+    // only the diff-touched groups from the merged base, spliced — and
+    // must still hash-match DuckDB recomputing the whole rollup. The
+    // change set deletes every 19th key, so group maxima are hit at
+    // sf0.01 with certainty.
+    Q(
+      "q148_incremental_minmax",
+      (s, dir) => {
+        val (o, merged) = mergedOrders(s, dir)
+        val baseView = o.groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+        val diff = graft.operators.Merge.diffSnapshots(o, merged, Seq("o_orderkey"))
+        graft.operators.Merge.incrementalRefreshWithExtrema(
+            baseView, merged, diff, Seq("o_orderstatus"),
+            "n", Map("o_custkey" -> "cust_sum"),
+            Map("o_totalprice" -> "min_price"), Map("o_totalprice" -> "max_price"))
+          .orderBy("o_orderstatus")
+      },
+      Some(s"""$mergedSql
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+               MIN(o_totalprice) AS min_price,
+               MAX(o_totalprice) AS max_price
+        FROM merged
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus""")),
+
     // Z-order (Morton) clustering arithmetic: the z-value histogram of
     // orders over (custkey, order epoch-day), 4 bits per dim over fixed
     // frames — integer-exact cross-engine, proving the interleave that

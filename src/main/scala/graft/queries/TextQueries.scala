@@ -643,6 +643,57 @@ object TextQueries {
         FROM per_src, tot
         ORDER BY source""")),
 
+    // Domain-mix subset draw — q115's ppm weights CONSUMED: an exact
+    // Efraimidis–Spirakis one-ticket-per-row weighted sample of documents
+    // with fractional weight = weight_ppm / 1e6 (over-sampled sources get
+    // weight < 1, which ticket replication cannot express). Key = -ln(u)/w
+    // on the hash-derived uniform; the oracle replays the identical
+    // arithmetic (integer hash + 1 → double → exact 2^60 scale → ln) and
+    // compares RANKS, which absorb the ≤1-ulp cross-engine ln wobble.
+    Q(
+      "q147_weighted_subset_es",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val perSrc = docs
+          .select(col("source"), size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+          .groupBy("source")
+          .agg(sum("n_tokens").as("src_tokens"))
+        val nSrc = perSrc.select(count(lit(1)).as("n_src"), sum("src_tokens").as("total_tokens"))
+        val w = perSrc.crossJoin(broadcast(nSrc))
+          .select(col("source"),
+            expr("(total_tokens * 1000000) DIV (n_src * src_tokens)").as("weight_ppm"))
+        val weighted = docs.select(col("doc_id"), col("source"))
+          .join(broadcast(w), "source")
+        val sampled = graft.operators.Sampling.weightedBottomK(
+          weighted, Nil, "doc_id",
+          col("weight_ppm").cast("double") / 1000000.0, 25, "s147")
+        sampled
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy("rk")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        per_src AS (SELECT d.source, CAST(SUM(len(t.ts)) AS BIGINT) AS src_tokens
+                    FROM documents d JOIN toks t USING (doc_id)
+                    GROUP BY 1),
+        tot AS (SELECT COUNT(*) AS n_src, CAST(SUM(src_tokens) AS BIGINT) AS total_tokens
+                FROM per_src),
+        w AS (SELECT source, (total_tokens * 1000000) // (n_src * src_tokens) AS weight_ppm
+              FROM per_src, tot),
+        keyed AS (
+          SELECT d.doc_id, d.source,
+                 -ln(CAST(${ohash("s147", "CAST(d.doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                     / 1152921504606846976.0)
+                   / (w.weight_ppm / 1000000.0) AS ky
+          FROM documents d JOIN w USING (source)
+          WHERE w.weight_ppm > 0),
+        r AS (SELECT doc_id, source,
+                     CAST(ROW_NUMBER() OVER (ORDER BY ky, doc_id) AS INT) AS rk
+              FROM keyed)
+        SELECT doc_id, source, rk FROM r WHERE rk <= 25
+        ORDER BY rk""")),
+
     // B42 retrieval: BM25 (k1=1.2, b=0.75) for a fixed 3-term query.
     // tf comes from one explode -> filter(term set, pushed to the scan) ->
     // partial-agg count; df and the corpus stats are two tiny aggregates

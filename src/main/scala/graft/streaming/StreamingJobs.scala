@@ -355,6 +355,14 @@ object StreamingJobs {
     * sample membership in hash (rank) order. `h` is the caller-computed
     * portable hash (GraftFunctions.hash60(seed, id)), keeping the
     * seed-reproducibility contract identical to the batch operator.
+    *
+    * Input contract: rows must be UNIQUE per (grp, id). This side dedups
+    * (hash, id) pairs — the right call under at-least-once delivery,
+    * where the same row may arrive twice — while the batch aggregate
+    * treats duplicate ids as distinct heap entries (as does its
+    * row_number oracle). Feed either side duplicate ids and the two
+    * samples may legitimately diverge at the k-th slot; with unique ids
+    * (any real corpus id column) they agree exactly.
     */
   def samplerBottomK(rows: Dataset[SampleIn], k: Int): Dataset[SampleOut] = {
     import rows.sparkSession.implicits._

@@ -155,4 +155,55 @@ class LayoutSpec extends SparkSpec {
     assert(worstZ * 2 <= worstLinear,
       s"z-order worst-dimension $worstZ vs linear $worstLinear — layout not clustering")
   }
+
+  test("exactQuantileBoundaries yield near-equal-depth buckets on skewed data") {
+    val rnd = new Random(9)
+    // pareto-ish skew: median ~840, max tens of thousands — the corpus shape
+    val vals = (1 to 20000).map(_ => math.floor(800.0 / math.pow(rnd.nextDouble(), 0.7)))
+    val df = vals.toDF("v")
+    val bRow = Layout.exactQuantileBoundaries(df, "v", 4)
+    val withB = df.crossJoin(broadcast(bRow))
+    val qb = Layout.quantileBucket(col("v"), (1 to 15).map(j => col(s"b$j")))
+    val qCounts = withB.groupBy(qb.as("b")).count()
+      .as[(Long, Long)].collect().toMap
+    // every quantile bucket holds between 0.25x and 4x the even share
+    // (value ties can shift mass, but nothing collapses)
+    val even = vals.size / 16.0
+    assert(qCounts.size >= 12, s"buckets: $qCounts")
+    qCounts.values.foreach(c => assert(c >= even / 4 && c <= even * 4, s"$qCounts"))
+    // fixed-width over the same frame collapses: one bucket hoards most rows
+    val fw = Layout.widthBucket(col("v").cast("long"), 0L,
+      vals.max.toLong, 4)
+    val fwMax = df.groupBy(fw.as("b")).count().agg(max("count"))
+      .as[Long].head()
+    assert(fwMax > vals.size * 0.7, s"fixed-width max bucket $fwMax — data not skewed enough")
+  }
+
+  test("approxQuantileBoundaries track the exact boundaries") {
+    val rnd = new Random(11)
+    val vals = (1 to 30000).map(_ => math.floor(800.0 / math.pow(rnd.nextDouble(), 0.7)))
+    val df = vals.toDF("v")
+    val approx = Layout.approxQuantileBoundaries(df, "v", 4)
+    val exact = Layout.exactQuantileBoundaries(df, "v", 4)
+      .collect().head.toSeq.map(_.asInstanceOf[Double])
+    assert(approx.size === 15)
+    approx.zip(exact).zipWithIndex.foreach { case ((a, e), i) =>
+      assert(math.abs(a - e) <= math.max(2.0, e * 0.05), s"b${i + 1}: approx $a vs exact $e")
+    }
+  }
+
+  test("zorderQuantile range-partitions into balanced z files on skewed dims") {
+    val rnd = new Random(13)
+    val rows = (1 to 8000).map { _ =>
+      (math.floor(800.0 / math.pow(rnd.nextDouble(), 0.7)), rnd.nextInt(2000).toDouble)
+    }
+    val df = rows.toDF("x", "y")
+    val parts = Layout.zorderQuantile(df, Seq("x", "y"), numFiles = 8, bits = 4)
+      .rdd.mapPartitions(it => Iterator(it.size)).collect().filter(_ > 0)
+    assert(parts.length >= 6, s"partitions: ${parts.toSeq}")
+    // no partition hoards: the range shuffle over quantile-bucketed z
+    // keeps files within a small factor of even
+    val even = 8000.0 / parts.length
+    assert(parts.max <= even * 3, s"partitions: ${parts.toSeq}")
+  }
 }

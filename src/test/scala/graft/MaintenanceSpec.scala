@@ -84,6 +84,67 @@ class MaintenanceSpec extends SparkSpec {
     }
   }
 
+  test("incrementalRefreshWithExtrema ≡ recompute when deletes hit the group max") {
+    // g1's max row (v=90) is deleted, g1's min row (v=5) too — retractable
+    // algebra can't recover the new extrema; the touched-group recompute
+    // must. g3 is untouched and must pass through from the OLD view (we
+    // poison the new base's g3 to prove no recompute happens for it).
+    val old = Seq(
+      (1L, "g1", 5L), (2L, "g1", 50L), (3L, "g1", 90L),
+      (4L, "g2", 20L), (5L, "g2", 70L),
+      (6L, "g3", 33L)).toDF("k", "g", "v")
+    val neu = Seq(
+      (2L, "g1", 50L),                    // g1: deletes of 1 (min) and 3 (max)
+      (4L, "g2", 20L), (5L, "g2", 70L), (7L, "g2", 71L), // g2: insert new max
+      (6L, "g3", 33L)).toDF("k", "g", "v")
+    def view(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val diff = Merge.diffSnapshots(old, neu, Seq("k"))
+    val refreshed = Merge.incrementalRefreshWithExtrema(
+        view(old), neu, diff, Seq("g"), "n",
+        Map("v" -> "sv"), Map("v" -> "mn"), Map("v" -> "mx"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val recomputed = view(neu).as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(refreshed === recomputed)
+    // untouched group comes from the view, not the base: refresh again
+    // with a base whose g3 row is poisoned — g3 must still read 33
+    val poisoned = neu.withColumn("v",
+      when(col("g") === "g3", lit(999L)).otherwise(col("v")))
+    val viaView = Merge.incrementalRefreshWithExtrema(
+        view(old), poisoned, diff, Seq("g"), "n",
+        Map("v" -> "sv"), Map("v" -> "mn"), Map("v" -> "mx"))
+      .filter(col("g") === "g3")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(viaView === Set(("g3", 1L, 33L, 33L, 33L)))
+  }
+
+  test("incrementalRefreshWithExtrema ≡ recompute on random CDC (group moves, group death)") {
+    val rnd = new Random(23)
+    for (trial <- 1 to 5) {
+      val oldRows = (0 until 250).map(i =>
+        (i.toLong, "g" + rnd.nextInt(6), rnd.nextInt(1000).toLong))
+      val kept = oldRows.filter(_ => rnd.nextDouble() > 0.25)
+      val mutated = kept.map { case r @ (k, _, v) =>
+        if (rnd.nextDouble() < 0.3) (k, "g" + rnd.nextInt(6), v + rnd.nextInt(100)) else r
+      }
+      val newRows = mutated ++ (0 until 40).map(i =>
+        (1000L + i, "g" + rnd.nextInt(6), rnd.nextInt(1000).toLong))
+      val old = oldRows.toDF("k", "g", "v")
+      val neu = newRows.toDF("k", "g", "v")
+      def view(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+          min(col("v")).as("mn"), max(col("v")).as("mx"))
+      val diff = Merge.diffSnapshots(old, neu, Seq("k"))
+      val refreshed = Merge.incrementalRefreshWithExtrema(
+          view(old), neu, diff, Seq("g"), "n",
+          Map("v" -> "sv"), Map("v" -> "mn"), Map("v" -> "mx"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val recomputed = view(neu).as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(refreshed === recomputed, s"trial $trial")
+    }
+  }
+
   test("applyChangesBatch: streamed CDC batches materialize a mutable keyed table") {
     import graft.sinks.VersionedSink
     val dir = java.nio.file.Files.createTempDirectory("cdctable").toString
@@ -132,6 +193,34 @@ class MaintenanceSpec extends SparkSpec {
       } yield (ai, bi, dist)).toSet
       assert(got === exp, s"d=$d: ${got.size} got vs ${exp.size} expected; " +
         s"missing=${(exp -- got).take(5)} spurious=${(got -- exp).take(5)}")
+    }
+  }
+
+  test("multi-match-aware probe selection emits strictly fewer candidates than the ±d window") {
+    val rnd = new Random(99)
+    val strs = (0 until 200).map(i =>
+      (i.toLong, (0 until (4 + rnd.nextInt(12))).map(_ => "abcd" (rnd.nextInt(4))).mkString))
+    val df = strs.toDF("a_id", "a_s")
+    for (d <- 1 to 2) {
+      val k = d + 1
+      val got = graft.operators.EditDistanceJoin
+        .probeSegments(df, "a_id", "a_s", d).count()
+      // the sound-but-loose window this replaced: every start within ±d
+      // of the slot's home position (local replay of the old arithmetic)
+      val naive = strs.map { case (_, s) =>
+        val ls = s.length
+        (math.max(ls - d, k) to ls + d).filter(_ >= k).map { tl =>
+          (0 to d).map { i =>
+            val home = i * (tl / k) + math.min(i, tl % k)
+            val segLen = tl / k + (if (i < tl % k) 1 else 0)
+            val lo = math.max(home - d, 0)
+            val hi = math.min(home + d, ls - segLen)
+            math.max(0, hi - lo + 1)
+          }.sum
+        }.sum
+      }.sum
+      assert(got < naive, s"d=$d: multi-match $got vs naive $naive")
+      assert(got * 3 < naive * 2, s"d=$d: expected ≥1/3 reduction, got $got vs $naive")
     }
   }
 
