@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -35,11 +35,14 @@ case class CappedCollect(
     capPlus1: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.ArrayBuffer[Long]] {
+    extends TypedImperativeAggregate[mutable.ArrayBuffer[Long]]
+    with ImplicitCastInputTypes {
 
   require(capPlus1 > 0, "capPlus1 must be positive")
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

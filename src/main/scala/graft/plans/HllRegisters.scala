@@ -3,7 +3,7 @@ package graft.plans
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -31,11 +31,14 @@ case class HllRegisters(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Int]] {
+    extends TypedImperativeAggregate[Array[Int]]
+    with ImplicitCastInputTypes {
 
   private val m = 64 // registers (p = 6)
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 

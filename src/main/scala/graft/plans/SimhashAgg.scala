@@ -3,7 +3,7 @@ package graft.plans
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
@@ -28,11 +28,14 @@ case class SimhashAgg(
     bits: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[Int]] {
+    extends TypedImperativeAggregate[Array[Int]]
+    with ImplicitCastInputTypes {
 
   require(bits > 0 && bits <= 60, "bits must be in 1..60 (hash60 width)")
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.LongType)
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 

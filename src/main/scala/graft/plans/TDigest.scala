@@ -5,7 +5,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -34,13 +34,16 @@ case class TDigestAgg(
     compression: Int = 100,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TDigestBuffer] {
+    extends TypedImperativeAggregate[TDigestBuffer]
+    with ImplicitCastInputTypes {
 
   require(percentiles.nonEmpty && percentiles.forall(p => p >= 0.0 && p <= 1.0),
     "percentiles must be in [0, 1]")
   require(compression >= 20, "compression must be >= 20")
 
   override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[org.apache.spark.sql.types.DataType] =
+    Seq(org.apache.spark.sql.types.DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

@@ -50,6 +50,21 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(Set("A", "N", "R").contains(sk.getString(1)))
   }
 
+  test("sketch aggregates widen int/string inputs at analysis instead of crashing executors") {
+    QueryRegistry.sqlViews(spark, dir)
+    // conv() returns STRING; before the ImplicitCastInputTypes fix this
+    // threw ClassCastException deep inside the aggregate update
+    val hll = spark.sql(
+      """SELECT graft_hll(conv(substr(md5(cast(l_orderkey AS STRING)), 1, 15), 16, 10)) AS regs
+        |FROM lineitem""".stripMargin).collect()
+    assert(hll.length === 1)
+    // int-typed measure widens to the double the t-digest expects
+    val td = spark.sql(
+      "SELECT graft_tdigest(l_linenumber, 0.5)[0] AS p50 FROM lineitem")
+      .collect().head.getDouble(0)
+    assert(td >= 1.0 && td <= 7.0, s"p50 of linenumber was $td")
+  }
+
   test("optimizer rewrites fire from SQL text exactly as from the DataFrame API") {
     QueryRegistry.sqlViews(spark, dir)
     // the HOF dot-product spelled as SQL must be rewritten to the native
