@@ -110,6 +110,21 @@ object Sampling {
     * means "never sample me", and a negative rate has no Exponential.
     * Output: groupCols ++ (idCol, rk) with rk in 1..k by key order.
     */
+  /** The Efraimidis–Spirakis ticket key as a column expression —
+    * `-ln((hash60(seed, id) + 1) / 2^60) / w`, an Exponential(rate = w)
+    * draw that is a pure function of (seed, id, w). Shared by
+    * [[weightedBottomK]] and its streaming twin
+    * (StreamingJobs.samplerWeightedBottomK) so both rank identical keys.
+    * (h + 1) adds as INTEGER first, then one cast: 2^60 > 2^53, so
+    * cast-then-add would round differently than add-then-cast, and the
+    * oracle must replay the exact same order of operations. Dividing by
+    * 2^60 is exact (power of two — exponent shift, no rounding). */
+  def esKey(seed: String, idCol: Column, weightCol: Column): Column = {
+    val u = (hash60(seed, idCol) + lit(1L)).cast("double") /
+      lit((1L << 60).toDouble)
+    -log(u) / weightCol.cast("double")
+  }
+
   def weightedBottomK(
       df: DataFrame,
       groupCols: Seq[String],
@@ -118,13 +133,7 @@ object Sampling {
       k: Int,
       seed: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
-    // (h + 1) as INTEGER first, then one cast: 2^60 > 2^53, so
-    // cast-then-add would round differently than add-then-cast, and the
-    // oracle must replay the exact same order of operations. Dividing by
-    // 2^60 is exact (power of two — exponent shift, no rounding).
-    val u = (hash60(seed, col(idCol)) + lit(1L)).cast("double") /
-      lit((1L << 60).toDouble)
-    val key = -log(u) / weightCol.cast("double")
+    val key = esKey(seed, col(idCol), weightCol)
     val picked = df
       .filter(weightCol > 0)
       .groupBy(groupCols.map(col): _*)

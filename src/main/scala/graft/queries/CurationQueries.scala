@@ -524,6 +524,37 @@ object CurationQueries {
         WHERE rk <= 3
         ORDER BY lang, rk""")),
 
+    // Stratified exact weighted sampling: the Efraimidis–Spirakis draw
+    // PER GROUP (3 docs per language, weight ∝ doc length as a
+    // fractional w = n_chars/1000) — one O(groups × k) aggregate
+    // shuffle, same native graft_bottom_k path as q134, exact PPS at
+    // each group's first draw. Oracle replays the identical key
+    // arithmetic; ranks absorb the ≤1-ulp ln wobble (q147's contract).
+    Q(
+      "q151_weighted_stratified_es",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        graft.operators.Sampling.weightedBottomK(
+            docs, Seq("lang"), "doc_id",
+            col("n_chars").cast("double") / 1000.0, 3, "s151")
+          .orderBy("lang", "rk")
+      },
+      Some(s"""
+        WITH keyed AS (
+          SELECT lang, doc_id,
+                 -ln(CAST(${h60("s151", "CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+                     / 1152921504606846976.0)
+                   / (n_chars / 1000.0) AS ky
+          FROM documents
+          WHERE n_chars / 1000.0 > 0),
+        r AS (SELECT lang, doc_id,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY ky, doc_id) AS INT) AS rk
+              FROM keyed)
+        SELECT lang, doc_id, rk FROM r WHERE rk <= 3
+        ORDER BY lang, rk""")),
+
     // Zone-map skipping effectiveness over the z-ordered layout of q132:
     // per-z-value min/max/count stats on the order day, then the exact
     // zones/rows a reader would scan for a one-quarter day predicate —

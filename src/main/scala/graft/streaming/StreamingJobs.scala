@@ -380,6 +380,38 @@ object StreamingJobs {
       }
   }
 
+  case class SampleInW(grp: String, id: Long, key: Double)
+  case class SampleOutW(grp: String, seen: Long, ids: Seq[Long])
+  case class SampleStateW(pairs: Seq[(Double, Long)], seen: Long)
+
+  /** Streaming twin of `Sampling.weightedBottomK` (q147): the exact
+    * Efraimidis–Spirakis weighted sample maintained incrementally. The
+    * caller computes `key = Sampling.esKey(seed, id, w)` — the same
+    * column arithmetic as the batch operator — and the per-group state
+    * keeps the k smallest (key, id) pairs seen so far. Order sampling is
+    * a pure min-k over per-row keys, so the sketch is mergeable and
+    * arrival-order-insensitive: the stream converges to exactly the
+    * batch sample (pinned in StreamingSpec). State is O(k) per live
+    * group. Same unique-per-(grp, id) input contract as
+    * [[samplerBottomK]] — re-deliveries dedup, which is what an
+    * at-least-once stream wants.
+    */
+  def samplerWeightedBottomK(rows: Dataset[SampleInW], k: Int): Dataset[SampleOutW] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.grp)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (grp: String, it: Iterator[SampleInW], state: GroupState[SampleStateW]) =>
+          val prev = state.getOption.getOrElse(SampleStateW(Seq.empty, 0L))
+          val batch = it.toSeq
+          val merged = (prev.pairs ++ batch.map(r => (r.key, r.id)))
+            .sorted.distinct.take(k)
+          val seen = prev.seen + batch.size
+          state.update(SampleStateW(merged, seen))
+          Iterator(SampleOutW(grp, seen, merged.map(_._2)))
+      }
+  }
+
   /** B38: custom keyed state — running per-user counters via
     * flatMapGroupsWithState (the progress-tracking shape of A3, but
     * per-key, fault-tolerant and store-backed).

@@ -443,6 +443,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming ES weighted sampler converges to the batch weighted sample") {
+    import StreamingJobs.{SampleInW, SampleOutW}
+    import org.apache.spark.sql.functions.col
+    val k = 3
+    // fractional weights incl. w < 1 — the case ticket replication can't express
+    val data = (1 to 150).map(i => (s"g${i % 2}", i.toLong, Seq(0.5, 1.5, 4.0)(i % 3)))
+    val df = data.toDF("grp", "id", "w")
+    val inputs = df
+      .select(col("grp"), col("id"),
+        graft.operators.Sampling.esKey("wseed", col("id"), col("w")).as("key"))
+      .as[SampleInW].collect().toSeq
+    val stream = MemoryStream[SampleInW](12, spark, None)
+    val q = StreamingJobs.samplerWeightedBottomK(stream.toDS(), k).toDF()
+      .writeStream.format("memory").queryName("wsample_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val (a, b) = new scala.util.Random(3).shuffle(inputs).splitAt(inputs.size / 4)
+      stream.addData(a: _*)
+      q.processAllAvailable()
+      stream.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wsample_out").as[SampleOutW].collect()
+      .groupBy(_.grp).map { case (g, rows) => g -> rows.maxBy(_.seen).ids.toSeq }
+    val batch = graft.operators.Sampling
+      .weightedBottomK(df, Seq("grp"), "id", col("w"), k, "wseed")
+      .orderBy("grp", "rk").collect()
+      .groupBy(_.getAs[String]("grp"))
+      .map { case (g, rows) => g -> rows.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("id")).toSeq }
+    assert(streamed === batch)
+  }
+
   test("flatMapGroupsWithState keeps running per-key counters (B38)") {
     val events = MemoryStream[StreamingJobs.UserEvent](4, spark, None)
     val counted = StreamingJobs.runningCounters(events.toDS())
