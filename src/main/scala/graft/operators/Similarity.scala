@@ -309,6 +309,58 @@ object Similarity {
         round(cosinePre(call_function("graft_dot", col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
   }
 
+  /** Cross-corpus SEMANTIC decontamination candidates — the embedding
+    * tier next to the n-gram tiers (Dedup.decontaminate's recall path /
+    * ngramDecontaminate's precision path): for each LEFT (benchmark /
+    * eval) vector, the RIGHT (train) vectors sharing an LSH bucket under
+    * multi-probe (Hamming-1 neighbors probed from the left side), scored
+    * with the exact cosine. A train document paraphrasing an eval item
+    * shares no 13-gram but sits at high cosine — this is the join that
+    * catches it.
+    *
+    * Plan shape mirrors [[cosinePairsLsh]]: both sides bucket in their
+    * scan stage, candidates meet on a bucket equi-join over IDS ONLY,
+    * vectors re-attach by id equi-join, exact cosine last. The
+    * benchmark side is small by nature, so its probe fan-out
+    * (planes + 1 buckets per eval vector) broadcasts; candidate volume
+    * tracks true bucket collisions, never |eval| × |train|. Any pair
+    * emitted carries the identical cos_r the exact cross join would —
+    * bucketing affects recall of DISSIMILAR pairs only.
+    * Output: (leftId, rightId, cos_r), one row per candidate pair.
+    */
+  def crossCosineLsh(
+      left: DataFrame,
+      leftId: String,
+      leftVec: String,
+      right: DataFrame,
+      rightId: String,
+      rightVec: String,
+      planes: Array[Array[Double]]): DataFrame = {
+    require(Seq(leftId, leftVec, rightId, rightVec).distinct.size == 4,
+      "leftId/leftVec/rightId/rightVec must be four distinct column names")
+    GraftExtensions.ensureRegistered(left.sparkSession)
+    val l = left.select(
+      col(leftId), col(leftVec).as("__lv"),
+      l2norm(col(leftVec)).as("__ln"),
+      lshBucket(col(leftVec), planes).as("__bucket")).persist()
+    val r = right.select(
+      col(rightId), col(rightVec).as("__rv"),
+      l2norm(col(rightVec)).as("__rn"),
+      lshBucket(col(rightVec), planes).as("__bucket")).persist()
+    val masks = 0 +: planes.indices.map(1 << _)
+    val probes = l.select(col(leftId),
+      explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
+    val cand = probes.join(r.select(col(rightId), col("__bucket")), "__bucket")
+      .select(leftId, rightId)
+      .distinct()
+    cand
+      .join(l.select(col(leftId), col("__lv"), col("__ln")), leftId)
+      .join(r.select(col(rightId), col("__rv"), col("__rn")), rightId)
+      .select(col(leftId), col(rightId),
+        round(cosinePre(call_function("graft_dot", col("__lv"), col("__rv")),
+          col("__ln"), col("__rn")), 6).as("cos_r"))
+  }
+
   // ---------------------------------------------------------------------
   // Product quantization (PQ) — the memory-bound ANN tier (Jégou et al.,
   // "Product Quantization for Nearest Neighbor Search", TPAMI 2011).

@@ -313,6 +313,61 @@ object VectorQueries {
         LIMIT 50"""
       }),
 
+    // SEMANTIC cross-corpus decontamination — the embedding tier next to
+    // the n-gram tiers (q98 recall path, q111 precision path): eval
+    // vectors (vec_id < 64) probe the train corpus (vec_id >= 64)
+    // through the LSH bucket join (multi-probe from the eval side, ids
+    // only through the candidate join), exact cosine on candidates,
+    // threshold 0.35 (the near-dup regime of the synthetic embeddings —
+    // the corpus-wide cosine max is ~0.51). A train doc that paraphrases an eval item shares no
+    // 13-gram but sits at high cosine — this is the join that flags it
+    // for removal. The oracle replays the identical bucketing and
+    // cosine over the same split.
+    Q(
+      "q152_semantic_decontaminate",
+      (s, dir) => {
+        val planes = Similarity.hyperplanes(4, 64)
+        val all = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        val evalSet = all.filter(col("vec_id") < 64)
+          .select(col("vec_id").as("eval_id"), col("vec").as("evec"))
+        val train = all.filter(col("vec_id") >= 64)
+          .select(col("vec_id").as("train_id"), col("vec").as("tvec"))
+        Similarity
+          .crossCosineLsh(evalSet, "eval_id", "evec", train, "train_id", "tvec", planes)
+          .filter(col("cos_r") >= 0.35)
+          .orderBy("eval_id", "train_id")
+      },
+      Some {
+        val planes = Similarity.hyperplanes(4, 64)
+        val values = (for {
+          p <- 0 until 4
+          d <- 0 until 64
+        } yield f"($p, ${d + 1}, ${planes(p)(d)}%.3f)").mkString(", ")
+        s"""
+        WITH $OPOS,
+        w(p, i, wt) AS (SELECT * FROM (VALUES $values) t(p, i, wt)),
+        sig AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
+                FROM (SELECT e.vec_id, w.p, SUM(e.v * CAST(w.wt AS DOUBLE)) AS s
+                      FROM e JOIN w ON e.i = w.i GROUP BY 1, 2)
+                GROUP BY 1),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        pr AS (SELECT vec_id,
+                      unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
+               FROM sig WHERE vec_id < 64),
+        cand AS (SELECT DISTINCT pr.vec_id AS eval_id, s2.vec_id AS train_id
+                 FROM pr JOIN sig s2 ON pr.probe = s2.bucket AND s2.vec_id >= 64),
+        dots AS (SELECT cand.eval_id, cand.train_id, SUM(x.v * y.v) AS d
+                 FROM cand
+                 JOIN e x ON x.vec_id = cand.eval_id
+                 JOIN e y ON y.vec_id = cand.train_id AND y.i = x.i
+                 GROUP BY 1, 2)
+        SELECT eval_id, train_id, round(d / (na.nrm * nb.nrm), 6) AS cos_r
+        FROM dots JOIN nrm na ON na.vec_id = eval_id JOIN nrm nb ON nb.vec_id = train_id
+        WHERE round(d / (na.nrm * nb.nrm), 6) >= 0.35
+        ORDER BY eval_id, train_id"""
+      }),
+
     // B43: trained IVF — Lloyd's k-means coarse quantizer (distributed
     // assignment, k x dims driver state). Float means make exact
     // cross-engine assignment unverifiable, so the oracle checks the

@@ -335,6 +335,42 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), s"PQ scoring must not shuffle:\n$plan")
   }
 
+  test("crossCosineLsh: true cosines only, same-bucket pairs never missed, no cross join") {
+    val rnd = new Random(31)
+    def vec() = Array.fill(16)(rnd.nextGaussian())
+    val evalRows = (0L until 20L).map(i => (i, vec()))
+    val trainRows = (100L until 180L).map(i => (i, vec()))
+    val left = evalRows.map { case (i, v) => (i, v.toSeq) }.toDF("eval_id", "evec")
+    val right = trainRows.map { case (i, v) => (i, v.toSeq) }.toDF("train_id", "tvec")
+    val planes = Similarity.hyperplanes(4, 16)
+    val q = Similarity.crossCosineLsh(left, "eval_id", "evec", right, "train_id", "tvec", planes)
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    def bucket(v: Array[Double]): Int =
+      planes.indices.map(p => if (planes(p).zip(v).map { case (w, x) => w * x }.sum > 0) 1 << p else 0).sum
+    // every emitted pair carries the exact cosine
+    val evalMap = evalRows.toMap; val trainMap = trainRows.toMap
+    got.foreach { case ((a, b), c) =>
+      assert(math.abs(c - cos(evalMap(a), trainMap(b))) <= 1e-6, s"($a,$b)")
+    }
+    // recall contract: any pair sharing a bucket (Hamming 0, the
+    // guaranteed tier of multi-probe) must be present
+    for ((a, av) <- evalRows; (b, bv) <- trainRows
+         if bucket(av) == bucket(bv)) {
+      assert(got.contains((a, b)), s"same-bucket pair ($a,$b) missing")
+    }
+    // candidate phase must be a bucket equi-join, never a cross join
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("hash60 is non-negative and stable") {
     val vals = Seq("a", "b", "a").toDF("s").select(hash60(col("s")).as("h"))
       .as[Long].collect()
