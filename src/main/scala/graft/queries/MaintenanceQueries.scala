@@ -151,12 +151,19 @@ object MaintenanceQueries {
     Q(
       "q148_incremental_minmax",
       (s, dir) => {
-        val (o, merged) = mergedOrders(s, dir)
+        val (o, merged0) = mergedOrders(s, dir)
+        // the merged table feeds the diff AND the touched-group
+        // recompute, and the full-outer diff feeds both touched-dim
+        // sides — persist both so the anti-join/semi-join consumers
+        // reuse one evaluation instead of re-deriving the merge (at
+        // real scale both would be materialized tables, not plans)
+        val merged = merged0.persist()
         val baseView = o.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"),
             min(col("o_totalprice")).as("min_price"),
             max(col("o_totalprice")).as("max_price"))
-        val diff = graft.operators.Merge.diffSnapshots(o, merged, Seq("o_orderkey"))
+        val diff = graft.operators.Merge
+          .diffSnapshots(o, merged, Seq("o_orderkey")).persist()
         graft.operators.Merge.incrementalRefreshWithExtrema(
             baseView, merged, diff, Seq("o_orderstatus"),
             "n", Map("o_custkey" -> "cust_sum"),
