@@ -56,7 +56,8 @@ object QueryRegistry {
         queries.UdxQueries.qs ++
         queries.AgriQueries.qs ++
         queries.MaintenanceQueries.qs ++
-        queries.CurationQueries.qs
+        queries.CurationQueries.qs ++
+        queries.SketchQueries.qs
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     qs

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.simhashFunction)
     ext.injectFunction(GraftExtensions.tdigestFunction)
     ext.injectFunction(GraftExtensions.bottomKFunction)
+    ext.injectFunction(GraftExtensions.bloomFunction)
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => RewriteIntersectOverlap)
     ext.injectOptimizerRule(_ => PushAggThroughJoin)
@@ -124,6 +125,18 @@ object GraftExtensions {
         "graft_bottom_k takes (keyCol, payloadCol, k: int literal[, desc: boolean literal])")
     })
 
+  /** graft_bloom(hash60Col, bits, k) — deterministic Bloom filter word
+    * array (bits/64 longs, elementwise-OR mergeable). */
+  val bloomFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_bloom"),
+    new ExpressionInfo(classOf[BloomAgg].getName, "graft_bloom"),
+    (children: Seq[Expression]) => children match {
+      case Seq(c, Literal(bits: Int, _), Literal(k: Int, _)) =>
+        BloomAgg(c, bits, k).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_bloom takes (hash60Col, bits: int literal, k: int literal)")
+    })
+
   /** graft_hll(hash60Col) — HyperLogLog register array (64 ints). */
   val hllFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_hll"),
@@ -163,6 +176,9 @@ object GraftExtensions {
     }
     if (!registry.functionExists(FunctionIdentifier("graft_bottom_k"))) {
       registry.registerFunction(bottomKFunction._1, bottomKFunction._2, bottomKFunction._3)
+    }
+    if (!registry.functionExists(FunctionIdentifier("graft_bloom"))) {
+      registry.registerFunction(bloomFunction._1, bloomFunction._2, bloomFunction._3)
     }
     if (!spark.experimental.extraOptimizations.contains(RewriteDotProduct)) {
       spark.experimental.extraOptimizations =

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import graft.functions.GraftFunctions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -695,6 +696,39 @@ object CoreQueries {
                round(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
                round(CAST(list_min(embedding) AS DOUBLE), 6) AS mn
         FROM embeddings
-        ORDER BY vec_id"""))
+        ORDER BY vec_id""")),
+
+    // Skyline (Pareto frontier): parts where no other part has >= price
+    // AND <= size with one strictly better — multi-objective selection
+    // (the curation analogue: pick docs maximizing quality while
+    // minimizing length). The naive definition is the O(n^2) NOT EXISTS
+    // the oracle runs; the engine path is the 2-D sweep: reduce to the
+    // per-size max price (hash aggregate, bounded by distinct sizes),
+    // then one window pass ordered by size keeps a point iff its price
+    // beats every smaller size's running max. At 100 TB the reduction is
+    // a partial-agg'd shuffle on size and the window runs over |distinct
+    // sizes| rows — no pairwise comparison anywhere.
+    Q(
+      "q155_skyline",
+      (s, dir) => {
+        val perSize = Tables.part(s, dir)
+          .groupBy("p_size").agg(max(col("p_retailprice")).as("price"))
+        val w = Window.orderBy(col("p_size"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perSize
+          .withColumn("prev_best", max(col("price")).over(w))
+          .filter(col("prev_best").isNull || col("price") > col("prev_best"))
+          .select(col("p_size"), col("price"))
+          .orderBy("p_size")
+      },
+      Some("""
+        WITH pts AS (SELECT p_size, max(p_retailprice) AS price
+                     FROM part GROUP BY 1)
+        SELECT p_size, price FROM pts a
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts b
+          WHERE b.price >= a.price AND b.p_size <= a.p_size
+            AND (b.price > a.price OR b.p_size < a.p_size))
+        ORDER BY p_size"""))
   )
 }

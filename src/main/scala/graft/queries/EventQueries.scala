@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -318,6 +319,81 @@ object EventQueries {
         import s.implicits._
         Seq((n > 0.05 * nAll && n < 0.15 * nAll)).toDF("sample_in_bounds")
       },
-      Some("SELECT TRUE AS sample_in_bounds"))
+      Some("SELECT TRUE AS sample_in_bounds")),
+
+    // Staged funnel analysis: view -> click -> purchase, each stage's
+    // entry time the FIRST qualifying event strictly after the previous
+    // stage (the reference's harvested event stream is exactly this shape
+    // of telemetry). Each stage is a keyed equi-join against a per-user
+    // one-row frame + a min() re-aggregation — no window over the full
+    // stream, no cross join; at 100 TB the stage frames are tiny relative
+    // to events, so every join is broadcast- or shuffle-hash-eligible and
+    // the event scan happens exactly once per stage with the event_type
+    // filter pushed to parquet.
+    Q(
+      "q153_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        def stage(evType: String, prev: DataFrame, prevTs: String, outTs: String) =
+          e.filter(col("event_type") === evType)
+            .join(prev, "user_id")
+            .filter(col("ts") > col(prevTs))
+            .groupBy("user_id").agg(min(col("ts")).as(outTs))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val c = stage("click", v, "t1", "t2")
+        val p = stage("purchase", c, "t2", "t3")
+        val total = e.select(countDistinct(col("user_id")).as("n_users"))
+        total
+          .crossJoin(v.select(count(lit(1)).as("n_view")))
+          .crossJoin(c.select(count(lit(1)).as("n_view_click")))
+          .crossJoin(p.select(count(lit(1)).as("n_full_funnel")))
+      },
+      Some("""
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+              WHERE e.event_type = 'click' GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+              WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT (SELECT count(DISTINCT user_id) FROM events) AS n_users,
+               (SELECT count(*) FROM v) AS n_view,
+               (SELECT count(*) FROM c) AS n_view_click,
+               (SELECT count(*) FROM p) AS n_full_funnel""")),
+
+    // Cohort retention matrix: users bucketed by first-activity week,
+    // counted in each later week they were active. Week index is exact
+    // integer arithmetic (days since the epoch anchor div 7) — no
+    // engine-specific week-truncation semantics to diverge on. Two hash
+    // aggregates + one keyed join; the distinct (user, week) reduction
+    // happens BEFORE the join so the join input is bounded by
+    // users x weeks, not by raw events.
+    Q(
+      "q154_retention",
+      (s, dir) => {
+        val uw = Tables.events(s, dir)
+          .select(col("user_id"),
+            expr("datediff(to_date(ts), date'2024-01-01') div 7")
+              .cast("int").as("week"))
+          .distinct()
+        val cohort = uw.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+        uw.join(cohort, "user_id")
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .orderBy("cohort_week", "week_offset")
+      },
+      Some("""
+        WITH uw AS (SELECT DISTINCT user_id,
+                      CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS INT) AS week
+                    FROM events),
+        cohort AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1)
+        SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+               count(DISTINCT u.user_id) AS n_active
+        FROM uw u JOIN cohort c ON u.user_id = c.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_week, week_offset"""))
   )
 }

@@ -1,0 +1,214 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions._
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Verifiable-sketch surface: deterministic Bloom-filter decontamination
+  * and KMV (bottom-k) sketch set algebra. Everything here is a pure
+  * function of (seed, data) — built on [[hash60]] and integer arithmetic
+  * only — so DuckDB replays registers, probe outcomes (including false
+  * positives) and estimator values EXACTLY, not just within a tolerance.
+  *
+  * Scale framing: both sketches are the "bounded metadata" tier of
+  * corpus curation. A Bloom filter of every eval-set shingle fits in MBs
+  * and broadcasts to 1000 executors, turning decontamination of a 100 TB
+  * train corpus into a scan-stage probe with zero shuffle; KMV sketches
+  * of two corpora's token sets are k longs each and answer
+  * Jaccard/overlap questions without ever joining the corpora.
+  */
+object SketchQueries {
+
+  private val BloomBits = 16384
+  private val BloomK = 3
+
+  /** DuckDB fragment: tokenized documents (shared tokenizer contract). */
+  private val OTOKS =
+    """toks AS (SELECT doc_id, source,
+      |  list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB fragment: distinct 3-word shingles per doc with source. */
+  private val OSH =
+    """sh AS (SELECT DISTINCT doc_id, source, sh FROM (
+      |    SELECT doc_id, source, unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+      |                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+      |    FROM toks))""".stripMargin
+
+  private def oh60(seed: String, e: String): String =
+    s"('0x' || substr(md5('$seed:' || $e), 1, 15))::BIGINT"
+
+  /** DuckDB fragment: the BloomAgg probe positions for hash column h —
+    * Kirsch–Mitzenmacher double hashing, identical integer ops. */
+  private def oposes(h: String): String =
+    s"(($h % $BloomBits) + r.range * (($h >> 30) | 1)) % $BloomBits"
+
+  /** The three probe positions of a shingle hash, Spark side — must stay
+    * in lockstep with BloomAgg.update and [[oposes]]. */
+  private def positions(h: Column): Seq[Column] = {
+    val h1 = h % BloomBits.toLong
+    val h2 = shiftrightunsigned(h, 30).bitwiseOR(lit(1L))
+    (0 until BloomK).map(i => (h1 + lit(i.toLong) * h2) % BloomBits.toLong)
+  }
+
+  /** Eval-corpus shingles (the contamination member set). */
+  private def evalShingles(docs: DataFrame): DataFrame =
+    docs.filter(col("source") === "src1")
+      .select(explode(
+        TextAnalysis.shinglesFromTokens(tokens(col("text")), 3)).as("sh"))
+
+  val qs: Seq[Q] = Seq(
+    // Deterministic Bloom registers, exact-verified: the oracle rebuilds
+    // the identical word array from the same md5-derived positions (OR of
+    // distinct one-bit values == their sum, with bit 63 spelled as the
+    // signed long constant since DuckDB's << refuses to overflow).
+    // Mergeability (elementwise OR) makes this one partial-agg'd scan —
+    // each map task ships bits/64 longs.
+    Q(
+      "q156_bloom_registers",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        evalShingles(Tables.documents(s, dir))
+          .agg(call_function("graft_bloom",
+            hash60("bl", col("sh")), lit(BloomBits), lit(BloomK)).as("regs"))
+          .select(
+            array_join(transform(col("regs"), _.cast("string")), ",").as("registers"),
+            expr("aggregate(transform(regs, w -> CAST(bit_count(w) AS BIGINT)), 0L, (a, x) -> a + x)")
+              .as("n_set_bits"))
+      },
+      Some(s"""
+        WITH $OTOKS,
+        $OSH,
+        hv AS (SELECT DISTINCT ${oh60("bl", "sh")} AS h FROM sh WHERE source = 'src1'),
+        pos AS (SELECT DISTINCT ${oposes("h")} AS p FROM hv CROSS JOIN range($BloomK) r),
+        wb AS (SELECT DISTINCT p // 64 AS w, CAST(p % 64 AS INT) AS b FROM pos),
+        words AS (SELECT w, CAST(SUM(CASE WHEN b = 63 THEN -9223372036854775808
+                                          ELSE (1::BIGINT << b) END) AS BIGINT) AS word
+                  FROM wb GROUP BY w),
+        allw AS (SELECT r.range AS w, COALESCE(word, 0) AS word
+                 FROM range(${BloomBits / 64}) r LEFT JOIN words ON words.w = r.range)
+        SELECT string_agg(CAST(word AS VARCHAR), ',' ORDER BY w) AS registers,
+               CAST(SUM(bit_count(word)) AS BIGINT) AS n_set_bits
+        FROM allw""")),
+
+    // Bloom-filter decontamination: flag every train doc sharing (or
+    // colliding with) an eval-set 3-gram. The filter is built by ONE
+    // partial-agg'd pass over eval shingles, collected as bounded driver
+    // metadata (bits/8 bytes — the PQ-codebook justification), and
+    // re-broadcast as a literal bit array; the probe is then scan-stage
+    // column arithmetic over each train doc's shingle array — ZERO
+    // shuffle on the 100 TB side, unlike the q98/q111 band-join tiers
+    // which shuffle candidates. The trade: a deterministic, boundable
+    // false-positive rate (~(n_set_bits/bits)^k), which the oracle
+    // reproduces bit-for-bit rather than approximates.
+    Q(
+      "q157_bloom_decontaminate",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val docs = Tables.documents(s, dir)
+        val words = evalShingles(docs)
+          .agg(call_function("graft_bloom",
+            hash60("bl", col("sh")), lit(BloomBits), lit(BloomK)))
+          .head().getSeq[Long](0).toArray
+        val bitsLit = typedLit(graft.plans.BloomAgg.toBits(words, BloomBits).toSeq)
+        def inBloom(x: Column): Column =
+          positions(hash60("bl", x))
+            .map(p => element_at(bitsLit, (p + 1).cast("int")))
+            .reduce(_ && _)
+        docs.filter(col("source") =!= "src1")
+          .select(col("doc_id"),
+            array_distinct(TextAnalysis.shinglesFromTokens(tokens(col("text")), 3)).as("shs"))
+          .select(
+            col("doc_id"),
+            size(col("shs")).as("n_shingles"),
+            size(filter(col("shs"), sh => inBloom(sh))).as("n_hits"))
+          .withColumn("flagged", col("n_hits") > 0)
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH $OTOKS,
+        $OSH,
+        epos AS (SELECT DISTINCT ${oposes("h")} AS p
+                 FROM (SELECT ${oh60("bl", "sh")} AS h FROM sh WHERE source = 'src1')
+                 CROSS JOIN range($BloomK) r),
+        tpos AS (SELECT doc_id, sh, ${oposes("h")} AS p
+                 FROM (SELECT doc_id, sh, ${oh60("bl", "sh")} AS h
+                       FROM sh WHERE source <> 'src1')
+                 CROSS JOIN range($BloomK) r),
+        hits AS (SELECT doc_id, sh, bool_and(epos.p IS NOT NULL) AS all_set
+                 FROM tpos LEFT JOIN epos ON tpos.p = epos.p
+                 GROUP BY doc_id, sh),
+        agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles,
+                       CAST(count(*) FILTER (WHERE all_set) AS INT) AS n_hits
+                FROM hits GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.n_shingles, 0) AS n_shingles,
+               COALESCE(a.n_hits, 0) AS n_hits,
+               COALESCE(a.n_hits, 0) > 0 AS flagged
+        FROM (SELECT doc_id FROM documents WHERE source <> 'src1') d
+        LEFT JOIN agg a ON a.doc_id = d.doc_id
+        ORDER BY d.doc_id""")),
+
+    // KMV (bottom-k) sketch set algebra: estimate the token-set Jaccard
+    // of two corpora from their 128-hash sketches alone. The union
+    // sketch is computed FROM THE TWO SKETCHES (k smallest of the merged
+    // hash lists — bottom-k composes, the property q134 samples build
+    // on), so after the two corpus scans every set question is answered
+    // on 2x128 longs with no corpus join. The exact intersection/union
+    // counts ride along as the verification anchor; at 100 TB only the
+    // sketch path runs.
+    Q(
+      "q158_kmv_jaccard",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val docs = Tables.documents(s, dir)
+        def corpus(pred: Column): DataFrame =
+          docs.filter(pred)
+            .select(explode(tokens(lower(col("text")))).as("t"))
+            .distinct()
+        val a = corpus(col("lang") === "en")
+        val b = corpus(col("lang") =!= "en")
+        def sketch(df: DataFrame, as: String): DataFrame =
+          df.agg(call_function("graft_bottom_k",
+              hash60("kmv", col("t")), col("t"), lit(128)).as("sk"))
+            .select(transform(col("sk"), p => p.getField("k")).as(as))
+        val est = sketch(a, "ha").crossJoin(sketch(b, "hb"))
+          .withColumn("hu",
+            slice(array_sort(array_distinct(concat(col("ha"), col("hb")))), 1, 128))
+          .select(size(array_intersect(array_intersect(col("hu"), col("ha")), col("hb")))
+            .as("n_common"))
+        val exact = a.join(b, "t")
+          .select(count(lit(1)).as("n_exact_common"))
+          .crossJoin(a.union(b).distinct().select(count(lit(1)).as("n_exact_union")))
+        est.crossJoin(exact).select(
+          col("n_common"), lit(128).as("k"),
+          col("n_exact_common"), col("n_exact_union"))
+      },
+      Some(s"""
+        WITH at AS (SELECT DISTINCT unnest(list_filter(
+                      string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS t
+                    FROM documents WHERE lang = 'en'),
+        bt AS (SELECT DISTINCT unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS t
+               FROM documents WHERE lang <> 'en'),
+        ah AS (SELECT DISTINCT ${oh60("kmv", "t")} AS h FROM at),
+        bh AS (SELECT DISTINCT ${oh60("kmv", "t")} AS h FROM bt),
+        ska AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ah)
+                WHERE rn <= 128),
+        skb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM bh)
+                WHERE rn <= 128),
+        sku AS (SELECT h FROM (
+                  SELECT h, row_number() OVER (ORDER BY h) AS rn
+                  FROM (SELECT h FROM ah UNION SELECT h FROM bh))
+                WHERE rn <= 128)
+        SELECT CAST((SELECT count(*) FROM sku
+                     WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb)) AS INT)
+                 AS n_common,
+               128 AS k,
+               (SELECT count(*) FROM (SELECT t FROM at INTERSECT SELECT t FROM bt))
+                 AS n_exact_common,
+               (SELECT count(*) FROM (SELECT t FROM at UNION SELECT t FROM bt))
+                 AS n_exact_union"""))
+  )
+}
