@@ -1030,6 +1030,61 @@ object TextQueries {
         FROM toks t
         LEFT JOIN nrem n USING (doc_id)
         LEFT JOIN rebuilt r USING (doc_id)
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // Distributed BPE vocabulary induction (operators.Bpe): 6 merge
+    // rounds over the en-corpus word-frequency dictionary. The oracle
+    // unrolls every round as CTEs with the IDENTICAL pair-count /
+    // argmax / greedy-parity-merge formulation, so the learned merge
+    // table (including tie-breaks and exact pair counts) matches
+    // cross-engine. See Bpe.scala for why each round is shuffle-bounded
+    // by the distinct-pair count, not the corpus.
+    Q(
+      "q159_bpe_merges",
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).filter(col("lang") === "en")
+        val (merges, vocab) = graft.operators.Bpe.train(
+          graft.operators.Bpe.initVocab(docs), 6)
+        vocab.unpersist()
+        merges.toDF("it", "left_sym", "right_sym", "pair_count").orderBy("it")
+      },
+      Some(bpeOracle(6)))
   )
+
+  /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair
+    * counts (pr), deterministic argmax (b), then the window-algebra
+    * greedy merge (is/pm/mg/cs -> it) replaying operators.Bpe exactly. */
+  private def bpeOracle(iters: Int): String = {
+    val init = """
+      words AS (SELECT t AS word, count(*) AS freq FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
+        FROM documents WHERE lang = 'en') GROUP BY 1),
+      it0 AS (SELECT word, freq,
+        list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS toks FROM words)"""
+    val rounds = (1 to iters).map { i =>
+      s"""
+      ex$i AS (SELECT word, freq, u.p, u.tok FROM (
+        SELECT word, freq, unnest(list_transform(range(1, len(toks) + 1),
+                 i -> struct_pack(p := CAST(i - 1 AS INT), tok := toks[i]))) AS u
+        FROM it${i - 1})),
+      st$i AS (SELECT word, freq, p, tok,
+                      lead(tok) OVER (PARTITION BY word ORDER BY p) AS nxt
+               FROM ex$i),
+      pr$i AS (SELECT tok AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+               FROM st$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      b$i AS (SELECT a, b, cnt FROM pr$i ORDER BY cnt DESC, a, b LIMIT 1),
+      is$i AS (SELECT *, COALESCE(tok = (SELECT a FROM b$i) AND nxt = (SELECT b FROM b$i), FALSE) AS isStart FROM st$i),
+      pm$i AS (SELECT *, COALESCE(max(CASE WHEN NOT isStart THEN p END) OVER (
+                 PARTITION BY word ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS pns FROM is$i),
+      mg$i AS (SELECT *, (isStart AND ((p - pns - 1) % 2 = 0)) AS mergeAt FROM pm$i),
+      cs$i AS (SELECT *, COALESCE(lag(mergeAt) OVER (PARTITION BY word ORDER BY p), FALSE) AS consumed,
+                      CASE WHEN mergeAt THEN tok || nxt ELSE tok END AS tok2 FROM mg$i),
+      it$i AS (SELECT word, freq, list(tok2 ORDER BY p) AS toks FROM cs$i WHERE NOT consumed GROUP BY word, freq)"""
+    }.mkString(",")
+    val finalSel = (1 to iters).map { i =>
+      s"SELECT $i AS it, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$i"
+    }.mkString(" UNION ALL ")
+    s"WITH $init,$rounds SELECT * FROM ($finalSel) ORDER BY it"
+  }
 }
