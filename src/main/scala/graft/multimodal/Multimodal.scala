@@ -113,6 +113,29 @@ object Multimodal {
     }
   }
 
+  /** 56-bit perceptual difference hash (dHash) over a payload column —
+    * the image near-dup fingerprint of a multimodal pipeline. A real
+    * build derives the 8x8 grayscale grid from decoded pixels; the stub
+    * derives it from payload "bytes" (character code points, so ASCII
+    * payloads replay exactly in SQL): pixel(r, c) is the code point at
+    * offset (r*8 + c) mod len, and bit r*7+c is set iff pixel(r, c) >
+    * pixel(r, c+1) — relative gradients, which is what makes dHash
+    * robust to brightness shifts in the real-pixel version. 56 bits (8
+    * rows x 7 adjacent-column comparisons) keep the hash in the positive
+    * BIGINT range both engines share. Pure column arithmetic: the whole
+    * hash is one codegen'd projection, no UDF.
+    */
+  def dhash56(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def px(p: Int) =
+      ascii(substring(payload, (lit(p) % length(payload)) + 1, lit(1)))
+    (0 until 8).flatMap { r =>
+      (0 until 7).map { c =>
+        when(px(r * 8 + c) > px(r * 8 + c + 1), lit(1L << (r * 7 + c)))
+          .otherwise(lit(0L))
+      }
+    }.reduce(_ + _)
+  }
+
   /** Build MediaRecords from the documents table (text bytes standing in
     * for a media payload; kind derived from the source id). */
   def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {

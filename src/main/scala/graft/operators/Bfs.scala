@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-round frontier BFS: minimum hop counts from a source node
+  * over a directed edge table — the reachability/distance primitive next
+  * to [[PageRank]] (authority) and [[ConnectedComponents]] (clustering).
+  *
+  * Each round expands only the FRONTIER (nodes first reached last
+  * round) through one keyed equi-join, then folds new reachings into
+  * the distance table with a min-aggregate — the classic iterative BFS
+  * a Pregel engine runs, expressed as two shuffles per round on the
+  * node key. Rounds = O(graph diameter), each touching |frontier ⋈
+  * edges| rows, never all pairs; the distance table is persisted and
+  * swapped per round so lineage stays flat. Like q137's PageRank, hop
+  * counts are exact integers, so a SQL oracle can unroll the identical
+  * rounds as CTEs and match row-for-row.
+  */
+object Bfs {
+
+  /** Min-hops from `src` within `rounds` rounds. `edges` must have
+    * (src, dst) columns; returns (node, hops) for every node reached.
+    * Unreached nodes are absent (hops would be +inf). */
+  def hops(edges: DataFrame, src: Long, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    var dist = spark.range(1)
+      .select(lit(src).as("node"), lit(0).cast("int").as("hops"))
+      .persist()
+    var r = 1
+    while (r <= rounds) {
+      val frontier = dist.filter(col("hops") === r - 1).select(col("node"))
+      val reached = frontier.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(r).cast("int").as("hops"))
+      val next = dist.union(reached)
+        .groupBy("node").agg(min(col("hops")).as("hops"))
+        .persist()
+      next.count() // materialize before dropping the previous round
+      dist.unpersist()
+      dist = next
+      r += 1
+    }
+    dist
+  }
+}

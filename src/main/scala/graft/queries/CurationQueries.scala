@@ -604,6 +604,92 @@ object CurationQueries {
                CAST(SUM(zrows) AS BIGINT) AS rows_total,
                CAST(SUM(CASE WHEN zmax >= 10200 AND zmin <= 10383 THEN zrows ELSE 0 END) AS BIGINT) AS rows_scanned,
                CAST(SUM(zmatch) AS BIGINT) AS rows_matching
-        FROM st"""))
+        FROM st""")),
+
+    // Frontier BFS hop distances from nation 0 over the q137 shipping
+    // graph (operators.Bfs): per round, one keyed frontier-edges join +
+    // one min fold — O(diameter) rounds, no all-pairs anything. The
+    // oracle unrolls the identical rounds as CTEs (q137's pattern);
+    // integer hops match row-for-row.
+    Q(
+      "q162_bfs_hops",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val d = graft.operators.Bfs.hops(edges, src = 0L, rounds = 3)
+        d.join(Tables.nation(s, dir), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("hops"))
+          .orderBy("n_name")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""d$r AS (SELECT node, min(hops) AS hops FROM (
+                SELECT node, hops FROM d${r - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.hops + 1 AS hops
+                FROM d${r - 1} d JOIN edges e ON e.src = d.node
+                WHERE d.hops = ${r - 1}) GROUP BY node)"""
+        }.mkString(",\n")
+        s"""
+        WITH edges AS (
+          SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE s.s_nationkey <> c.c_nationkey),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hops),
+        $rounds
+        SELECT n.n_name, d.hops
+        FROM d3 d JOIN nation n ON n.n_nationkey = d.node
+        ORDER BY n.n_name"""
+      }),
+
+    // Robust outlier detection per group: median + MAD (median absolute
+    // deviation), flagging rows beyond 1.5*MAD. Quantities are integers
+    // and both medians interpolate at dyadic points, so med/mad/counts
+    // are float-exact cross-engine. The exact percentile aggregate
+    // buffers each group's values — the honest 100 TB swap is the q109
+    // t-digest (mirroring the q141 -> q149 exact -> approx pairing);
+    // the surrounding joins are keyed and the final count is one
+    // partial-agg'd pass.
+    Q(
+      "q163_mad_outliers",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_returnflag"), col("l_quantity"))
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        val withAd = li.join(med, "l_returnflag")
+          .withColumn("ad", abs(col("l_quantity") - col("med")))
+        val mad = withAd.groupBy("l_returnflag")
+          .agg(expr("percentile(ad, 0.5)").as("mad"))
+        withAd.join(mad, "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(
+            max(col("med")).as("med"),
+            max(col("mad")).as("mad"),
+            sum(when(col("ad") > lit(1.5) * col("mad"), 1L).otherwise(0L)).as("n_outliers"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH m AS (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+                   FROM lineitem GROUP BY 1),
+        a AS (SELECT l.l_returnflag, m.med, abs(l.l_quantity - m.med) AS ad
+              FROM lineitem l JOIN m USING (l_returnflag)),
+        d AS (SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+              FROM a GROUP BY 1)
+        SELECT a.l_returnflag, max(a.med) AS med, max(d.mad) AS mad,
+               CAST(SUM(CASE WHEN a.ad > 1.5 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM a JOIN d USING (l_returnflag)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

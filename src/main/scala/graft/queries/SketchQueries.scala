@@ -209,6 +209,65 @@ object SketchQueries {
                (SELECT count(*) FROM (SELECT t FROM at INTERSECT SELECT t FROM bt))
                  AS n_exact_common,
                (SELECT count(*) FROM (SELECT t FROM at UNION SELECT t FROM bt))
-                 AS n_exact_union"""))
+                 AS n_exact_union""")),
+
+    // Perceptual-hash (dHash) near-dup join — the image-dedup tier of a
+    // multimodal pipeline (Multimodal.dhash56; payload "pixels" are the
+    // deterministic stub, the join machinery is production-shaped). The
+    // 56-bit hash splits into 8 bands of 7 bits; candidate pairs meet on
+    // a band equi-join, so by pigeonhole every pair within hamming
+    // distance 7 shares at least one clean band — FULL recall at the
+    // d <= 4 threshold used here, no all-pairs comparison anywhere. The
+    // exact hamming verify (bit_count of xor) runs only on candidates.
+    // At 100 TB: banding bounds the shuffle exactly like the q58/q95
+    // simhash tiers; hot bands (constant-gradient payloads) would get
+    // the same stop-band cap q56 applies to shingles.
+    Q(
+      "q161_dhash_neardup",
+      (s, dir) => {
+        val hashed = Tables.documents(s, dir)
+          // ASCII payloads: code points replay in SQL. Empty payloads are
+          // excluded — pixel offsets are mod len, and len 0 has no pixels.
+          .filter(col("lang") === "en" && length(col("text")) > 0)
+          .select(col("doc_id"),
+            graft.multimodal.Multimodal.dhash56(col("text")).as("h"))
+        val bands = hashed.select(col("doc_id"), col("h"),
+          explode(array((0 until 8).map(i =>
+            struct(lit(i).as("bi"),
+              shiftright(col("h"), 7 * i).bitwiseAND(lit(127L)).as("bv"))): _*)).as("bd"))
+          .select(col("doc_id"), col("h"), col("bd.bi"), col("bd.bv"))
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.bi") === col("y.bi") && col("x.bv") === col("y.bv") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("x.h").as("ha"),
+            col("y.doc_id").as("b"), col("y.h").as("hb"))
+          .distinct()
+        cand
+          .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+          .filter(col("hamming") <= 4)
+          .select(col("a"), col("b"), col("hamming"))
+          .orderBy("a", "b")
+      },
+      Some("""
+        WITH hashed AS (
+          SELECT doc_id,
+                 (SELECT CAST(SUM(CASE WHEN
+                    ascii(substr(text, ((g.r * 8 + g.c) % len(text)) + 1, 1)) >
+                    ascii(substr(text, ((g.r * 8 + g.c + 1) % len(text)) + 1, 1))
+                    THEN (1::BIGINT << CAST(g.r * 7 + g.c AS INT)) ELSE 0 END) AS BIGINT)
+                  FROM (SELECT r.range AS r, c.range AS c
+                        FROM range(8) r CROSS JOIN range(7) c) g) AS h
+          FROM documents WHERE lang = 'en' AND len(text) > 0),
+        bands AS (
+          SELECT doc_id, h, r.range AS bi, (h >> CAST(7 * r.range AS INT)) & 127 AS bv
+          FROM hashed CROSS JOIN range(8) r),
+        cand AS (
+          SELECT DISTINCT x.doc_id AS a, x.h AS ha, y.doc_id AS b, y.h AS hb
+          FROM bands x JOIN bands y
+            ON x.bi = y.bi AND x.bv = y.bv AND x.doc_id < y.doc_id)
+        SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+        FROM cand
+        WHERE bit_count(xor(ha, hb)) <= 4
+        ORDER BY a, b"""))
   )
 }

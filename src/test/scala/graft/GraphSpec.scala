@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Bfs operator + dHash banding contracts. */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("bfs: frontier expansion finds minimal hop counts") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val d = operators.Bfs.hops(edges, src = 1L, rounds = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("bfs: unreachable nodes stay absent; extra rounds are no-ops") {
+    val edges = Seq((1L, 2L), (5L, 6L)).toDF("src", "dst")
+    val d = operators.Bfs.hops(edges, src = 1L, rounds = 5)
+      .as[(Long, Int)].collect().toMap
+    assert(d == Map(1L -> 0, 2L -> 1))
+  }
+
+  test("dhash bands: any pair within hamming 7 shares a band (pigeonhole recall)") {
+    val rnd = new scala.util.Random(11)
+    def bands(h: Long): Seq[Long] = (0 until 8).map(i => (h >> (7 * i)) & 127L)
+    (1 to 2000).foreach { _ =>
+      val h = rnd.nextLong() & ((1L << 56) - 1)
+      val flips = rnd.nextInt(8) // 0..7 bit flips
+      val positions = rnd.shuffle((0 until 56).toList).take(flips)
+      val h2 = positions.foldLeft(h)((acc, p) => acc ^ (1L << p))
+      assert(bands(h).zip(bands(h2)).exists { case (a, b) => a == b },
+        s"no shared band for hamming $flips")
+    }
+  }
+
+  test("dhash56 is deterministic and equal payloads collide exactly") {
+    val df = Seq("the quick brown fox", "the quick brown fox", "jumps over it all")
+      .toDF("text")
+      .select(multimodal.Multimodal.dhash56(col("text")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(1) && hs(0) != hs(2))
+    assert(hs.forall(h => h >= 0 && h < (1L << 56)))
+  }
+}
