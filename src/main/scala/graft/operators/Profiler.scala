@@ -38,4 +38,34 @@ object Profiler {
       s"stack(${df.schema.fields.length}, ${arms.mkString(", ")}) " +
         "AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)")
   }
+
+  /** [[profile]]'s lexical sibling: min/max rendered through type-stable
+    * STRING casts, so string, date and integer columns — which the
+    * numeric profiler reports as null ranges — get real bounds. Same
+    * one-scan shape (5 aggregate expressions per column in one
+    * HashAggregate, then a local stack). Float/double columns should go
+    * through [[profile]] instead: engine-native float formatting is the
+    * one renderer that cannot be compared across engines. Timestamps
+    * are best pre-cast to DATE by the caller (q160 does) for the same
+    * reason.
+    */
+  def profileLexical(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val aggs = df.schema.fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(lit(1)).as(s"${f.name}__rows"),
+        count(c).as(s"${f.name}__cnt"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"${f.name}__distinct"),
+        min(c).cast(StringType).as(s"${f.name}__min"),
+        max(c).cast(StringType).as(s"${f.name}__max"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
+    val arms = df.schema.fields.map { f =>
+      s"'${f.name}', ${f.name}__rows, ${f.name}__rows - ${f.name}__cnt, " +
+        s"${f.name}__distinct, ${f.name}__min, ${f.name}__max"
+    }
+    wide.selectExpr(
+      s"stack(${df.schema.fields.length}, ${arms.mkString(", ")}) " +
+        "AS (column_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
+  }
 }

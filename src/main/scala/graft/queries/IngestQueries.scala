@@ -281,18 +281,15 @@ object IngestQueries {
         FROM lineitem"""))
   ) :+ profilerQ
 
-  /** q160: table profiler — per-column row/null/distinct counts and
-    * min/max (rendered as strings) for seven lineitem columns in ONE
-    * aggregate pass over the scan, melted to a row per column. The
-    * count/null/min/max expressions are plain partial-agg'd aggregates;
-    * the exact distincts ride Spark's Expand (one scan, rows duplicated
-    * per distinct column) — the honest trade at 100 TB is swapping them
-    * for graft_hll registers in the same pass, which q97 shows is
-    * oracle-verifiable too. Min/max render through type-stable casts
-    * (ints and strings directly, timestamps through DATE); float
-    * columns would ride the same aggregate with an exact decimal
-    * renderer — engine-native float-to-string formatting is the one
-    * thing this profiler refuses to hash-compare.
+  /** q160: lexical table profiler — `Profiler.profileLexical` (q79's
+    * numeric profiler extended with type-stable STRING min/max
+    * renderers, so string/date/integer columns get real bounds) over
+    * seven lineitem columns in one aggregate pass. Counts and min/max
+    * are plain partial-agg'd aggregates; the exact distincts ride
+    * Spark's Expand — the honest 100 TB trade is `exact = false`
+    * (or q97's graft_hll registers, also oracle-verifiable) in the
+    * same pass. The shipdate timestamp is pre-cast to DATE so the
+    * rendered bound is engine-portable.
     */
   private def profilerQ: Q = {
     val plain = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
@@ -300,24 +297,9 @@ object IngestQueries {
     Q(
       "q160_profile_table",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .withColumn("l_shipday", to_date(col("l_shipdate")))
-        val cols = plain :+ "l_shipday"
-        val aggs = count(lit(1)).as("n_rows") +:
-          cols.flatMap(c => Seq(
-            count(col(c)).as(s"cnt_$c"),
-            countDistinct(col(c)).as(s"nd_$c"),
-            min(col(c)).cast("string").as(s"mn_$c"),
-            max(col(c)).cast("string").as(s"mx_$c")))
-        li.agg(aggs.head, aggs.tail: _*)
-          .select(explode(array(cols.map(c => struct(
-            lit(c).as("column_name"),
-            col("n_rows"),
-            (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
-            col(s"nd_$c").as("n_distinct"),
-            col(s"mn_$c").as("min_s"),
-            col(s"mx_$c").as("max_s"))): _*)).as("r"))
-          .select("r.*")
+        val cols = plain.map(col) :+ to_date(col("l_shipdate")).as("l_shipday")
+        graft.operators.Profiler
+          .profileLexical(Tables.lineitem(s, dir).select(cols: _*))
           .orderBy("column_name")
       },
       Some {

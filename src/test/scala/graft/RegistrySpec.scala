@@ -15,7 +15,7 @@ class RegistrySpec extends SparkSpec {
     "q46_approx_distinct", "q48_sampling", "q54_exact_dedup_stats",
     "q72_try_cast_numeric", "q74_natural_key_dedup", "q16_bloom_prune",
     "q83_multimodal_decode", "q86_ivf_kmeans", "q110_ann_quantized",
-    "q139_skip_summary", "q143_ann_pq")
+    "q139_skip_summary", "q143_ann_pq", "q153_funnel")
 
   test("every registered query executes and yields a schema") {
     val failures = QueryRegistry.all.flatMap { q =>
