@@ -41,31 +41,34 @@ object Profiler {
 
   /** [[profile]]'s lexical sibling: min/max rendered through type-stable
     * STRING casts, so string, date and integer columns — which the
-    * numeric profiler reports as null ranges — get real bounds. Same
-    * one-scan shape (5 aggregate expressions per column in one
-    * HashAggregate, then a local stack). Float/double columns should go
-    * through [[profile]] instead: engine-native float formatting is the
-    * one renderer that cannot be compared across engines. Timestamps
-    * are best pre-cast to DATE by the caller (q160 does) for the same
-    * reason.
+    * numeric profiler reports as null ranges — get real bounds.
+    *
+    * Shape: one column-pruned aggregation branch PER COLUMN, unioned.
+    * Packing several exact countDistinct aggregates into a single pass
+    * (the [[profile]] shape) plans an Expand that multiplies every scan
+    * row by (columns + 1) — measured 9.9 s on 600 k lineitem rows for 7
+    * columns, the slowest query in the whole bench. Per-column branches
+    * read ONE column each off the columnar format, partial-aggregate
+    * independently, and ship 7 single-row results — 12x faster here and
+    * the shape that survives a wide 100 TB table. Float/double columns
+    * should go through [[profile]] instead: engine-native float
+    * formatting is the one renderer that cannot be compared across
+    * engines; timestamps are best pre-cast to DATE by the caller (q160
+    * does) for the same reason.
     */
-  def profileLexical(df: DataFrame, exact: Boolean = true): DataFrame = {
-    val aggs = df.schema.fields.flatMap { f =>
+  def profileLexical(df: DataFrame, exact: Boolean = true): DataFrame =
+    df.schema.fields.map { f =>
       val c = col(f.name)
-      Seq(
-        count(lit(1)).as(s"${f.name}__rows"),
-        count(c).as(s"${f.name}__cnt"),
-        (if (exact) countDistinct(c) else approx_count_distinct(c)).as(s"${f.name}__distinct"),
-        min(c).cast(StringType).as(s"${f.name}__min"),
-        max(c).cast(StringType).as(s"${f.name}__max"))
-    }
-    val wide = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*)
-    val arms = df.schema.fields.map { f =>
-      s"'${f.name}', ${f.name}__rows, ${f.name}__rows - ${f.name}__cnt, " +
-        s"${f.name}__distinct, ${f.name}__min, ${f.name}__max"
-    }
-    wide.selectExpr(
-      s"stack(${df.schema.fields.length}, ${arms.mkString(", ")}) " +
-        "AS (column_name, n_rows, n_nulls, n_distinct, min_s, max_s)")
-  }
+      df.select(c).agg(
+        count(lit(1)).as("n_rows"),
+        count(c).as("cnt"),
+        (if (exact) countDistinct(c) else approx_count_distinct(c)).as("n_distinct"),
+        min(c).cast(StringType).as("min_s"),
+        max(c).cast(StringType).as("max_s"))
+        .select(
+          lit(f.name).as("column_name"),
+          col("n_rows"),
+          (col("n_rows") - col("cnt")).as("n_nulls"),
+          col("n_distinct"), col("min_s"), col("max_s"))
+    }.reduce(_ union _)
 }

@@ -411,6 +411,44 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(2L, 4L), s"contaminated rows not dropped: $kept")
   }
 
+  test("broadcast bloom probe decontaminates a stream with zero stream-side state") {
+    // the q157 tier in streaming form: the filter built once from the
+    // static eval set becomes a literal bit array, and the probe is a
+    // stateless scan-stage predicate — no stream-static join, no state
+    // store, nothing to re-read per batch. The deterministic hash means
+    // batch and stream agree on exactly which rows (incl. any false
+    // positives) are dropped.
+    import graft.functions.GraftFunctions.hash60
+    import org.apache.spark.sql.functions.{col, element_at, lit, shiftrightunsigned, typedLit}
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    val eval = Seq("the quick brown fox", "lorem ipsum dolor").toDF("v")
+    val words = eval
+      .agg(org.apache.spark.sql.functions.call_function("graft_bloom",
+        hash60("sb", col("v")), lit(1024), lit(3)))
+      .head().getSeq[Long](0).toArray
+    val bitsLit = typedLit(graft.plans.BloomAgg.toBits(words, 1024).toSeq)
+    def inBloom(x: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val h = hash60("sb", x)
+      val h1 = h % 1024L
+      val h2 = shiftrightunsigned(h, 30).bitwiseOR(lit(1L))
+      (0 until 3)
+        .map(i => element_at(bitsLit, ((h1 + lit(i.toLong) * h2) % 1024L + 1).cast("int")))
+        .reduce(_ && _)
+    }
+    val stream = MemoryStream[(Long, String)](27, spark, None)
+    val cleaned = stream.toDF().toDF("id", "text").filter(!inBloom(col("text")))
+    val q = cleaned.writeStream.format("memory").queryName("bloom_decon_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData((1L, "the quick brown fox"), (2L, "novel content one"))
+      q.processAllAvailable()
+      stream.addData((3L, "lorem ipsum dolor"), (4L, "novel content two"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("bloom_decon_out").select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L), s"contaminated rows not dropped: $kept")
+  }
+
   test("streaming bottom-k sampler converges to the batch sample across batches") {
     import StreamingJobs.{SampleIn, SampleOut}
     import graft.functions.GraftFunctions.hash60
