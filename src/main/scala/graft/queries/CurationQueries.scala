@@ -690,6 +690,47 @@ object CurationQueries {
         SELECT a.l_returnflag, max(a.med) AS med, max(d.mad) AS mad,
                CAST(SUM(CASE WHEN a.ad > 1.5 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM a JOIN d USING (l_returnflag)
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // Largest-remainder apportionment: split an exact 1M-token budget
+    // across sources proportionally to corpus mass, in pure integer
+    // arithmetic — floor quotas, then one extra token to the R largest
+    // remainders (R = budget − Σfloors; tie-break source asc). This is
+    // how a domain-mix plan (q115's ppm weights) becomes an EXACT
+    // per-source sample budget: Σalloc = budget always, no float
+    // rounding drift. Two tiny aggregates + a 20-row ranking window;
+    // B·w stays in int64 here (switch to decimal(38,0) when budget ×
+    // corpus mass can exceed 2^63).
+    Q(
+      "q166_apportion_budget",
+      (s, dir) => {
+        val w = Tables.documents(s, dir).groupBy("source")
+          .agg(sum(col("n_chars")).as("w"))
+        val tot = w.agg(sum(col("w")).as("tw"))
+        val base = w.crossJoin(broadcast(tot))
+          .withColumn("base", expr("(1000000 * w) div tw"))
+          .withColumn("rem", expr("(1000000 * w) % tw"))
+        val used = base.agg(sum(col("base")).as("allocated"))
+        val win = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("source"))
+        base.crossJoin(broadcast(used))
+          .withColumn("rk", row_number().over(win))
+          .withColumn("alloc",
+            col("base") + when(col("rk") <= lit(1000000L) - col("allocated"), 1L).otherwise(0L))
+          .select(col("source"), col("w"), col("alloc"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH w AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS w
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+        b AS (SELECT source, w, (1000000 * w) // tw AS base,
+                     (1000000 * w) % tw AS rem FROM w, t),
+        u AS (SELECT CAST(SUM(base) AS BIGINT) AS allocated FROM b),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+        SELECT source, w,
+               CAST(base + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM r, u
+        ORDER BY source"""))
   )
 }

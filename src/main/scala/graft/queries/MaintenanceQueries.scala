@@ -244,6 +244,94 @@ object MaintenanceQueries {
                CAST(levenshtein(a.pfx, b.pfx) AS INT) AS dist
         FROM p a JOIN p b ON a.doc_id < b.doc_id
         WHERE levenshtein(a.pfx, b.pfx) <= 1
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // SCD Type-2 dimension build (operators.Scd): the per-customer order
+    // status history collapsed to effective-dated [valid_from, valid_to)
+    // intervals — one row per run of consecutive identical values, the
+    // shape an as-of join (q34) probes. One hash partition on the key,
+    // gaps-and-islands windows inside each partition; the oracle replays
+    // the identical algebra.
+    Q(
+      "q164_scd2_build",
+      (s, dir) => {
+        val dim = graft.operators.Scd.buildType2(
+          Tables.orders(s, dir)
+            .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus"),
+          "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus")
+        dim.select(
+          col("o_custkey"), col("version"), col("o_orderstatus"),
+          date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to"),
+          col("is_current"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""
+        WITH h AS (SELECT o_custkey AS k, o_orderdate AS ts, o_orderkey AS oid,
+                          o_orderstatus AS attr FROM orders),
+        c AS (SELECT *, CASE WHEN lag(attr) OVER (PARTITION BY k ORDER BY ts, oid) = attr
+                             THEN 0 ELSE 1 END AS chg FROM h),
+        r AS (SELECT *, SUM(chg) OVER (PARTITION BY k ORDER BY ts, oid
+                                       ROWS UNBOUNDED PRECEDING) AS run FROM c),
+        i AS (SELECT k, run, min(attr) AS attr, min(ts) AS vf FROM r GROUP BY 1, 2),
+        f AS (SELECT k, run, attr, vf,
+                     lead(vf) OVER (PARTITION BY k ORDER BY run) AS vt FROM i)
+        SELECT k AS o_custkey, CAST(run AS INT) AS version, attr AS o_orderstatus,
+               strftime(vf, '%Y-%m-%d') AS valid_from,
+               strftime(vt, '%Y-%m-%d') AS valid_to,
+               vt IS NULL AS is_current
+        FROM f
+        ORDER BY o_custkey, version""")),
+
+    // Interval union (merge-overlaps): each order opens a 30-day service
+    // window; overlapping windows per customer fuse into coverage
+    // islands. Same gaps-and-islands shape as q164: a window opens a new
+    // island iff it starts after the running max end of everything
+    // before it. The merge is the standard prerequisite for interval
+    // joins (B14) over histories that self-overlap.
+    Q(
+      "q165_interval_merge",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_custkey").orderBy(col("st"), col("o_orderkey"))
+        val iv = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").as("st"),
+            (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("en"))
+        iv
+          .withColumn("prev_max", max(col("en")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+          .withColumn("new_island",
+            when(col("prev_max").isNull || col("st") > col("prev_max"), 1L).otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .groupBy("o_custkey", "island")
+          .agg(
+            date_format(min(col("st")), "yyyy-MM-dd").as("covered_from"),
+            date_format(max(col("en")), "yyyy-MM-dd").as("covered_to"),
+            count(lit(1)).as("n_orders"))
+          .select(col("o_custkey"), col("island").cast("int").as("island"),
+            col("covered_from"), col("covered_to"), col("n_orders"))
+          .orderBy("o_custkey", "island")
+      },
+      Some("""
+        WITH iv AS (SELECT o_custkey, o_orderkey, o_orderdate AS st,
+                           o_orderdate + INTERVAL 30 DAY AS en FROM orders),
+        m AS (SELECT *, max(en) OVER (PARTITION BY o_custkey ORDER BY st, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM iv),
+        f AS (SELECT *, CASE WHEN prev_max IS NULL OR st > prev_max THEN 1 ELSE 0 END AS new_island
+              FROM m),
+        g AS (SELECT *, SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY st, o_orderkey
+                                              ROWS UNBOUNDED PRECEDING) AS island
+              FROM f)
+        SELECT o_custkey, CAST(island AS INT) AS island,
+               strftime(min(st), '%Y-%m-%d') AS covered_from,
+               strftime(max(en), '%Y-%m-%d') AS covered_to,
+               count(*) AS n_orders
+        FROM g
+        GROUP BY o_custkey, island
+        ORDER BY o_custkey, island"""))
   )
 }

@@ -239,4 +239,68 @@ class MaintenanceSpec extends SparkSpec {
     assert(segJoins.nonEmpty, s"no segment equi-join found in:\n$plan")
     assert(segJoins.forall(_.condition.get.toString.contains("=")))
   }
+
+  test("scd2: consecutive identical values collapse; same-ts flips keep order by tie-break") {
+    val hist = Seq(
+      // key 1: A A B A -> 3 intervals
+      (1L, 10L, 100L, "A"), (1L, 20L, 101L, "A"), (1L, 30L, 102L, "B"), (1L, 40L, 103L, "A"),
+      // key 2: two flips at the SAME ts, ordered by ord -> B then C
+      (2L, 10L, 200L, "A"), (2L, 20L, 201L, "B"), (2L, 20L, 202L, "C"))
+      .toDF("k", "ts", "oid", "attr")
+    val dim = operators.Scd.buildType2(hist, "k", "ts", "oid", "attr")
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, String, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._2))
+    assert(dim.toSeq == Seq(
+      (1L, 1, "A", 10L, Some(30L), false),
+      (1L, 2, "B", 30L, Some(40L), false),
+      (1L, 3, "A", 40L, None, true),
+      (2L, 1, "A", 10L, Some(20L), false),
+      (2L, 2, "B", 20L, Some(20L), false),
+      (2L, 3, "C", 20L, None, true)))
+  }
+
+  test("scd2: intervals tile the timeline — every valid_to equals the next valid_from") {
+    val rnd = new Random(3)
+    val hist = (1 to 300).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(50).toLong, i.toLong, s"s${rnd.nextInt(3)}")
+    }.toDF("k", "ts", "oid", "attr")
+    val dim = operators.Scd.buildType2(hist, "k", "ts", "oid", "attr")
+      .select("k", "version", "valid_from", "valid_to")
+      .as[(Long, Int, Long, Option[Long])].collect()
+    dim.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4.contains(b._3), s"gap between $a and $b")
+        case _ => ()
+      }
+      assert(sorted.last._4.isEmpty) // exactly one current row per key
+    }
+  }
+
+  test("interval merge islands: q165 invariants — islands disjoint, orders covered") {
+    val out = QueryRegistry.byName("q165_interval_merge").run(spark, "/root/testdata/sf0.001")
+      .select("o_custkey", "island", "covered_from", "covered_to", "n_orders")
+      .as[(Long, Int, String, String, Long)].collect()
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 < b._3, s"islands overlap: $a then $b")
+        case _ => ()
+      }
+    }
+    val totalOrders = Tables.orders(spark, "/root/testdata/sf0.001").count()
+    assert(out.map(_._5).sum == totalOrders)
+  }
+
+  test("apportionment: allocations sum exactly to the budget and respect quota bounds") {
+    val out = QueryRegistry.byName("q166_apportion_budget").run(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect()
+    val budget = 1000000L
+    val tw = out.map(_._2).sum
+    assert(out.map(_._3).sum == budget, "largest-remainder must allocate the budget exactly")
+    out.foreach { case (src, w, alloc) =>
+      val floor = budget * w / tw
+      assert(alloc == floor || alloc == floor + 1, s"$src alloc $alloc outside quota [$floor, ${floor + 1}]")
+    }
+  }
 }

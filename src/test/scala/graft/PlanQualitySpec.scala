@@ -182,6 +182,36 @@ class PlanQualitySpec extends SparkSpec {
       s"zorder shuffle is not a range partition on the z-value:\n$p")
   }
 
+  test("q157: the bloom probe stage joins nothing — pure scan-stage filter") {
+    // The entire decontamination pitch: the train side is ONE filter +
+    // project over its scan. The only join-free exception is the tiny
+    // filter-build aggregate that ran at plan-construction time.
+    val p = plan("q157_bloom_decontaminate")
+    assert(!p.contains("Join"), s"probe side must not join:\n$p")
+    assert(!p.contains("Window"), s"probe side must not window:\n$p")
+  }
+
+  test("q153: funnel has no window over the event stream, filters push to the scan") {
+    val p = plan("q153_funnel")
+    assert(!p.contains("Window"), s"funnel must not window-scan the stream:\n$p")
+    assert(p.contains("EqualTo(event_type,view)") || p.contains("isnotnull(event_type"),
+      s"event_type filter not near the scan:\n$p")
+  }
+
+  test("q155: skyline reduces via hash aggregate before its bounded window") {
+    val p = plan("q155_skyline")
+    assert(p.contains("HashAggregate"), s"per-size reduce missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline must not compare all pairs:\n$p")
+  }
+
+  test("q161: dhash candidates meet on a shuffled equi-join, never all pairs") {
+    val p = plan("q161_dhash_neardup")
+    assert(!p.contains("CartesianProduct"), s"banded join degraded:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join found:\n$p")
+  }
+
   test("no registered query cartesian-joins two unbounded sides") {
     // The scale rule: a CartesianProductExec over two unbounded inputs is
     // O(n²) work however clever the rest of the plan — every occurrence
