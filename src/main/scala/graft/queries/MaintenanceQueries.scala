@@ -332,6 +332,37 @@ object MaintenanceQueries {
                count(*) AS n_orders
         FROM g
         GROUP BY o_custkey, island
-        ORDER BY o_custkey, island"""))
+        ORDER BY o_custkey, island""")),
+
+    // Sorted-neighborhood blocking (operators.Blocking): candidates are
+    // the w=2 successors in (p_name, p_partkey) order, verified with
+    // exact levenshtein — the entity-resolution complement of q130's
+    // PassJoin, with candidate volume pinned at n*w by construction.
+    // The global rank is range-repartition + zipWithIndex, NOT a
+    // single-partition window; the neighbor join is an exploded-offset
+    // equi-join. The oracle replays the same order with row_number and
+    // a rank-range join.
+    Q(
+      "q168_sorted_neighborhood",
+      (s, dir) => {
+        val cand = graft.operators.Blocking.sortedNeighborhood(
+          Tables.part(s, dir).select(col("p_partkey"), col("p_name")),
+          Seq(col("p_name"), col("p_partkey")), window = 2)
+        cand
+          .withColumn("dist", levenshtein(col("a_p_name"), col("b_p_name")))
+          .filter(col("dist") <= 1)
+          .select(col("a_p_partkey").as("a_key"), col("b_p_partkey").as("b_key"),
+            col("dist"))
+          .orderBy("a_key", "b_key")
+      },
+      Some("""
+        WITH s AS (SELECT p_partkey, p_name,
+                          row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+                   FROM part)
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        FROM s a JOIN s b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 1
+        ORDER BY a_key, b_key"""))
   )
 }

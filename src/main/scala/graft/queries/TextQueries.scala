@@ -1049,7 +1049,84 @@ object TextQueries {
         vocab.unpersist()
         merges.toDF("it", "left_sym", "right_sym", "pair_count").orderBy("it")
       },
-      Some(bpeOracle(6)))
+      Some(bpeOracle(6))),
+
+    // T5-style span corruption: deterministically mask ~20% of token
+    // positions (hash-derived, so the SAME spans regenerate on every
+    // run/engine), collapse each maskedrun into one numbered sentinel in
+    // the input, and emit the masked tokens behind their sentinels as
+    // the target — the (input, target) pair generator for denoising
+    // pretraining. All gaps-and-islands window algebra partitioned per
+    // doc (tiny partitions), reassembled with an ordered collect;
+    // outputs compare as md5 so the whole string construction is pinned
+    // cross-engine. At 100 TB this is scan + per-doc windows — no joins,
+    // no global state, shuffle bounded by the doc partition.
+    Q(
+      "q167_span_corruption",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("p")
+        val ex = Tables.documents(s, dir)
+          .filter(col("lang") === "en")
+          .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+          .withColumn("masked",
+            hash60("mask", concat(col("doc_id"), lit(":"), col("p"))) % 5 === 0)
+          .withColumn("start",
+            col("masked") && !coalesce(lag(col("masked"), 1).over(w), lit(false)))
+          .withColumn("span_id",
+            sum(when(col("start"), 1L).otherwise(0L)).over(
+              w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                org.apache.spark.sql.expressions.Window.currentRow)))
+        val withPieces = ex
+          .withColumn("in_tok",
+            when(!col("masked"), col("tok"))
+              .when(col("start"), concat(lit("<extra_id_"), col("span_id") - 1, lit(">"))))
+          .withColumn("tgt_tok",
+            when(col("masked") && col("start"),
+              concat(lit("<extra_id_"), col("span_id") - 1, lit("> "), col("tok")))
+              .when(col("masked"), col("tok")))
+        withPieces.groupBy("doc_id")
+          .agg(
+            md5(array_join(transform(array_sort(collect_list(
+              when(col("in_tok").isNotNull, struct(col("p"), col("in_tok"))))),
+              x => x.getField("in_tok")), " ")).as("input_md5"),
+            md5(array_join(transform(array_sort(collect_list(
+              when(col("tgt_tok").isNotNull, struct(col("p"), col("tgt_tok"))))),
+              x => x.getField("tgt_tok")), " ")).as("target_md5"),
+            max(col("span_id")).cast("int").as("n_spans"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH toks AS (SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts
+             FROM documents WHERE lang = 'en'),
+        ex AS (SELECT doc_id, u.p, u.tok FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(ts) + 1),
+                   i -> struct_pack(p := CAST(i - 1 AS INT), tok := ts[i]))) AS u
+          FROM toks)),
+        mk AS (SELECT doc_id, p, tok,
+                      (${ohash("mask", "doc_id || ':' || p")}) % 5 = 0 AS masked
+               FROM ex),
+        st AS (SELECT *, masked AND NOT COALESCE(
+                 lag(masked) OVER (PARTITION BY doc_id ORDER BY p), FALSE) AS start
+               FROM mk),
+        sp AS (SELECT *, SUM(CASE WHEN start THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS span_id
+               FROM st),
+        pc AS (SELECT doc_id, p, span_id, masked,
+                      CASE WHEN NOT masked THEN tok
+                           WHEN start THEN '<extra_id_' || (span_id - 1) || '>' END AS in_tok,
+                      CASE WHEN masked AND start
+                             THEN '<extra_id_' || (span_id - 1) || '> ' || tok
+                           WHEN masked THEN tok END AS tgt_tok
+               FROM sp)
+        SELECT doc_id,
+               md5(COALESCE(string_agg(in_tok, ' ' ORDER BY p) FILTER (WHERE in_tok IS NOT NULL), '')) AS input_md5,
+               md5(COALESCE(string_agg(tgt_tok, ' ' ORDER BY p) FILTER (WHERE tgt_tok IS NOT NULL), '')) AS target_md5,
+               CAST(max(span_id) AS INT) AS n_spans
+        FROM pc
+        GROUP BY doc_id
+        ORDER BY doc_id"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

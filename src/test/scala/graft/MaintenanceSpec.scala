@@ -292,6 +292,31 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.map(_._5).sum == totalOrders)
   }
 
+  test("blocking: globalRank equals the window row_number at any partition count") {
+    val rnd = new Random(5)
+    val data = (1 to 500).map(i => (i.toLong, s"n${rnd.nextInt(100)}")).toDF("id", "name")
+    val expected = data
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("name"), col("id"))).cast("long"))
+      .select("id", "rn").as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 3, 8)) {
+      val got = operators.Blocking
+        .globalRank(data.repartition(parts), Seq(col("name"), col("id")))
+        .select("id", "rn").as[(Long, Long)].collect().toMap
+      assert(got == expected, s"rank diverged at $parts partitions")
+    }
+  }
+
+  test("blocking: sorted-neighborhood candidate volume is exactly n*w - w(w+1)/2") {
+    val data = (1 to 200).map(i => (i.toLong, s"x${i % 17}")).toDF("id", "name")
+    for (w <- Seq(1, 2, 4)) {
+      val n = 200L
+      val cand = operators.Blocking
+        .sortedNeighborhood(data, Seq(col("name"), col("id")), w).count()
+      assert(cand == n * w - w.toLong * (w + 1) / 2, s"window $w: got $cand")
+    }
+  }
+
   test("apportionment: allocations sum exactly to the budget and respect quota bounds") {
     val out = QueryRegistry.byName("q166_apportion_budget").run(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long)].collect()
