@@ -412,6 +412,48 @@ object StreamingJobs {
       }
   }
 
+  case class ScdIn(k: Long, ts: Long, oid: Long, attr: String)
+  case class ScdOut(k: Long, version: Int, attr: String,
+      valid_from: Long, valid_to: Option[Long], is_current: Boolean)
+  case class ScdCur(version: Int, attr: String, from: Long)
+
+  /** Streaming twin of `operators.Scd.buildType2` for an IN-ORDER change
+    * feed (a CDC stream delivers per-key changes in commit order): keyed
+    * state holds only the OPEN interval; an arriving change with a
+    * different attribute closes it (emitting the finished dimension row)
+    * and opens the next version. Within a micro-batch events sort by
+    * (ts, oid) — the same tie-break as the batch builder — so
+    * batch-boundary placement cannot change the result, and the
+    * accumulated output converges to exactly `buildType2` of the full
+    * history (pinned in StreamingSpec). State is O(1) per live key;
+    * Update mode re-emits the current open row each batch so a sink
+    * always holds a complete dimension snapshot.
+    */
+  def scdType2(rows: Dataset[ScdIn]): Dataset[ScdOut] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.k)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, it: Iterator[ScdIn], state: GroupState[ScdCur]) =>
+          val events = it.toSeq.sortBy(r => (r.ts, r.oid))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+          events.foreach { e =>
+            cur match {
+              case Some(c) if c.attr == e.attr => () // run continues
+              case Some(c) =>
+                out += ScdOut(k, c.version, c.attr, c.from, Some(e.ts), is_current = false)
+                cur = Some(ScdCur(c.version + 1, e.attr, e.ts))
+              case None =>
+                cur = Some(ScdCur(1, e.attr, e.ts))
+            }
+          }
+          cur.foreach(state.update)
+          out ++= cur.map(c => ScdOut(k, c.version, c.attr, c.from, None, is_current = true))
+          out.iterator
+      }
+  }
+
   /** B38: custom keyed state — running per-user counters via
     * flatMapGroupsWithState (the progress-tracking shape of A3, but
     * per-key, fault-tolerant and store-backed).

@@ -65,6 +65,20 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(td >= 1.0 && td <= 7.0, s"p50 of linenumber was $td")
   }
 
+  test("graft_bloom builds the same registers from SQL text as from the DataFrame API") {
+    QueryRegistry.sqlViews(spark, dir)
+    val viaSql = spark.sql(
+      """SELECT graft_bloom(conv(substr(md5('t:' || cast(o_custkey AS STRING)), 1, 15), 16, 10),
+        |                   1024, 3) AS regs
+        |FROM orders""".stripMargin).collect().head.getSeq[Long](0)
+    val viaDf = Tables.orders(spark, dir)
+      .agg(call_function("graft_bloom",
+        functions.GraftFunctions.hash60("t", col("o_custkey")), lit(1024), lit(3)))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaDf)
+    assert(viaSql.exists(_ != 0L))
+  }
+
   test("optimizer rewrites fire from SQL text exactly as from the DataFrame API") {
     QueryRegistry.sqlViews(spark, dir)
     // the HOF dot-product spelled as SQL must be rewritten to the native

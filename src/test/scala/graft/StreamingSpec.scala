@@ -449,6 +449,35 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Set(2L, 4L), s"contaminated rows not dropped: $kept")
   }
 
+  test("streaming SCD2 converges to the batch dimension build on an in-order feed") {
+    import StreamingJobs.{ScdIn, ScdOut}
+    val rnd = new scala.util.Random(13)
+    val hist = (1 to 240).map { i =>
+      ScdIn(rnd.nextInt(6).toLong, i.toLong, i.toLong, s"s${rnd.nextInt(3)}")
+    } // ts strictly increasing -> a valid in-order CDC feed
+    val stream = MemoryStream[ScdIn](29, spark, None)
+    val q = StreamingJobs.scdType2(stream.toDS()).toDF()
+      .writeStream.format("memory").queryName("scd_out")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // split at arbitrary points: batch boundaries must not matter
+      val (a, rest) = hist.splitAt(97)
+      val (b, c) = rest.splitAt(71)
+      Seq(a, b, c).foreach { chunk => stream.addData(chunk: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // last emission per (k, version) is the settled row
+    val streamed = spark.table("scd_out")
+      .withColumn("__seq", monotonically_increasing_id())
+      .as[(Long, Int, String, Long, Option[Long], Boolean, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._7))
+      .map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).toSet
+    val batch = operators.Scd.buildType2(
+      hist.toDF("k", "ts", "oid", "attr"), "k", "ts", "oid", "attr")
+      .select("k", "version", "attr", "valid_from", "valid_to", "is_current")
+      .as[(Long, Int, String, Long, Option[Long], Boolean)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("streaming bottom-k sampler converges to the batch sample across batches") {
     import StreamingJobs.{SampleIn, SampleOut}
     import graft.functions.GraftFunctions.hash60
