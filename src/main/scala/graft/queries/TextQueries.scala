@@ -1126,13 +1126,40 @@ object TextQueries {
                CAST(max(span_id) AS INT) AS n_spans
         FROM pc
         GROUP BY doc_id
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // BPE ENCODE — the apply half of q159's train: re-train the 6-merge
+    // vocab (deterministic, so training twice is free of drift), then
+    // tokenize the corpus BY DICTIONARY JOIN: per-doc words equi-join
+    // the word→symbols vocab and token counts are one partial-agg'd
+    // sum. This is the production shape: the corpus is never re-walked
+    // per merge — encoding cost is one join against a broadcastable
+    // vocab whatever the merge count. The oracle replays training AND
+    // the join.
+    Q(
+      "q169_bpe_encode",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).filter(col("lang") === "en")
+        val (_, vocab) = graft.operators.Bpe.train(
+          graft.operators.Bpe.initVocab(docs), 6)
+        docs
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+          .join(vocab.select(col("word"), size(col("toks")).as("n_sym")), "word")
+          .groupBy("doc_id")
+          .agg(
+            sum(col("n_sym")).cast("long").as("n_bpe_tokens"),
+            count(lit(1)).as("n_words"))
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracle(6)))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair
     * counts (pr), deterministic argmax (b), then the window-algebra
-    * greedy merge (is/pm/mg/cs -> it) replaying operators.Bpe exactly. */
-  private def bpeOracle(iters: Int): String = {
+    * greedy merge (is/pm/mg/cs -> it) replaying operators.Bpe exactly.
+    * [[bpeEncodeOracle]] reuses the same rounds and joins the final
+    * vocab back onto per-doc words (the q169 apply step). */
+  private def bpeCtes(iters: Int): String = {
     val init = """
       words AS (SELECT t AS word, count(*) AS freq FROM (
         SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
@@ -1159,9 +1186,27 @@ object TextQueries {
                       CASE WHEN mergeAt THEN tok || nxt ELSE tok END AS tok2 FROM mg$i),
       it$i AS (SELECT word, freq, list(tok2 ORDER BY p) AS toks FROM cs$i WHERE NOT consumed GROUP BY word, freq)"""
     }.mkString(",")
+    s"$init,$rounds"
+  }
+
+  private def bpeOracle(iters: Int): String = {
     val finalSel = (1 to iters).map { i =>
       s"SELECT $i AS it, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$i"
     }.mkString(" UNION ALL ")
-    s"WITH $init,$rounds SELECT * FROM ($finalSel) ORDER BY it"
+    s"WITH ${bpeCtes(iters)} SELECT * FROM ($finalSel) ORDER BY it"
   }
+
+  /** q169: the learned vocab applied back to the corpus — token counts
+    * per doc from the final symbol arrays. */
+  private def bpeEncodeOracle(iters: Int): String =
+    s"""WITH ${bpeCtes(iters)},
+      dw AS (SELECT doc_id, unnest(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS word
+             FROM documents WHERE lang = 'en')
+      SELECT doc_id,
+             CAST(SUM(len(v.toks)) AS BIGINT) AS n_bpe_tokens,
+             COUNT(*) AS n_words
+      FROM dw JOIN it$iters v USING (word)
+      GROUP BY doc_id
+      ORDER BY doc_id"""
 }
