@@ -78,11 +78,53 @@ object Bpe {
         x => x.getField("tok2")).as("toks"))
 
   /** Run `iters` merge rounds; returns the learned merge table
-    * (iteration, left, right, pair count) and the final vocab. The vocab
-    * is persisted across rounds and swapped each iteration; callers
-    * should unpersist the returned frame when done. */
-  def train(vocab0: DataFrame, iters: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = vocab0.persist()
+    * (iteration, left, right, pair count) and the final vocab.
+    *
+    * Size-guarded routing (the PageRank pattern, `PageRank.scala:61`):
+    * the merge loop's state is the distinct-WORD dictionary, which is
+    * bounded (~10^6 entries) however large the corpus — natural-language
+    * vocabulary grows ~O(corpus^0.5) (Heaps' law), so even a 100 TB
+    * corpus's dict fits the driver. When it does (≤ `localWordLimit`
+    * words), the dictionary is collected ONCE after the one corpus-wide
+    * `initVocab` pass and the merge loop runs in memory with incremental
+    * pair-count maintenance — each round costs O(words containing the
+    * merged pair), not O(dict), and zero Spark jobs. That is what lets
+    * training reach production merge counts (30k+): the distributed loop
+    * costs one argmax job + one materialization PER MERGE, which is
+    * correct but scheduler-bound past a few hundred rounds.
+    *
+    * Dictionaries past the driver budget (synthetic/adversarial key
+    * spaces) run the distributed loop. Both routes compute the identical
+    * (count desc, pair asc) recurrence — local tie-breaks compare UTF-8
+    * bytes, matching Spark's `UTF8String` binary ordering — and
+    * `BpeSpec` pins local ≡ distributed on random corpora.
+    *
+    * The returned vocab is a driver-built local relation on the local
+    * route (so downstream dictionary joins broadcast for free) and a
+    * persisted distributed frame otherwise; `unpersist()` on the local
+    * result is a harmless no-op. */
+  def train(
+      vocab0: DataFrame,
+      iters: Int,
+      localWordLimit: Long = 1L << 21): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val v = vocab0.persist()
+    val n = v.count()
+    if (n <= localWordLimit) {
+      val rows = v.select("word", "freq", "toks").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[String](2).toVector))
+      v.unpersist()
+      val (merges, fin) = trainLocalRows(rows, iters)
+      val spark = vocab0.sparkSession
+      import spark.implicits._
+      (merges, fin.toSeq.toDF("word", "freq", "toks"))
+    } else trainDistributed(v, iters)
+  }
+
+  /** Distributed merge loop — one pair-count + argmax + merge round per
+    * iteration over the (already persisted) vocab frame. */
+  private[graft] def trainDistributed(
+      vocab0: DataFrame, iters: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var vocab = vocab0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var it = 1
     while (it <= iters) {
@@ -103,5 +145,105 @@ object Bpe {
       it += 1
     }
     (merges.toSeq, vocab)
+  }
+
+  /** Driver-side merge loop over a collected (word, freq, toks)
+    * dictionary. Pair counts are maintained incrementally: a pair→words
+    * index (append-only, lazily validated) limits each round's work to
+    * the words actually containing the winning pair — the subword-nmt
+    * trick that makes 30k-merge training tractable. Deterministic:
+    * argmax ties break on (UTF-8 bytes of left, then right) ascending,
+    * identical to the distributed `orderBy(cnt desc, a, b)`. */
+  private[graft] def trainLocalRows(
+      words0: Seq[(String, Long, Vector[String])],
+      iters: Int): (Seq[(Int, String, String, Long)], Seq[(String, Long, Vector[String])]) = {
+    import scala.collection.mutable
+    val words = words0.toArray.map { case (w, f, ts) => (w, f, ts) }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.ArrayBuffer[Int]]
+    def addPairs(idx: Int, ts: Vector[String], f: Long, track: Boolean): Unit = {
+      var i = 0
+      while (i < ts.length - 1) {
+        val p = (ts(i), ts(i + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts.update(p, c)
+        if (track) index.getOrElseUpdate(p, mutable.ArrayBuffer.empty) += idx
+        i += 1
+      }
+    }
+    words.zipWithIndex.foreach { case ((_, f, ts), i) => addPairs(i, ts, f, track = true) }
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var it = 1
+    var done = counts.isEmpty
+    while (it <= iters && !done) {
+      // argmax under (cnt desc, a asc, b asc) in UTF-8 byte order
+      var best: ((String, String), Long) = null
+      counts.foreach { kv =>
+        if (best == null || kv._2 > best._2 ||
+          (kv._2 == best._2 && pairLt(kv._1, best._1))) best = kv
+      }
+      val ((a, b), cnt) = best
+      merges += ((it, a, b, cnt))
+      // touch only words the index says may contain (a, b); entries are
+      // appended, never removed, so revalidate by scanning the word —
+      // words are short, and stale hits are bounded by total merges
+      val cand = index.getOrElse((a, b), mutable.ArrayBuffer.empty).distinct
+      cand.foreach { wi =>
+        val (w, f, ts) = words(wi)
+        if (containsPair(ts, a, b)) {
+          addPairs(wi, ts, -f, track = false) // retract the old adjacencies
+          val ts2 = greedyMerge(ts, a, b)
+          words(wi) = (w, f, ts2)
+          addPairs(wi, ts2, f, track = true)
+        }
+      }
+      counts.remove((a, b)) // fully consumed this round (guard vs. stale ±0 residue)
+      done = counts.isEmpty
+      it += 1
+    }
+    (merges.toSeq, words.toSeq)
+  }
+
+  private def containsPair(ts: Vector[String], a: String, b: String): Boolean = {
+    var i = 0
+    while (i < ts.length - 1) {
+      if (ts(i) == a && ts(i + 1) == b) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Sequential greedy leftmost-non-overlapping merge — the semantics
+    * `applyMerge` reproduces distributively (pinned equal in BpeSpec). */
+  private[graft] def greedyMerge(ts: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < ts.length) {
+      if (i + 1 < ts.length && ts(i) == a && ts(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += ts(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** (a, b) < (c, d) lexicographically under UTF-8 binary string order —
+    * Spark's `UTF8String.compareTo`, so local and distributed tie-breaks
+    * agree on any input, including non-BMP code points where Java's
+    * UTF-16 `compareTo` orders differently. */
+  private def pairLt(x: (String, String), y: (String, String)): Boolean = {
+    val c = utf8Compare(x._1, y._1)
+    c < 0 || (c == 0 && utf8Compare(x._2, y._2) < 0)
+  }
+
+  private def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
   }
 }

@@ -152,12 +152,18 @@ object Merge {
     def sideDims(side: String) = diff
       .filter(col(side).isNotNull)
       .select(dims.map(d => col(s"$side.$d").as(d)): _*)
+    // Touched-key joins must be NULL-safe: a group keyed by a NULL dim
+    // value would never match a plain equi-join, leaving its view row
+    // stale forever. Rename the touched side and join on <=> so NULL
+    // grouping keys splice exactly like any other group.
     val touched = sideDims("old").unionByName(sideDims("new")).distinct()
+      .select(dims.map(d => col(d).as(s"__touched_$d")): _*)
+    val touchedCond = dims.map(d => col(d) <=> col(s"__touched_$d")).reduce(_ && _)
     val untouched = aggView
       .select(viewCols.map(col): _*)
-      .join(touched, dims, "left_anti")
+      .join(touched, touchedCond, "left_anti")
     val recomputed = newBase
-      .join(touched, dims, "left_semi")
+      .join(touched, touchedCond, "left_semi")
       .groupBy(dims.map(col): _*)
       .agg(
         count(lit(1)).cast(aggView.schema(cnt).dataType).as(cnt),

@@ -78,4 +78,44 @@ class BpeSpec extends SparkSpec {
     assert(merges.head == ((1, "a", "t", 3L)))
     assert(merges(1)._1 == 2)
   }
+
+  /** The size-guard contract: the driver-local merge loop (incremental
+    * pair counts, UTF-8 tie-breaks) and the distributed per-round loop
+    * must learn the SAME merge table and the SAME final dictionary on
+    * any corpus — including tie-heavy and self-pair-heavy ones. */
+  test("local tier == distributed tier on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val corpora = Seq(
+      // tie-heavy tiny alphabet with self-pair runs
+      (1 to 60).map(_ => List.fill(1 + rnd.nextInt(8))(
+        Seq("a", "b")(rnd.nextInt(2))).mkString("")).mkString(" "),
+      // broader alphabet, zipfy repetition
+      (1 to 80).map(_ => {
+        val w = List.fill(1 + rnd.nextInt(6))(
+          Seq("x", "y", "z", "q")(rnd.nextInt(4))).mkString("")
+        if (rnd.nextInt(3) == 0) s"$w $w" else w
+      }).mkString(" "))
+    corpora.zipWithIndex.foreach { case (text, ci) =>
+      val docs = Seq(text).toDF("text")
+      val iters = 5
+      val vLocal = Bpe.initVocab(docs)
+      val (mLocal, dLocal) = Bpe.train(vLocal, iters) // under the limit -> local
+      val vDist = Bpe.initVocab(docs).persist()
+      val (mDist, dDist) = Bpe.trainDistributed(vDist, iters)
+      assert(mLocal == mDist, s"corpus $ci merge tables diverge")
+      val fl = dLocal.select("word", "freq", "toks")
+        .as[(String, Long, Seq[String])].collect().toSet
+      val fd = dDist.select("word", "freq", "toks")
+        .as[(String, Long, Seq[String])].collect().toSet
+      dDist.unpersist()
+      assert(fl == fd, s"corpus $ci final dictionaries diverge")
+    }
+  }
+
+  test("local trainer stops when no pairs remain") {
+    val words = Seq(("ab", 2L, Vector("a", "b")))
+    val (merges, fin) = Bpe.trainLocalRows(words, 10)
+    assert(merges == Seq((1, "a", "b", 2L)))
+    assert(fin == Seq(("ab", 2L, Vector("ab"))))
+  }
 }

@@ -119,6 +119,29 @@ class MaintenanceSpec extends SparkSpec {
     assert(viaView === Set(("g3", 1L, 33L, 33L, 33L)))
   }
 
+  test("incrementalRefreshWithExtrema recomputes groups keyed by NULL (null-safe splice)") {
+    // The NULL-g group's max row is deleted; a plain equi-join against
+    // the touched keys would never match NULL = NULL, leaving the view
+    // row stale AND duplicating the group via the semi-join recompute.
+    val old = Seq(
+      (1L, Some("g1"), 10L), (2L, Option.empty[String], 5L),
+      (3L, Option.empty[String], 90L)).toDF("k", "g", "v")
+    val neu = Seq(
+      (1L, Some("g1"), 10L), (2L, Option.empty[String], 5L)).toDF("k", "g", "v")
+    def view(df: org.apache.spark.sql.DataFrame) = df.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val diff = Merge.diffSnapshots(old, neu, Seq("k"))
+    val refreshed = Merge.incrementalRefreshWithExtrema(
+        view(old), neu, diff, Seq("g"), "n",
+        Map("v" -> "sv"), Map("v" -> "mn"), Map("v" -> "mx"))
+      .as[(Option[String], Long, Long, Long, Long)].collect().toSet
+    val recomputed = view(neu).as[(Option[String], Long, Long, Long, Long)]
+      .collect().toSet
+    assert(refreshed === recomputed)
+    assert(refreshed.contains((None, 1L, 5L, 5L, 5L)))
+  }
+
   test("incrementalRefreshWithExtrema ≡ recompute on random CDC (group moves, group death)") {
     val rnd = new Random(23)
     for (trial <- 1 to 5) {
