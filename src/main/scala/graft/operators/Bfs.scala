@@ -21,23 +21,37 @@ object Bfs {
 
   /** Min-hops from `src` within `rounds` rounds. `edges` must have
     * (src, dst) columns; returns (node, hops) for every node reached.
-    * Unreached nodes are absent (hops would be +inf). */
+    * Unreached nodes are absent (hops would be +inf).
+    *
+    * Early exit: a round that adds no new node leaves every later
+    * frontier empty (a node first reached in round i has hops = i, so
+    * an unchanged distance table means no node carries hops = r and the
+    * next frontier filter matches nothing) — the loop stops there
+    * instead of running `rounds` empty joins. The materializing
+    * `count()` each round already exists for the persist swap, so the
+    * exit test is free; on graphs whose diameter from `src` is below
+    * `rounds` the fixed-round and early-exit results are identical
+    * (pinned in GraphSpec). */
   def hops(edges: DataFrame, src: Long, rounds: Int): DataFrame = {
     val spark = edges.sparkSession
     var dist = spark.range(1)
       .select(lit(src).as("node"), lit(0).cast("int").as("hops"))
       .persist()
+    var reachedCount = 1L
     var r = 1
-    while (r <= rounds) {
+    var drained = false
+    while (r <= rounds && !drained) {
       val frontier = dist.filter(col("hops") === r - 1).select(col("node"))
       val reached = frontier.join(edges, col("node") === col("src"))
         .select(col("dst").as("node"), lit(r).cast("int").as("hops"))
       val next = dist.union(reached)
         .groupBy("node").agg(min(col("hops")).as("hops"))
         .persist()
-      next.count() // materialize before dropping the previous round
+      val n = next.count() // materialize before dropping the previous round
       dist.unpersist()
       dist = next
+      drained = n == reachedCount
+      reachedCount = n
       r += 1
     }
     dist

@@ -218,13 +218,12 @@ object Dedup {
       // no unbounded collect anywhere.
       graft.plans.GraftExtensions.ensureRegistered(index.sparkSession)
       val cap = math.min(maxDf, Int.MaxValue - 1L).toInt
-      val grouped = index
+      val grouped = graft.Q.persistOnce(index
         .groupBy(col("shingle"))
         .agg(call_function(
           "graft_capped_collect", col(idCol).cast("long"), lit(cap + 1)).as("ids"))
         .filter(size(col("ids")) <= cap)
-        .select(col("ids"))
-        .persist()
+        .select(col("ids")))
       val counts = grouped
         .select(explode(col("ids")).as("__id"))
         .groupBy(col("__id"))

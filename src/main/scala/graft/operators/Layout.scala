@@ -70,10 +70,11 @@ object Layout {
     * Returns one row with columns b1 … b(2^bits − 1). */
   def exactQuantileBoundaries(
       df: DataFrame, valueCol: String, bits: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nb = 1 << bits
-    val vc = df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c"))
-    val cum = vc.withColumn("cum", sum("c").over(Window.orderBy("v")))
+    val vc = BoundedWindow.aggregated(
+      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")),
+      "distinct values of the z-order dim")
+    val cum = vc.withColumn("cum", sum("c").over(BoundedWindow.orderBy(col("v"))))
     val n = df.agg(count(lit(1)).as("n"))
     val first +: rest = (1 until nb).map(j =>
       min(when(col("cum") * nb >= col("n") * j, col("v"))).as(s"b$j"))

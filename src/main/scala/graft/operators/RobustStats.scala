@@ -9,6 +9,79 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Exact RANK-trimmed mean — q141's window arithmetic as an operator:
+    * rank rows per group by value, drop ⌊trim·n⌋ from each side, average
+    * the rest. Boundary ties are harmless to the result: tied rows share
+    * the value, so which of them `row_number` assigns to the dropped
+    * ranks cannot change `kept` or the sum. Cost is the per-group sort
+    * [[trimmedMeanApprox]] exists to avoid — use [[trimmedMean]] to
+    * route between the tiers by group size.
+    *
+    * Output: groupCols ++ (kept, trimmed_mean, lo, hi) — lo/hi are the
+    * min/max KEPT values (the effective thresholds), schema-aligned with
+    * the approx tier. */
+  def trimmedMeanExact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      trim: Double): DataFrame = {
+    require(trim > 0 && trim < 0.5, s"trim must be in (0, 0.5), got $trim")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+    val wn = Window.partitionBy(groupCols.map(col): _*)
+    df.select(groupCols.map(col) :+ col(valueCol).cast("double").as("__v"): _*)
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .filter(col("__r") > floor(col("__n") * trim) &&
+        col("__r") <= col("__n") - floor(col("__n") * trim))
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("kept"), avg(col("__v")).as("trimmed_mean"),
+        min(col("__v")).as("lo"), max(col("__v")).as("hi"))
+  }
+
+  /** Tier ROUTER for the trimmed mean — the crossover guard
+    * `Dedup.simhashTopPairs` has, applied to q141's exact/approx pairing:
+    * groups small enough to sort inside one task take the exact rank
+    * trim; past the budget the t-digest threshold trim runs (no per-group
+    * sort anywhere, O(δ) sketch per group). Decision input is the MAX
+    * rows per group — one partial-agg'd count pass, skipped entirely when
+    * the caller passes `sizeHint` (same contract as the simhash guard).
+    *
+    * The tiers are both trimmed means but not the same statistic (rank
+    * trim drops exactly ⌊trim·n⌋ per side; threshold trim keeps every row
+    * tied with the estimated quantile boundaries), so the routed result
+    * matches WHICHEVER tier fired — they agree up to boundary tie mass
+    * plus sketch error (q149 pins the band). The switch is logged; the
+    * `tier` output column makes it observable to callers.
+    *
+    * Output: groupCols ++ (kept, trimmed_mean, lo, hi, tier). */
+  def trimmedMean(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      trim: Double,
+      exactGroupRowLimit: Long = 4L << 20,
+      sizeHint: Option[Long] = None): DataFrame = {
+    val maxGroup = sizeHint.getOrElse {
+      val r = df.groupBy(groupCols.map(col): _*).count()
+        .agg(max(col("count"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    if (maxGroup <= exactGroupRowLimit)
+      trimmedMeanExact(df, groupCols, valueCol, trim)
+        .withColumn("tier", lit("exact"))
+    else {
+      log.info(
+        s"trimmedMean: largest group has $maxGroup rows > budget $exactGroupRowLimit — " +
+          "routing to the t-digest threshold tier (no per-group sort; boundary-tie " +
+          "semantics differ from the rank trim)")
+      trimmedMeanApprox(df, groupCols, valueCol, trim)
+        .withColumn("tier", lit("approx"))
+    }
+  }
+
   /** Approximate trimmed mean WITHOUT a per-group window sort — the
     * 100 TB tier of q141's exact rank trim.
     *

@@ -246,10 +246,12 @@ object Similarity {
       vecCol: String,
       cap: Int = 4096): DataFrame = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
-    val v = vectors.orderBy(col(idCol)).limit(cap).select(
+    // persistOnce: several registry queries (q63/q133/q142) bound the same
+    // capped vector set, and Bench re-runs each — re-persisting the same
+    // plan only raises a CacheManager warning, the cache itself is shared.
+    val v = graft.Q.persistOnce(vectors.orderBy(col(idCol)).limit(cap).select(
       col(idCol), col(vecCol),
-      l2norm(col(vecCol)).as("nrm"))
-      .persist()
+      l2norm(col(vecCol)).as("nrm")))
     // Truncation must not be silent: callers beyond q63's bounded baseline
     // would otherwise read "all pairs" when vectors were dropped. The
     // signal is the capped set itself hitting the cap — no separate probe
@@ -290,10 +292,17 @@ object Similarity {
       vecCol: String,
       planes: Array[Array[Double]]): DataFrame = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
+    // The bucketed projection feeds four plan branches (probes, bucket
+    // partners, two vector re-attaches). It is NOT persisted: each branch
+    // recomputes a narrow scan + per-row arithmetic, which parallelizes
+    // and costs no memory — at corpus scale the projection is corpus-
+    // sized and caching it would either evict or spill, and a long-lived
+    // session calling this repeatedly would accumulate cached blocks the
+    // lazy result can never safely release.
     val v = vectors.select(
       col(idCol).as("__id"), col(vecCol).as("__v"),
       l2norm(col(vecCol)).as("__nrm"),
-      lshBucket(col(vecCol), planes).as("__bucket")).persist()
+      lshBucket(col(vecCol), planes).as("__bucket"))
     val masks = 0 +: planes.indices.map(1 << _)
     val probes = v.select(col("__id").as("a"),
       explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
@@ -339,14 +348,18 @@ object Similarity {
     require(Seq(leftId, leftVec, rightId, rightVec).distinct.size == 4,
       "leftId/leftVec/rightId/rightVec must be four distinct column names")
     GraftExtensions.ensureRegistered(left.sparkSession)
+    // Unpersisted on purpose — same recompute-over-cache reasoning as
+    // [[cosinePairsLsh]]: the train side is corpus-sized (uncacheable at
+    // target scale) and a lazy result cannot release a cache it still
+    // depends on, so persisting here leaked blocks per call.
     val l = left.select(
       col(leftId), col(leftVec).as("__lv"),
       l2norm(col(leftVec)).as("__ln"),
-      lshBucket(col(leftVec), planes).as("__bucket")).persist()
+      lshBucket(col(leftVec), planes).as("__bucket"))
     val r = right.select(
       col(rightId), col(rightVec).as("__rv"),
       l2norm(col(rightVec)).as("__rn"),
-      lshBucket(col(rightVec), planes).as("__bucket")).persist()
+      lshBucket(col(rightVec), planes).as("__bucket"))
     val masks = 0 +: planes.indices.map(1 << _)
     val probes = l.select(col(leftId),
       explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))

@@ -50,6 +50,14 @@ case class BloomAgg(
 
   private val nWords = bits / 64
 
+  /** The documented input domain is [[graft.functions.GraftFunctions.hash60]]
+    * (non-negative, < 2^60). SQL registration cannot enforce that — any
+    * LongType column type-checks — so the domain is enforced by masking:
+    * a no-op for in-domain hashes (oracle arithmetic replays unchanged),
+    * and for arbitrary longs (e.g. xxhash64 output) it keeps `h % bits`
+    * non-negative instead of producing a negative probe position. */
+  private val DomainMask = (1L << 60) - 1
+
   override def children: Seq[Expression] = Seq(child)
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def nullable: Boolean = false
@@ -60,7 +68,7 @@ case class BloomAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      val h = v.asInstanceOf[Long] & DomainMask
       val h1 = h % bits
       val h2 = (h >>> 30) | 1L
       var i = 0

@@ -711,9 +711,11 @@ object CoreQueries {
     Q(
       "q155_skyline",
       (s, dir) => {
-        val perSize = Tables.part(s, dir)
-          .groupBy("p_size").agg(max(col("p_retailprice")).as("price"))
-        val w = Window.orderBy(col("p_size"))
+        val perSize = graft.operators.BoundedWindow.aggregated(
+          Tables.part(s, dir)
+            .groupBy("p_size").agg(max(col("p_retailprice")).as("price")),
+          "distinct p_size values")
+        val w = graft.operators.BoundedWindow.orderBy(col("p_size"))
           .rowsBetween(Window.unboundedPreceding, -1)
         perSize
           .withColumn("prev_best", max(col("price")).over(w))

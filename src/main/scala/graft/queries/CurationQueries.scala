@@ -116,13 +116,12 @@ object CurationQueries {
         // the distinct item set feeds the support count AND both
         // self-join sides — persist it (and the pruned items) so the
         // scan+distinct shuffle runs once, not three times
-        val li = Tables.lineitem(s, dir)
+        val li = graft.Q.persistOnce(Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .persist()
+          .distinct())
         val frequent = li.groupBy("pk")
           .agg(count(lit(1)).as("df")).filter(col("df") >= 3).select("pk")
-        val items = li.join(frequent, "pk").persist()
+        val items = graft.Q.persistOnce(li.join(frequent, "pk"))
         val a = items.select(col("ok"), col("pk").as("p1"))
         val b = items.select(col("ok"), col("pk").as("p2"))
         a.join(b, "ok")
@@ -375,10 +374,9 @@ object CurationQueries {
         // the bounded pair pass feeds BOTH the pair-count and doc-count
         // aggregations through the threshold join — persist it so the
         // capped cross join runs once
-        val pairs = graft.operators.Similarity
+        val pairs = graft.Q.persistOnce(graft.operators.Similarity
           .cosinePairs(v, "vec_id", "vec", cap = 4096)
-          .filter(col("cos_r") >= 0.3)
-          .persist()
+          .filter(col("cos_r") >= 0.3))
         val ts = s.range(3, 10).select(col("id").as("t"))
         val tp = pairs.join(ts, col("cos_r") >= col("t") / 10.0)
         val nPairs = tp.groupBy("t").agg(count(lit(1)).as("n_pairs"))

@@ -157,13 +157,13 @@ object MaintenanceQueries {
         // sides — persist both so the anti-join/semi-join consumers
         // reuse one evaluation instead of re-deriving the merge (at
         // real scale both would be materialized tables, not plans)
-        val merged = merged0.persist()
+        val merged = graft.Q.persistOnce(merged0)
         val baseView = o.groupBy("o_orderstatus")
           .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"),
             min(col("o_totalprice")).as("min_price"),
             max(col("o_totalprice")).as("max_price"))
-        val diff = graft.operators.Merge
-          .diffSnapshots(o, merged, Seq("o_orderkey")).persist()
+        val diff = graft.Q.persistOnce(graft.operators.Merge
+          .diffSnapshots(o, merged, Seq("o_orderkey")))
         graft.operators.Merge.incrementalRefreshWithExtrema(
             baseView, merged, diff, Seq("o_orderstatus"),
             "n", Map("o_custkey" -> "cust_sum"),

@@ -169,9 +169,14 @@ object SketchQueries {
             .distinct()
         val a = corpus(col("lang") === "en")
         val b = corpus(col("lang") =!= "en")
+        // Rank DISTINCT hash values, not (hash, token) pairs: a 60-bit
+        // collision between distinct tokens would otherwise keep a
+        // duplicate hash in the sketch and shrink the effective k, while
+        // the oracle dedups hashes before ranking — deduping here makes
+        // both engines rank the same multiset at any corpus size.
         def sketch(df: DataFrame, as: String): DataFrame =
-          df.agg(call_function("graft_bottom_k",
-              hash60("kmv", col("t")), col("t"), lit(128)).as("sk"))
+          df.select(hash60("kmv", col("t")).as("h")).distinct()
+            .agg(call_function("graft_bottom_k", col("h"), col("h"), lit(128)).as("sk"))
             .select(transform(col("sk"), p => p.getField("k")).as(as))
         val est = sketch(a, "ha").crossJoin(sketch(b, "hb"))
           .withColumn("hu",

@@ -1,0 +1,203 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Batch-equivalent ORACLE twins for the streaming rows that used to be
+  * spec-only (SURVEY.md B33/B36/B37): each query REALLY runs a
+  * Structured Streaming job — file source, checkpoint, stateful
+  * operator, Trigger.AvailableNow drain — and returns its sink content,
+  * which a deterministic replay makes SQL-expressible over the same
+  * parquet `events` table the stream consumed. The point: the driver's
+  * DuckDB gate now hash-checks streaming ingest (exactly-once across a
+  * checkpointed restart), watermark late-data drop (the kept set), and
+  * streaming dedup (state-backed distinct) — not just the green test
+  * suite.
+  *
+  * Determinism comes from three levers, each pinned below: the file
+  * replay is split by a pure predicate on `event_id`; processing order
+  * is forced by explicit file modification times + maxFilesPerTrigger=1
+  * (the file source lists by mod time); and every output is
+  * batch-boundary-insensitive (distinct sets, final aggregates) so WHICH
+  * row of a duplicate group survives cannot leak into the hash.
+  */
+object StreamTwinQueries {
+
+  /** Write `df` as exactly ONE flat parquet file `dir/name.parquet`
+    * (the file source does not recurse into non-partition subdirs) with
+    * a forced modification time `seq` seconds into a fixed base — the
+    * file source lists by mod time, so the replay order is the write
+    * order however fast the writes ran. */
+  private def writeReplayFile(df: DataFrame, dir: String, name: String, seq: Int): Unit = {
+    val stage = Files.createTempDirectory(s"replay_$name").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = Files.list(Paths.get(stage)).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no parquet part in $stage"))
+    val dest = Paths.get(dir, s"$name.parquet")
+    Files.move(part, dest)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(1700000000000L + seq * 1000L))
+  }
+
+  private def eventsSchema(s: SparkSession, dir: String) =
+    Tables.events(s, dir).schema
+
+  val qs: Seq[Q] = Seq(
+
+    // B33 oracle twin: checkpointed streaming ingest is exactly-once
+    // ACROSS A RESTART. Phase 1 lands half the corpus (event_id % 2 = 0)
+    // and drains a checkpointed stream into a parquet sink; phase 2 adds
+    // the other half and RESTARTS the stream on the same checkpoint —
+    // the resumed query must process only the new files (the reference's
+    // progress.json resume, fetch_data.py:45-59, as a file-source
+    // checkpoint). Any replayed or lost row breaks the per-type
+    // count/sum hash against the plain batch table.
+    Q(
+      "q170_stream_restart_ingest",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tmp = Files.createTempDirectory("stream_restart").toString
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        def runDrain(): Unit = {
+          val q = s.readStream.schema(eventsSchema(s, dir)).parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
+            .start()
+          q.awaitTermination()
+        }
+        writeReplayFile(ev.filter(col("event_id") % 2 === 0), src, "half0", 0)
+        runDrain() // phase 1: consumes half0, commits offsets
+        writeReplayFile(ev.filter(col("event_id") % 2 === 1), src, "half1", 1)
+        runDrain() // phase 2: restart from checkpoint — must read ONLY half1
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"),
+            countDistinct(col("event_id")).as("n_distinct"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, COUNT(*) AS cnt,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               COUNT(DISTINCT event_id) AS n_distinct
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type""")),
+
+    // B36 oracle twin: watermark LATE-DATA DROP, deterministically. The
+    // replay sends on-time rows (event_id % 10 <> 0), then a spacer, then
+    // the late rows (event_id % 10 = 0), then a watermark-advancing flush
+    // row far in the future. With a 1-hour watermark over 1-day tumbling
+    // windows, a late row survives iff its window END is above the
+    // watermark set by the on-time batch (max on-time ts − 1h); the
+    // flush batch closes every real window so Append mode emits them all,
+    // and the oracle computes the identical kept-set in SQL — counts that
+    // include a dropped row (or drop a kept one) hash-mismatch.
+    //
+    // The spacer is load-bearing: Spark filters late events against the
+    // PREVIOUS batch's watermark (`eventTimeWatermarkForLateEvents` lags
+    // one commit behind the eviction watermark), so a late file processed
+    // in the batch immediately after the on-time file would slip through
+    // with watermark still at zero. The spacer row sits at the max
+    // on-time ts — it advances nothing, but its commit puts the on-time
+    // watermark one batch behind the late rows, where the filter sees it.
+    // Verified against this build: without the spacer 0 late rows drop;
+    // with it the drop matches the w1 arithmetic exactly.
+    Q(
+      "q171_stream_watermark_drop",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tmp = Files.createTempDirectory("stream_wm").toString
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        val onTime = ev.filter(col("event_id") % 10 =!= 0)
+        val late = ev.filter(col("event_id") % 10 === 0)
+        val spacer = ev.orderBy(col("ts").desc).limit(1)
+          .select(col("ts")).withColumn("event_type", lit("__flush"))
+        val flush = ev.orderBy(col("ts").desc).limit(1)
+          .select((col("ts") + expr("INTERVAL 30 DAYS")).as("ts"))
+          .withColumn("event_type", lit("__flush"))
+        writeReplayFile(onTime.select("ts", "event_type"), src, "b0_ontime", 0)
+        writeReplayFile(spacer.select("ts", "event_type"), src, "b1_spacer", 1)
+        writeReplayFile(late.select("ts", "event_type"), src, "b2_late", 2)
+        writeReplayFile(flush.select("ts", "event_type"), src, "b3_flush", 3)
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        val q = s.readStream
+          .schema(onTime.select("ts", "event_type").schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("cnt"))
+          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+            col("event_type"), col("cnt"))
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .filter(col("event_type") =!= "__flush")
+          .orderBy("day", "event_type")
+      },
+      Some("""
+        WITH ontime AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+                        FROM events WHERE event_id % 10 <> 0),
+        late AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+                 FROM events WHERE event_id % 10 = 0),
+        wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w1 FROM ontime),
+        kept AS (
+          SELECT ts, event_type FROM ontime
+          UNION ALL
+          SELECT l.ts, l.event_type FROM late l, wm
+          WHERE date_trunc('day', l.ts) + INTERVAL 1 DAY > wm.w1)
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, COUNT(*) AS cnt
+        FROM kept
+        GROUP BY 1, 2
+        ORDER BY day, event_type""")),
+
+    // B37 oracle twin: streaming dedup through dropDuplicates state. The
+    // replay splits the corpus into four files (so the stateful operator
+    // really carries key state across micro-batches), duplicates every
+    // key by construction (the projection to (user_id, event_type) has
+    // heavy natural duplication), and the drained sink must equal the
+    // batch DISTINCT — projected to the key columns, so which physical
+    // row survived per key cannot leak into the hash.
+    Q(
+      "q172_stream_dedup",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).select("user_id", "event_type")
+        val tmp = Files.createTempDirectory("stream_dedup").toString
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        (0 until 4).foreach { i =>
+          writeReplayFile(ev.filter(pmod(col("user_id"), lit(4)) === i),
+            src, s"part$i", i)
+        }
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        val q = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("uid_sum"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT event_type, COUNT(*) AS n_users,
+               CAST(SUM(user_id) AS BIGINT) AS uid_sum
+        FROM d
+        GROUP BY event_type
+        ORDER BY event_type"""))
+  )
+}

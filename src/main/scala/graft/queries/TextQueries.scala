@@ -310,7 +310,8 @@ object TextQueries {
       (s, dir) => {
         // the index feeds both join sides and the size counts — persist it
         // once instead of re-exploding the corpus three times
-        val idx = Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3).persist()
+        val idx = graft.Q.persistOnce(
+          Dedup.shingleIndex(Tables.documents(s, dir), "doc_id", "text", 3))
         // maxDf=100: stop-shingle cap (no shingle reaches it in this
         // corpus — max df is 7 at sf0.01, 25 at sf0.1 — so the result is
         // bit-identical to uncapped, while a pathological stop-phrase at
@@ -346,7 +347,7 @@ object TextQueries {
         val sig = Dedup.minhashSignatures(idx, "doc_id", 12)
         // bands feed both sides of the candidate self-join — persist so the
         // signature aggregation runs once
-        val bands = Dedup.lshBands(sig, "doc_id", 4, 3).persist()
+        val bands = graft.Q.persistOnce(Dedup.lshBands(sig, "doc_id", 4, 3))
         Dedup.lshCandidates(bands, "doc_id")
           .orderBy("a", "b")
       },
@@ -384,7 +385,7 @@ object TextQueries {
         val docs = Tables.documents(s, dir)
         val sig = Dedup.minhashSignatures(
           Dedup.shingleIndex(docs, "doc_id", "text", 3), "doc_id", 12)
-        val bands = Dedup.lshBands(sig, "doc_id", 4, 3).persist()
+        val bands = graft.Q.persistOnce(Dedup.lshBands(sig, "doc_id", 4, 3))
         val edges = Dedup.lshCandidates(bands, "doc_id").select("a", "b")
         ConnectedComponents.components(docs.select("doc_id"), edges, "doc_id")
           .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("comp")))

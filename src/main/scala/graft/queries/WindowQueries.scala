@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, BoundedWindow}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -52,11 +52,13 @@ object WindowQueries {
     Q(
       "q31_window_lag_lead",
       (s, dir) => {
-        val daily = Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast(DateType).as("d"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"),
-            count(lit(1)).as("n"))
-        val w = Window.orderBy(col("d"))
+        val daily = BoundedWindow.aggregated(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast(DateType).as("d"))
+            .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"),
+              count(lit(1)).as("n")),
+          "distinct order dates")
+        val w = BoundedWindow.orderBy(col("d"))
         daily
           .select(
             col("d"),
@@ -86,10 +88,12 @@ object WindowQueries {
     Q(
       "q32_window_moving_avg",
       (s, dir) => {
-        val daily = Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast(DateType).as("d"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
-        val w = Window.orderBy(col("d")).rowsBetween(-6, 0)
+        val daily = BoundedWindow.aggregated(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast(DateType).as("d"))
+            .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec")),
+          "distinct order dates")
+        val w = BoundedWindow.orderBy(col("d")).rowsBetween(-6, 0)
         daily
           .select(
             col("d"),
@@ -153,11 +157,13 @@ object WindowQueries {
     Q(
       "q93_window_range_frame",
       (s, dir) => {
-        val daily = Tables.orders(s, dir)
-          .groupBy(col("o_orderdate").cast(DateType).as("d"))
-          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
-          .withColumn("day_num", datediff(col("d"), lit("1995-01-01").cast(DateType)))
-        val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+        val daily = BoundedWindow.aggregated(
+          Tables.orders(s, dir)
+            .groupBy(col("o_orderdate").cast(DateType).as("d"))
+            .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev_dec"))
+            .withColumn("day_num", datediff(col("d"), lit("1995-01-01").cast(DateType))),
+          "distinct order dates")
+        val w = BoundedWindow.orderBy(col("day_num")).rangeBetween(-6, 0)
         daily
           .select(
             col("d"),

@@ -363,6 +363,13 @@ object StreamingJobs {
     * row_number oracle). Feed either side duplicate ids and the two
     * samples may legitimately diverge at the k-th slot; with unique ids
     * (any real corpus id column) they agree exactly.
+    *
+    * `seen` is a raw ARRIVAL counter: it counts every delivered row,
+    * including re-deliveries (whose pairs the membership state dedups,
+    * and which may already have been truncated out of the kept top-k —
+    * an O(k) state cannot recognize those). Under exactly-once replay it
+    * equals the distinct-row count; under at-least-once it is an upper
+    * bound on it.
     */
   def samplerBottomK(rows: Dataset[SampleIn], k: Int): Dataset[SampleOut] = {
     import rows.sparkSession.implicits._
@@ -392,9 +399,10 @@ object StreamingJobs {
     * a pure min-k over per-row keys, so the sketch is mergeable and
     * arrival-order-insensitive: the stream converges to exactly the
     * batch sample (pinned in StreamingSpec). State is O(k) per live
-    * group. Same unique-per-(grp, id) input contract as
-    * [[samplerBottomK]] — re-deliveries dedup, which is what an
-    * at-least-once stream wants.
+    * group. Same unique-per-(grp, id) input contract and `seen`
+    * semantics as [[samplerBottomK]] — membership dedups re-deliveries,
+    * `seen` counts raw arrivals (exact under exactly-once replay, an
+    * upper bound under at-least-once).
     */
   def samplerWeightedBottomK(rows: Dataset[SampleInW], k: Int): Dataset[SampleOutW] = {
     import rows.sparkSession.implicits._

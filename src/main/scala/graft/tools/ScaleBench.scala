@@ -1,0 +1,64 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.QueryRegistry
+
+/** The 10× scale probe: run the heaviest registry queries at sf0.1 and
+  * at a ScaleGen-grown multiple, and report the measured scaling
+  * exponent e = log(t_big / t_small) / log(factor) per query — e ≈ 1 is
+  * linear, e < 1 means fixed costs still dominate, e ≥ 2 is the
+  * quadratic blowup the plans are designed to avoid. Emits ONE JSON line
+  * (same contract as graft.Bench) for BENCH_scale.json.
+  *
+  * Usage:
+  *   runMain graft.tools.ScaleGen /root/testdata/sf0.1 /tmp/sf1x 10
+  *   runMain graft.tools.ScaleBench /root/testdata/sf0.1 /tmp/sf1x 10
+  */
+object ScaleBench {
+
+  val Heavy = Seq(
+    "q143_ann_pq", "q133_semantic_dedup", "q159_bpe_merges",
+    "q169_bpe_encode", "q162_bfs_hops", "q149_trimmed_mean_approx",
+    "q96_cosine_pairs_lsh", "q57_dedup_minhash_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val big = args.lift(1).getOrElse("/tmp/sf1x")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val names = Heavy.filter(QueryRegistry.byName.contains)
+    // warmup pass at the small scale (JVM/codegen, page cache)
+    names.foreach { n =>
+      try QueryRegistry.byName(n).run(spark, small).count()
+      catch { case _: Throwable => () }
+    }
+    def time(dir: String): Map[String, Double] = names.map { n =>
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try QueryRegistry.byName(n).run(spark, dir).count()
+        catch { case e: Throwable => System.err.println(s"[scale] $n@$dir: $e") }
+        (System.nanoTime() - t0) / 1e9
+      }
+      n -> runs.min
+    }.toMap
+    val tSmall = time(small)
+    val tBig = time(big)
+    def r3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val body = names.map { n =>
+      val e = math.log(tBig(n) / tSmall(n)) / math.log(factor.toDouble)
+      s""""$n":{"small_s":${r3(tSmall(n))},"big_s":${r3(tBig(n))},"exponent":${r3(e)}}"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_probe","factor":$factor,"small":"$small","big":"$big","queries":{$body}}""")
+    spark.stop()
+  }
+}

@@ -22,6 +22,36 @@ class GraphSpec extends SparkSpec {
     assert(d == Map(1L -> 0, 2L -> 1))
   }
 
+  test("bfs: early exit ≡ fixed rounds, and drained frontiers stop the loop") {
+    // Path graph 1→2→3→4: diameter 3 from node 1. A 50-round budget must
+    // return exactly the 4-round result AND must not run ~50 rounds — each
+    // round costs one materializing count job, so the Spark job counter is
+    // a mechanical pin on the early exit.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val expected = Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3)
+    val fixed = operators.Bfs.hops(edges, src = 1L, rounds = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(fixed == expected)
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lavish = operators.Bfs.hops(edges, src = 1L, rounds = 50)
+        .as[(Long, Int)].collect().toMap
+      assert(lavish == expected)
+      // listener events are async — give the bus a moment to drain
+      Thread.sleep(500)
+      // rounds 1..4 materialize (round 4 adds nothing → drained), plus the
+      // final collect; AQE runs a few jobs per action — 50 live rounds
+      // would cost well over 100 jobs, early exit keeps it ~20.
+      assert(jobs <= 30, s"early exit did not fire: $jobs jobs for a diameter-3 graph")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("dhash bands: any pair within hamming 7 shares a band (pigeonhole recall)") {
     val rnd = new scala.util.Random(11)
     def bands(h: Long): Seq[Long] = (0 until 8).map(i => (h >> (7 * i)) & 127L)

@@ -44,6 +44,22 @@ class SketchSpec extends SparkSpec {
     assert(fp.toDouble / probes.size < 0.008, s"fp rate ${fp.toDouble / probes.size}")
   }
 
+  test("bloom: out-of-domain longs are masked to the hash60 domain, never crash") {
+    graft.plans.GraftExtensions.ensureRegistered(spark)
+    // A user feeding e.g. xxhash64 output passes negative longs; the
+    // aggregate must mask to the documented 60-bit domain (a no-op for
+    // hash60 inputs) instead of probing a negative bit position.
+    val raw = Seq(Long.MinValue, -1L, -987654321L, 42L, Long.MaxValue)
+    val viaRaw = raw.toDF("h")
+      .agg(call_function("graft_bloom", col("h"), lit(1024), lit(3)))
+      .head().getSeq[Long](0)
+    val viaMasked = raw.map(_ & ((1L << 60) - 1)).toDF("h")
+      .agg(call_function("graft_bloom", col("h"), lit(1024), lit(3)))
+      .head().getSeq[Long](0)
+    assert(viaRaw == viaMasked)
+    assert(viaRaw.exists(_ != 0L))
+  }
+
   test("bloom: merge is elementwise OR — union of partial filters equals whole") {
     val all = (1 to 400).map(i => s"x-$i")
     val (left, right) = all.splitAt(137)

@@ -55,6 +55,48 @@ class TrimmedMeanSpec extends SparkSpec {
     assert(!plan.contains("SortExec"), plan)
   }
 
+  test("trimmedMean router: small groups take the exact rank trim and match it") {
+    val rnd = new Random(13)
+    val df = (1 to 6000).map(i => (s"g${i % 3}", rnd.nextDouble() * 100)).toDF("g", "v")
+    val routed = RobustStats.trimmedMean(df, Seq("g"), "v", 0.05)
+    assert(routed.select("tier").distinct().as[String].collect().toSeq == Seq("exact"))
+    val got = routed.select("g", "kept", "trimmed_mean").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // local rank trim: drop exactly ⌊0.05·n⌋ per side of the sorted values
+    val local = df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      .groupBy(_._1).map { case (g, gs) =>
+        val vs = gs.map(_._2).sorted
+        val d = (vs.size * 0.05).toInt
+        val kept = vs.slice(d, vs.size - d)
+        g -> ((kept.size.toLong, kept.sum / kept.size))
+      }
+    for ((g, (n, m)) <- local) {
+      assert(got(g)._1 == n, s"group $g kept ${got(g)._1} vs $n")
+      assert(math.abs(got(g)._2 - m) < 1e-9, s"group $g mean ${got(g)._2} vs $m")
+    }
+  }
+
+  test("trimmedMean router: past the group budget the sketch tier fires and matches it") {
+    val rnd = new Random(17)
+    val df = (1 to 4000).map(i => (s"g${i % 2}", rnd.nextDouble() * 50)).toDF("g", "v")
+    val routed = RobustStats.trimmedMean(df, Seq("g"), "v", 0.1, exactGroupRowLimit = 100)
+    assert(routed.select("tier").distinct().as[String].collect().toSeq == Seq("approx"))
+    val viaApprox = RobustStats.trimmedMeanApprox(df, Seq("g"), "v", 0.1)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("trimmed_mean")).toMap
+    routed.collect().foreach { r =>
+      assert(r.getAs[Double]("trimmed_mean") == viaApprox(r.getString(0)))
+    }
+  }
+
+  test("trimmedMean router: sizeHint skips the probe and decides the tier") {
+    // 10k-row groups with a hint claiming 1 row/group: the router must
+    // trust the hint (that is the probe-skipping contract) and go exact.
+    val df = (1 to 10000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val routed = RobustStats.trimmedMean(df, Seq("g"), "v", 0.05,
+      exactGroupRowLimit = 10, sizeHint = Some(1L))
+    assert(routed.select("tier").as[String].collect().toSeq == Seq("exact"))
+  }
+
   test("trim fraction outside (0, 0.5) is rejected") {
     val df = Seq(("g", 1.0)).toDF("g", "v")
     intercept[IllegalArgumentException] {
