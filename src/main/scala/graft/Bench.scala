@@ -33,17 +33,36 @@ object Bench {
     // passes is the standard antidote to that contention noise; the
     // marginal cost is one extra steady-state pass.
     val timedPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    def timeOnce(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    // A crashed query MUST NOT be booked as a fast success (r7 shipped 21
+    // broken queries as ~0.05s "wins" inside the total). Each attempt is
+    // Right(seconds) or Left(error); a query only contributes to the total
+    // if at least one timed pass succeeded, and any query with zero
+    // successful passes is reported in "errors" and fails the run (rc 1).
+    def timeOnce(): Map[String, Either[String, Double]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); name -> Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          name -> Left(e.getClass.getSimpleName + ": " +
+            Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160))
+        }
+      }
     val passes = (1 to math.max(1, timedPasses)).map(_ => timeOnce())
-    val results = passes.head.keys.map { name =>
-      name -> passes.map(_(name)).min
-    }.toSeq.sortBy(_._1)
+    val allNames = passes.head.keys.toSeq.sorted
+    val results = allNames.flatMap { name =>
+      val oks = passes.flatMap(_(name).toOption)
+      if (oks.nonEmpty) Some(name -> oks.min) else None
+    }
+    val errors = allNames.flatMap { name =>
+      if (passes.forall(_(name).isLeft))
+        Some(name -> passes.head(name).left.getOrElse("error"))
+      else None
+    }
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
+    val qs = (results.map { case (k, v) => "\"" + k + "\":" + r3(v) } ++
+      errors.map { case (k, m) => "\"" + k + "\":" + jstr("ERROR " + m) })
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // Emission contract, learned the hard way over four rounds: the
@@ -53,7 +72,7 @@ object Bench {
     // parse (BENCH_r01-r04 all "parsed": null). The FINAL stdout line
     // must therefore be totals-only (~130 bytes); the full per-query
     // map lives in bench_out.json, written first.
-    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.size}}"""
+    val fullLine = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":${passes.size},"errors":${errors.size}}"""
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     // Mirror is best-effort: the println below is the contract line, so a
     // read-only cwd must not fail the run after the queries completed.
@@ -61,8 +80,10 @@ object Bench {
       val out = java.nio.file.Paths.get(detailPath)
       java.nio.file.Files.write(out, (fullLine + "\n").getBytes("UTF-8"))
     } catch { case _: java.io.IOException => () }
-    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"passes":${passes.size},"detail":"$detailPath"}"""
+    val summary = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"passes":${passes.size},"errors":${errors.size},"detail":"$detailPath"}"""
     spark.stop()
+    errors.foreach { case (n, m) => System.err.println(s"[bench] FAILED $n: $m") }
     println(summary)
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -26,15 +26,29 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects outright. Sessions must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (done in Verify/Bench and
-    * the test harness); the column then arrives as nanoseconds-since-epoch
-    * `LongType` and is converted here to a microsecond-precision timestamp
-    * (integral `div 1000`, i.e. truncation — matching DuckDB's
-    * `CAST(ts_ns AS TIMESTAMP)`).
+  /** Schema-adaptive `events.ts` decode. The driver has regenerated the
+    * testdata with different parquet timestamp encodings across rounds
+    * (TIMESTAMP(NANOS), then timestamp[us]/TIMESTAMP_NTZ), so the loader
+    * branches on the type actually read rather than hardcoding one:
+    *
+    *  - `LongType`: parquet TIMESTAMP(NANOS) surfaced as nanos-since-epoch
+    *    under `spark.sql.legacy.parquet.nanosAsLong=true` (Spark rejects
+    *    NANOS otherwise) → truncate to micros, matching DuckDB's
+    *    `CAST(ts_ns AS TIMESTAMP)`.
+    *  - `TimestampType` / `TimestampNTZType`: already a timestamp; cast to
+    *    session-TZ `TimestampType`. Sessions pin UTC, so the NTZ cast is
+    *    value-preserving and keeps `date_format`/`window` oracle parity.
+    *
+    * This mirrors the reference's own per-page dtype-drift tolerance
+    * (fetch_data.py:146,154 — pandas re-infers int64 vs float64 per page).
     */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = table(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
+  }
 }

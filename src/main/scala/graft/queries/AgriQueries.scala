@@ -33,14 +33,29 @@ object AgriQueries {
     */
   private object Corpus {
     @volatile private var dir: Option[String] = None
+    private def build(spark: SparkSession): String = {
+      val out = java.nio.file.Files.createTempDirectory("agri_corpus_cache").toString
+      AgriPipeline.dropInvalid(
+        AgriPipeline.normalize(AgriPipeline.readCsv(spark, CropsGlob)))
+        .select("state", "commodity", "arrival_date", "modal_price")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
     def apply(spark: SparkSession): DataFrame = {
       val d = synchronized {
         dir.getOrElse {
-          val out = java.nio.file.Files.createTempDirectory("agri_corpus_cache").toString
-          AgriPipeline.dropInvalid(
-            AgriPipeline.normalize(AgriPipeline.readCsv(spark, CropsGlob)))
-            .select("state", "commodity", "arrival_date", "modal_price")
-            .write.mode("overwrite").parquet(out)
+          // Retry-transparent: a first-attempt transient (temp-dir or
+          // listing race under a loaded host — seen once in the r7 bench
+          // tail) gets one structured warning and a clean rebuild into a
+          // fresh temp dir, not a raw stack. Only a success is memoized.
+          val out =
+            try build(spark)
+            catch { case e: Throwable =>
+              System.err.println(s"[agri-corpus] first build failed " +
+                s"(${e.getClass.getSimpleName}: " +
+                s"${Option(e.getMessage).getOrElse("").replaceAll("\\s+", " ").take(160)}); retrying once")
+              build(spark)
+            }
           dir = Some(out)
           out
         }

@@ -17,6 +17,22 @@ class RegistrySpec extends SparkSpec {
     "q83_multimodal_decode", "q86_ivf_kmeans", "q110_ann_quantized",
     "q139_skip_summary", "q143_ann_pq", "q153_funnel")
 
+  test("every registry entry analyzes against the live testdata (schema-drift guard)") {
+    // Seconds-cheap standing guard for the r7 failure mode: the driver
+    // regenerated events.parquet with a different timestamp encoding and
+    // 21 entries started throwing at ANALYSIS time, surfacing only as a
+    // silently shorter correctness file. Forcing `analyzed` (no execution)
+    // against the live testdata dir fails fast with the entry's name when
+    // any table's physical schema drifts.
+    val failures = QueryRegistry.all.flatMap { q =>
+      try { q.run(spark, dir).queryExecution.analyzed; None }
+      catch { case e: Throwable =>
+        Some(q.name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+    }
+    assert(failures.isEmpty,
+      s"entries failing analysis against $dir:\n${failures.mkString("\n")}")
+  }
+
   test("every registered query executes and yields a schema") {
     val failures = QueryRegistry.all.flatMap { q =>
       try {

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins `Tables.events`' schema-adaptive `ts` decode against BOTH parquet
+  * encodings the driver has shipped across rounds:
+  *
+  *  - nanos-since-epoch `LongType` (parquet TIMESTAMP(NANOS) surfaced
+  *    under `spark.sql.legacy.parquet.nanosAsLong=true`), and
+  *  - `timestamp[us]` / TIMESTAMP_NTZ (the current testdata).
+  *
+  * The r7 regression: the loader hardcoded the nanos decode and every
+  * events query died at analysis when the driver regenerated the data as
+  * micros. This spec writes the SAME instants in both encodings and
+  * asserts the loader yields identical TimestampType values, identical
+  * `date_format` strings, and identical `window()` bucketing — i.e. the
+  * downstream oracle-visible semantics (q34/q39/q42-q44) are
+  * encoding-invariant. Session TZ is pinned UTC, so the NTZ branch is
+  * value-preserving by construction.
+  */
+class TimestampCodecSpec extends SparkSpec {
+
+  // Instants chosen to exercise window/date boundaries: midnight, an
+  // hour boundary minus 1us, mid-hour, and a sub-millisecond value whose
+  // nanos tail must truncate (not round) to micros.
+  private val micros = Seq(
+    1704067200000000L, // 2024-01-01 00:00:00
+    1704070799999999L, // 2024-01-01 00:59:59.999999
+    1704072630500000L, // 2024-01-01 01:30:30.5
+    1710000000123456L) // 2024-03-09 16:00:00.123456
+
+  private def writeBoth(): (String, String) = {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ts_codec").toString
+    val nanosDir = s"$base/nanos"
+    val microsDir = s"$base/micros"
+    val rows = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us, i.toLong % 2, "view", 1.0, "{}")
+    }
+    // Encoding 1: ts as raw nanos long (what nanosAsLong mode surfaces).
+    rows.map { case (id, us, uid, et, v, p) => (id, us * 1000L, uid, et, v, p) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
+    // Encoding 2: ts as TIMESTAMP_NTZ micros (the current testdata shape).
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$microsDir/events.parquet")
+    (nanosDir, microsDir)
+  }
+
+  test("events loader decodes nanos-long and timestamp[us] to identical instants") {
+    val (nanosDir, microsDir) = writeBoth()
+    // Pre-condition: the two dirs really carry the two distinct encodings.
+    assert(spark.read.parquet(s"$nanosDir/events.parquet").schema("ts").dataType === LongType)
+    assert(spark.read.parquet(s"$microsDir/events.parquet").schema("ts").dataType
+      .isInstanceOf[TimestampNTZType.type])
+
+    def decoded(dir: String): Seq[(Long, Long, String)] =
+      Tables.events(spark, dir)
+        .select(col("event_id"),
+          unix_micros(col("ts")).as("us"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("fmt"))
+        .orderBy("event_id")
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+
+    val a = decoded(nanosDir)
+    val b = decoded(microsDir)
+    assert(a === b, "nanos-long vs timestamp[us] decode diverged")
+    assert(a.map(_._2) === micros, "decoded micros differ from the written instants")
+    // Both branches must yield session-TZ TimestampType (oracle parity for
+    // date_format / window / casts).
+    Seq(nanosDir, microsDir).foreach { d =>
+      assert(Tables.events(spark, d).schema("ts").dataType === TimestampType)
+    }
+  }
+
+  test("window() and date arithmetic agree across encodings") {
+    val (nanosDir, microsDir) = writeBoth()
+    def buckets(dir: String): Seq[(String, Long)] =
+      Tables.events(spark, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("ws"), col("cnt"))
+        .orderBy("ws")
+        .collect().toSeq.map(r => (r.getString(0), r.getLong(1)))
+    val a = buckets(nanosDir)
+    val b = buckets(microsDir)
+    assert(a === b)
+    // The 00:59:59.999999 event must land in the 00:00 bucket with the
+    // midnight event — truncation semantics, not rounding.
+    assert(a.head === ("2024-01-01 00:00:00", 2L))
+  }
+
+  test("live testdata events load analyzes and carries TimestampType ts") {
+    val df = Tables.events(spark, "/root/testdata/sf0.001")
+    assert(df.schema("ts").dataType === TimestampType)
+    assert(df.limit(1).count() === 1L)
+  }
+}
