@@ -36,6 +36,19 @@ object Similarity {
     Array.tabulate(planes, dims)((p, d) => ((h60(s"hp:$p:$d") % 2001) - 1000) / 1000.0)
   }
 
+  /** Scale-adaptive LSH plane count: the smallest p in [minPlanes,
+    * maxPlanes] with 2^p * targetBucket >= n, so bucket count tracks
+    * corpus size and expected occupancy stays ~targetBucket. With a FIXED
+    * plane count, within-bucket pair generation is Θ(n²/2^p) — the 10×
+    * scale probe measured exponent 2.06 on q96 with p=4 — while adaptive
+    * p keeps candidate volume ~ (p+1)·targetBucket·n (linearithmic).
+    * Pure integer arithmetic (no log2 float) so the SQL oracle mirror
+    * (`range(minPlanes, maxPlanes+1)` + `MIN(p) WHERE (1<<p)*target >= n`)
+    * computes the identical count on every engine.
+    */
+  def adaptivePlanes(n: Long, targetBucket: Int = 64, minPlanes: Int = 4, maxPlanes: Int = 16): Int =
+    (minPlanes to maxPlanes).find(p => (1L << p) * targetBucket >= n).getOrElse(maxPlanes)
+
   /** Deterministic ±1 sign matrix (Achlioptas sparse-projection family),
     * derived from md5 so the SQL oracle re-derives it bit-for-bit. */
   def signMatrix(seed: String, outDims: Int, inDims: Int): Array[Array[Int]] = {

@@ -268,38 +268,51 @@ object VectorQueries {
         LIMIT 50""")),
 
     // B7/B43: candidate-pruned cosine near-dup pairs — the scale path of
-    // q63. Candidates come from the 4-plane LSH buckets with Hamming-1
-    // multi-probe (no cross join; candidate volume is per-bucket, not n²);
-    // every emitted pair carries the identical cos_r the exact operator
-    // computes. The oracle rebuilds the same buckets from the same inline
-    // hyperplane constants.
+    // q63. Candidates come from LSH buckets with Hamming-1 multi-probe
+    // (no cross join), and the PLANE COUNT ADAPTS to corpus size
+    // (Similarity.adaptivePlanes: smallest p in [4,16] with 2^p·64 ≥ n) —
+    // a fixed count leaves candidate volume Θ(n²/2^p), measured as
+    // exponent 2.06 in the 10× scale probe; adaptive p holds expected
+    // bucket occupancy ~64 so candidates stay ~(p+1)·64·n. Every emitted
+    // pair carries the identical cos_r the exact operator computes. The
+    // oracle rebuilds the same buckets from the same inline hyperplane
+    // constants and re-derives the same plane count with the same integer
+    // arithmetic (no float log2 — engines could round a power-of-two
+    // boundary differently).
     Q(
       "q96_cosine_pairs_lsh",
       (s, dir) => {
-        val planes = Similarity.hyperplanes(4, 64)
         val v = Tables.embeddings(s, dir)
           .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        val np = Similarity.adaptivePlanes(v.count())
+        val planes = Similarity.hyperplanes(np, 64)
         Similarity.cosinePairsLsh(v, "vec_id", "vec", planes)
           .orderBy(col("cos_r").desc, col("a"), col("b"))
           .limit(50)
       },
       Some {
-        val planes = Similarity.hyperplanes(4, 64)
+        val planes = Similarity.hyperplanes(16, 64)
         val values = (for {
-          p <- 0 until 4
+          p <- 0 until 16
           d <- 0 until 64
         } yield f"($p, ${d + 1}, ${planes(p)(d)}%.3f)").mkString(", ")
         s"""
         WITH $OPOS,
         w(p, i, wt) AS (SELECT * FROM (VALUES $values) t(p, i, wt)),
+        params AS (SELECT COALESCE(CAST(MIN(p) AS INT), 16) AS np
+                   FROM range(4, 17) t(p), (SELECT COUNT(*) AS n FROM embeddings) c
+                   WHERE (1 << p) * 64 >= c.n),
         sig AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
                 FROM (SELECT e.vec_id, w.p, SUM(e.v * CAST(w.wt AS DOUBLE)) AS s
-                      FROM e JOIN w ON e.i = w.i GROUP BY 1, 2)
+                      FROM e JOIN w ON e.i = w.i CROSS JOIN params
+                      WHERE w.p < params.np GROUP BY 1, 2)
                 GROUP BY 1),
         nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
-        pr AS (SELECT vec_id,
-                      unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS probe
-               FROM sig),
+        pr AS (SELECT vec_id, bucket AS probe FROM sig
+               UNION ALL
+               SELECT s.vec_id, xor(s.bucket, (1 << m.p)) AS probe
+               FROM sig s CROSS JOIN range(0, 16) m(p) CROSS JOIN params
+               WHERE m.p < params.np),
         cand AS (SELECT DISTINCT pr.vec_id AS a, s2.vec_id AS b
                  FROM pr JOIN sig s2 ON pr.probe = s2.bucket AND pr.vec_id < s2.vec_id),
         dots AS (SELECT cand.a, cand.b, SUM(x.v * y.v) AS d
