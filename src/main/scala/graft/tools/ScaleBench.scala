@@ -20,7 +20,14 @@ object ScaleBench {
   val Heavy = Seq(
     "q143_ann_pq", "q133_semantic_dedup", "q159_bpe_merges",
     "q169_bpe_encode", "q162_bfs_hops", "q149_trimmed_mean_approx",
-    "q96_cosine_pairs_lsh", "q57_dedup_minhash_lsh")
+    "q96_cosine_pairs_lsh", "q57_dedup_minhash_lsh",
+    // The event-analytics wing (windows, funnel joins, SCD2/interval
+    // merges) plus the heaviest candidate-join text operators — added
+    // after the r8 events restoration so the probe covers every family
+    // with super-linear risk, not just the vector tier.
+    "q44_sessionize", "q153_funnel", "q154_retention",
+    "q164_scd2_build", "q165_interval_merge", "q130_editdist_join",
+    "q59_simhash_pairs", "q111_ngram_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
