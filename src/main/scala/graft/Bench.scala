@@ -14,7 +14,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); Spark only reads it as long
+      // events.ts encoding drifts between testdata regenerations; this
+      // keeps the TIMESTAMP(NANOS) variant readable (as long) while
+      // Tables.events adapts to whichever encoding is live.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

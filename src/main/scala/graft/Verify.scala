@@ -12,7 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); Spark only reads it as long
+      // events.ts encoding drifts between testdata regenerations; this
+      // keeps the TIMESTAMP(NANOS) variant readable (as long) while
+      // Tables.events adapts to whichever encoding is live.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,6 +46,23 @@ object StreamTwinQueries {
   private def eventsSchema(s: SparkSession, dir: String) =
     Tables.events(s, dir).schema
 
+  /** Run `body` with `spark.sql.shuffle.partitions` scoped down to `n`.
+    * A stateful streaming query snapshots its state-store partition count
+    * from the shuffle-partition conf at query START — at the session
+    * default of 32 these few-thousand-row twins checkpoint 32 state
+    * partitions (32 delta files + maintenance) per micro-batch, which is
+    * pure fixed cost. The twins' outputs are exact set/aggregate
+    * semantics, invariant to partitioning; only wall-clock changes. The
+    * previous value is always restored so batch queries keep the
+    * session-wide parallelism.
+    */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   val qs: Seq[Q] = Seq(
 
     // B33 oracle twin: checkpointed streaming ingest is exactly-once
@@ -72,9 +89,11 @@ object StreamTwinQueries {
           q.awaitTermination()
         }
         writeReplayFile(ev.filter(col("event_id") % 2 === 0), src, "half0", 0)
-        runDrain() // phase 1: consumes half0, commits offsets
-        writeReplayFile(ev.filter(col("event_id") % 2 === 1), src, "half1", 1)
-        runDrain() // phase 2: restart from checkpoint — must read ONLY half1
+        withStreamPartitions(s, 4) {
+          runDrain() // phase 1: consumes half0, commits offsets
+          writeReplayFile(ev.filter(col("event_id") % 2 === 1), src, "half1", 1)
+          runDrain() // phase 2: restart from checkpoint — must read ONLY half1
+        }
         s.read.parquet(sink)
           .groupBy("event_type")
           .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("id_sum"),
@@ -126,20 +145,22 @@ object StreamTwinQueries {
         writeReplayFile(late.select("ts", "event_type"), src, "b2_late", 2)
         writeReplayFile(flush.select("ts", "event_type"), src, "b3_flush", 3)
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
-        val q = s.readStream
-          .schema(onTime.select("ts", "event_type").schema)
-          .option("maxFilesPerTrigger", 1)
-          .parquet(src)
-          .withWatermark("ts", "1 hour")
-          .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
-          .agg(count(lit(1)).as("cnt"))
-          .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
-            col("event_type"), col("cnt"))
-          .writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
-          .start()
-        q.awaitTermination()
+        withStreamPartitions(s, 4) {
+          val q = s.readStream
+            .schema(onTime.select("ts", "event_type").schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+            .agg(count(lit(1)).as("cnt"))
+            .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+              col("event_type"), col("cnt"))
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(sink)
           .filter(col("event_type") =!= "__flush")
           .orderBy("day", "event_type")
@@ -179,14 +200,16 @@ object StreamTwinQueries {
             src, s"part$i", i)
         }
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
-        val q = s.readStream.schema(ev.schema)
-          .option("maxFilesPerTrigger", 1).parquet(src)
-          .dropDuplicates("user_id", "event_type")
-          .writeStream.format("parquet")
-          .option("path", sink).option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
-          .start()
-        q.awaitTermination()
+        withStreamPartitions(s, 4) {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .dropDuplicates("user_id", "event_type")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
+            .start()
+          q.awaitTermination()
+        }
         s.read.parquet(sink)
           .groupBy("event_type")
           .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("uid_sum"))
