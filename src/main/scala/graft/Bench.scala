@@ -1,6 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Fold N timed passes into (per-query min over successful passes,
+    * per-query error for queries with NO successful pass). Factored out
+    * of main so BenchAggregationSpec can pin the r7 failure mode: a
+    * crashed query must surface as an error, never as a fast time.
+    */
+  def aggregate(passes: Seq[Map[String, Either[String, Double]]])
+      : (Seq[(String, Double)], Seq[(String, String)]) = {
+    val allNames = passes.head.keys.toSeq.sorted
+    val results = allNames.flatMap { name =>
+      val oks = passes.flatMap(_(name).toOption)
+      if (oks.nonEmpty) Some(name -> oks.min) else None
+    }
+    val errors = allNames.flatMap { name =>
+      if (passes.forall(_(name).isLeft))
+        Some(name -> passes.head(name).left.getOrElse("error"))
+      else None
+    }
+    (results, errors)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -50,16 +71,7 @@ object Bench {
         }
       }
     val passes = (1 to math.max(1, timedPasses)).map(_ => timeOnce())
-    val allNames = passes.head.keys.toSeq.sorted
-    val results = allNames.flatMap { name =>
-      val oks = passes.flatMap(_(name).toOption)
-      if (oks.nonEmpty) Some(name -> oks.min) else None
-    }
-    val errors = allNames.flatMap { name =>
-      if (passes.forall(_(name).isLeft))
-        Some(name -> passes.head(name).left.getOrElse("error"))
-      else None
-    }
+    val (results, errors) = aggregate(passes)
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString } + "\""
