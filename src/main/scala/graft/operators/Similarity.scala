@@ -421,15 +421,16 @@ object Similarity {
       iters: Int,
       trainCap: Int = 1024): Seq[Array[Array[Double]]] = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
-    val dims = vectors.select(size(col(vecCol))).head().getInt(0)
-    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
-    val sub = dims / m
     val train = vectors.orderBy(col(idCol)).limit(trainCap)
       .select(col(idCol), col(vecCol)).persist()
-    // init: the ksub lowest-id vectors seed every subspace — one collect
+    // init: the ksub lowest-id vectors seed every subspace — one collect,
+    // which also carries the dimensionality (no separate dims job).
     val seed = train.orderBy(col(idCol)).limit(ksub)
       .select(col(vecCol)).collect().map(_.getSeq[Double](0).toArray)
     require(seed.length >= 1, "empty training set")
+    val dims = seed.head.length
+    require(m >= 1 && dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
     val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
       Array.tabulate(ksub)(c => seed(c % seed.length).slice(j * sub, (j + 1) * sub))
     }

@@ -572,10 +572,14 @@ object VectorQueries {
         val query = v.orderBy("vec_id").limit(1).select("v")
           .head().getSeq[Double](0).toArray
         val k = 10
-        val enc = v.select(Similarity.pqEncode(col("v"), books).as("codes"))
-        val cr = enc.select(explode(col("codes")).as("c"))
-          .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax")).head()
+        // One pass carries both contract facts: every exploded code in
+        // [0, ksub) AND the vector count (codes are exactly m per vector,
+        // so n = count(codes) / m — no second scan for the total).
+        val cr = v.select(explode(Similarity.pqEncode(col("v"), books)).as("c"))
+          .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
+            (count(lit(1)) / 4).cast("long").as("n")).head()
         val codesInRange = cr.getInt(0) >= 0 && cr.getInt(1) < 16
+        val nVectors = cr.getLong(2)
         val approx = Similarity.annPq(v, "vec_id", "v", query, k, books)
           .select("vec_id")
         val qArr = array(query.toIndexedSeq.map(lit): _*)
@@ -586,9 +590,9 @@ object VectorQueries {
               lit(query.map(x => x * x).sum))
           .orderBy(col("d2"), col("vec_id")).limit(k).select("vec_id")
         val hits = approx.join(exact, "vec_id").count()
-        v.agg(count(lit(1)).as("n_vectors_total"))
-          .withColumn("codes_in_range", lit(codesInRange))
-          .withColumn("recall_ge_half", lit(hits * 2 >= k))
+        import s.implicits._
+        Seq((nVectors, codesInRange, hits * 2 >= k))
+          .toDF("n_vectors_total", "codes_in_range", "recall_ge_half")
       },
       Some("""
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors_total,
