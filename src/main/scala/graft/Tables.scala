@@ -46,7 +46,19 @@ object Tables {
     val df = table(spark, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // A long epoch is itself ambiguous (nanos? micros? millis?
+        // seconds?), so sniff the unit per row by magnitude — scan-stage,
+        // codegen'd, no driver action, and tolerant of per-row drift the
+        // way the reference's pandas re-inference is. Bands are unambiguous
+        // for timestamps between 1973 and ~2280: nanos > 1e16 (≥ Apr 1970
+        // as nanos, ≥ year 2286 as micros), micros > 1e13, millis > 1e10,
+        // else seconds. Integral division truncates toward the epoch,
+        // matching DuckDB's CAST semantics on the nanos path.
+        df.withColumn("ts",
+          when(col("ts") > 10000000000000000L, expr("timestamp_micros(ts div 1000)"))
+            .when(col("ts") > 10000000000000L, expr("timestamp_micros(ts)"))
+            .when(col("ts") > 10000000000L, expr("timestamp_millis(ts)"))
+            .otherwise(expr("timestamp_seconds(ts)")))
       case _ =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     }

@@ -78,6 +78,34 @@ class TimestampCodecSpec extends SparkSpec {
     }
   }
 
+  test("long ts columns sniff their epoch unit by magnitude") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("ts_unit").toString
+    def write(name: String, f: Long => Long): String = {
+      val dir = s"$base/$name"
+      micros.zipWithIndex.map { case (us, i) =>
+        (i.toLong, f(us), i.toLong % 2, "view", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      dir
+    }
+    val nanosDir = write("nanos", _ * 1000L)
+    val microsDir = write("micros", identity)
+    val millisDir = write("millis", _ / 1000L)
+    val secondsDir = write("seconds", _ / 1000000L)
+    def fmt(dir: String): Seq[String] =
+      Tables.events(spark, dir)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+        .orderBy("event_id").collect().map(_.getString(0)).toSeq
+    // Sub-second precision is lost by coarser source units; second-level
+    // rendering must agree across all four (truncation toward the epoch).
+    val expected = fmt(microsDir)
+    assert(fmt(nanosDir) === expected)
+    assert(fmt(millisDir) === expected)
+    assert(fmt(secondsDir) === expected)
+  }
+
   test("window() and date arithmetic agree across encodings") {
     val (nanosDir, microsDir) = writeBoth()
     def buckets(dir: String): Seq[(String, Long)] =
