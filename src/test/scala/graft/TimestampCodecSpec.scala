@@ -22,8 +22,7 @@ import org.apache.spark.sql.types._
 class TimestampCodecSpec extends SparkSpec {
 
   // Instants chosen to exercise window/date boundaries: midnight, an
-  // hour boundary minus 1us, mid-hour, and a sub-millisecond value whose
-  // nanos tail must truncate (not round) to micros.
+  // hour boundary minus 1us, mid-hour, and a sub-millisecond value.
   private val micros = Seq(
     1704067200000000L, // 2024-01-01 00:00:00
     1704070799999999L, // 2024-01-01 00:59:59.999999
@@ -40,7 +39,10 @@ class TimestampCodecSpec extends SparkSpec {
       (i.toLong, us, i.toLong % 2, "view", 1.0, "{}")
     }
     // Encoding 1: ts as raw nanos long (what nanosAsLong mode surfaces).
-    rows.map { case (id, us, uid, et, v, p) => (id, us * 1000L, uid, et, v, p) }
+    // The +789ns tail gives every value a non-zero sub-microsecond
+    // remainder, so the decode-equality asserts below really exercise
+    // truncation (not rounding) on the nanos path.
+    rows.map { case (id, us, uid, et, v, p) => (id, us * 1000L + 789L, uid, et, v, p) }
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$nanosDir/events.parquet")
     // Encoding 2: ts as TIMESTAMP_NTZ micros (the current testdata shape).
@@ -78,7 +80,7 @@ class TimestampCodecSpec extends SparkSpec {
     }
   }
 
-  test("long ts columns sniff their epoch unit by magnitude") {
+  test("long ts columns decide their epoch unit once per load, by magnitude") {
     val s = spark
     import s.implicits._
     val base = java.nio.file.Files.createTempDirectory("ts_unit").toString
@@ -121,6 +123,48 @@ class TimestampCodecSpec extends SparkSpec {
     // The 00:59:59.999999 event must land in the 00:00 bucket with the
     // midnight event — truncation semantics, not rounding.
     assert(a.head === ("2024-01-01 00:00:00", 2L))
+  }
+
+  private def writeLongTs(name: String, values: Seq[Long]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"ts_$name").toString
+    values.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v, i.toLong % 2, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("mixed-unit long ts columns fail loudly instead of decoding per row") {
+    // One value that reads as micros (2024) next to one that reads as
+    // nanos (2024): a per-row decode would silently mix units within one
+    // load; the per-load decision must refuse with a named error.
+    val dir = writeLongTs("mixed", Seq(1704067200000000L, 1704067200000000000L))
+    val e = intercept[IllegalStateException] {
+      Tables.events(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("straddle"), e.getMessage)
+  }
+
+  test("long ts outside the unambiguous [1973, 2281) band fails loudly") {
+    // 1971-01-01 as micros (~3.15e13) sits in the blind band: its
+    // magnitude says "micros" but a 1971 micros value is also a
+    // plausible 2970-era millis value. The documented contract is to
+    // refuse loudly, never silently mis-decode.
+    val dir = writeLongTs("oob", Seq(31536000000000L))
+    val e = intercept[IllegalStateException] {
+      Tables.events(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("1973"), e.getMessage)
+  }
+
+  test("nanos values with a sub-microsecond remainder truncate, not round") {
+    // ...456999 ns must decode to ...456 us even though .999 would round up.
+    val dir = writeLongTs("trunc", Seq(1710000000123456999L))
+    val got = Tables.events(spark, dir)
+      .select(unix_micros(col("ts"))).head().getLong(0)
+    assert(got === 1710000000123456L)
   }
 
   test("live testdata events load analyzes and carries TimestampType ts") {
