@@ -15,9 +15,14 @@ object Bench {
       if (oks.nonEmpty) Some(name -> oks.min) else None
     }
     val errors = allNames.flatMap { name =>
-      if (passes.forall(_(name).isLeft))
-        Some(name -> passes.head(name).left.getOrElse("error"))
-      else None
+      if (passes.forall(_(name).isLeft)) {
+        // Report the MOST COMMON failure across passes (ties broken
+        // toward the later pass): pass 1 may carry a transient (e.g. an
+        // IO listing race) while later passes show the real root cause.
+        val msgs = passes.map(_(name).left.getOrElse("error"))
+        val best = msgs.distinct.maxBy(m => (msgs.count(_ == m), msgs.lastIndexOf(m)))
+        Some(name -> best)
+      } else None
     }
     (results, errors)
   }

@@ -46,7 +46,11 @@ object UdxQueries {
     Q(
       "q81_udf_safe_name",
       (s, dir) => {
-        s.udf.register("safe_name_udf", GraftFunctions.safeNameUdf)
+        // Register once per session: re-registering on every run of this
+        // query (Bench passes, Verify) WARNs and churns the registry for
+        // an identical immutable function.
+        if (!s.catalog.functionExists("safe_name_udf"))
+          s.udf.register("safe_name_udf", GraftFunctions.safeNameUdf)
         Tables.part(s, dir).createOrReplaceTempView("part_udf")
         s.sql("""
           SELECT safe_name_udf(p_type || '  (' || p_brand || ') !') AS key, COUNT(*) AS cnt

@@ -568,7 +568,9 @@ object VectorQueries {
       (s, dir) => {
         val v = Tables.embeddings(s, dir)
           .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        val books = Similarity.pqTrain(v, "vec_id", "v", m = 4, ksub = 16, iters = 2)
+        val m = 4
+        val ksub = 16
+        val books = Similarity.pqTrain(v, "vec_id", "v", m = m, ksub = ksub, iters = 2)
         val query = v.orderBy("vec_id").limit(1).select("v")
           .head().getSeq[Double](0).toArray
         val k = 10
@@ -577,8 +579,8 @@ object VectorQueries {
         // so n = count(codes) / m — no second scan for the total).
         val cr = v.select(explode(Similarity.pqEncode(col("v"), books)).as("c"))
           .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
-            (count(lit(1)) / 4).cast("long").as("n")).head()
-        val codesInRange = cr.getInt(0) >= 0 && cr.getInt(1) < 16
+            (count(lit(1)) / lit(m)).cast("long").as("n")).head()
+        val codesInRange = cr.getInt(0) >= 0 && cr.getInt(1) < ksub
         val nVectors = cr.getLong(2)
         val approx = Similarity.annPq(v, "vec_id", "v", query, k, books)
           .select("vec_id")

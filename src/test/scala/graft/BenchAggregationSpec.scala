@@ -39,6 +39,20 @@ class BenchAggregationSpec extends AnyFunSuite {
     assert(errors.isEmpty)
   }
 
+  test("an all-failed query reports its most common (tie: latest) error") {
+    // Pass 1's transient must not mask the root cause seen in later
+    // passes; with all messages distinct, the latest wins.
+    val (_, errors) = Bench.aggregate(Seq(
+      pass("q1" -> Left("IOException: listing race")),
+      pass("q1" -> Left("AnalysisException: missing column")),
+      pass("q1" -> Left("AnalysisException: missing column"))))
+    assert(errors === Seq("q1" -> "AnalysisException: missing column"))
+    val (_, errors2) = Bench.aggregate(Seq(
+      pass("q1" -> Left("first")),
+      pass("q1" -> Left("second"))))
+    assert(errors2 === Seq("q1" -> "second"))
+  }
+
   test("errored queries never contribute to the total") {
     val (results, errors) = Bench.aggregate(Seq(
       pass("q1" -> Right(1.0), "q2" -> Left("boom"), "q3" -> Right(0.1)),

@@ -18,12 +18,18 @@ class RegistrySpec extends SparkSpec {
     "q139_skip_summary", "q143_ann_pq", "q153_funnel")
 
   test("every registry entry analyzes against the live testdata (schema-drift guard)") {
-    // Seconds-cheap standing guard for the r7 failure mode: the driver
-    // regenerated events.parquet with a different timestamp encoding and
-    // 21 entries started throwing at ANALYSIS time, surfacing only as a
-    // silently shorter correctness file. Forcing `analyzed` (no execution)
-    // against the live testdata dir fails fast with the entry's name when
-    // any table's physical schema drifts.
+    // Standing guard for the r7 failure mode: the driver regenerated
+    // events.parquet with a different timestamp encoding and 21 entries
+    // started throwing at ANALYSIS time, surfacing only as a silently
+    // shorter correctness file. Forcing `analyzed` against the live
+    // testdata dir fails fast with the entry's name when any table's
+    // physical schema drifts. NOT free: building a plan is lazy for most
+    // entries, but some run eagerly inside q.run() (the stream twins
+    // replay full streaming jobs, q96/q143/q86 collect during build, the
+    // agri entries materialize their corpus), so this sweep re-executes
+    // those at full cost on top of the execution sweep below — accepted,
+    // because skipping them here would leave exactly the entries with
+    // the most moving parts outside the drift guard.
     val failures = QueryRegistry.all.flatMap { q =>
       try { q.run(spark, dir).queryExecution.analyzed; None }
       catch { case e: Throwable =>
