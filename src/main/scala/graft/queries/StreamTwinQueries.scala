@@ -89,7 +89,7 @@ object StreamTwinQueries {
           q.awaitTermination()
         }
         writeReplayFile(ev.filter(col("event_id") % 2 === 0), src, "half0", 0)
-        withStreamPartitions(s, 4) {
+        withStreamPartitions(s, 2) {
           runDrain() // phase 1: consumes half0, commits offsets
           writeReplayFile(ev.filter(col("event_id") % 2 === 1), src, "half1", 1)
           runDrain() // phase 2: restart from checkpoint — must read ONLY half1
@@ -110,13 +110,14 @@ object StreamTwinQueries {
 
     // B36 oracle twin: watermark LATE-DATA DROP, deterministically. The
     // replay sends on-time rows (event_id % 10 <> 0), then a spacer, then
-    // the late rows (event_id % 10 = 0), then a watermark-advancing flush
-    // row far in the future. With a 1-hour watermark over 1-day tumbling
-    // windows, a late row survives iff its window END is above the
-    // watermark set by the on-time batch (max on-time ts − 1h); the
-    // flush batch closes every real window so Append mode emits them all,
-    // and the oracle computes the identical kept-set in SQL — counts that
-    // include a dropped row (or drop a kept one) hash-mismatch.
+    // one final batch carrying the late rows (event_id % 10 = 0) plus a
+    // watermark-advancing flush row far in the future. With a 1-hour
+    // watermark over 1-day tumbling windows, a late row survives iff its
+    // window END is above the watermark set by the on-time batch (max
+    // on-time ts − 1h); the flush row closes every real window so Append
+    // mode emits them all, and the oracle computes the identical kept-set
+    // in SQL — counts that include a dropped row (or drop a kept one)
+    // hash-mismatch.
     //
     // The spacer is load-bearing: Spark filters late events against the
     // PREVIOUS batch's watermark (`eventTimeWatermarkForLateEvents` lags
@@ -130,22 +131,35 @@ object StreamTwinQueries {
     Q(
       "q171_stream_watermark_drop",
       (s, dir) => {
+        import s.implicits._
         val ev = Tables.events(s, dir)
         val tmp = Files.createTempDirectory("stream_wm").toString
         val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
         val onTime = ev.filter(col("event_id") % 10 =!= 0)
         val late = ev.filter(col("event_id") % 10 === 0)
-        val spacer = ev.orderBy(col("ts").desc).limit(1)
-          .select(col("ts")).withColumn("event_type", lit("__flush"))
-        val flush = ev.orderBy(col("ts").desc).limit(1)
-          .select((col("ts") + expr("INTERVAL 30 DAYS")).as("ts"))
-          .withColumn("event_type", lit("__flush"))
+        // One agg job for the corpus max ts (column-pruned scan), then
+        // the single-row spacer/flush frames are driver-local — the
+        // previous orderBy(desc).limit(1) pair cost two full TakeOrdered
+        // jobs for two constants.
+        val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+        val flushTs = java.sql.Timestamp.from(maxTs.toInstant.plus(java.time.Duration.ofDays(30)))
+        val spacer = Seq((maxTs, "__flush")).toDF("ts", "event_type")
         writeReplayFile(onTime.select("ts", "event_type"), src, "b0_ontime", 0)
-        writeReplayFile(spacer.select("ts", "event_type"), src, "b1_spacer", 1)
-        writeReplayFile(late.select("ts", "event_type"), src, "b2_late", 2)
-        writeReplayFile(flush.select("ts", "event_type"), src, "b3_flush", 3)
+        writeReplayFile(spacer, src, "b1_spacer", 1)
+        // Late rows and the watermark-advancing flush row share the
+        // FINAL micro-batch: the late-data filter uses the watermark
+        // committed after the spacer batch (one behind the eviction
+        // watermark), so the kept-set is identical whether the flush row
+        // rides with the late file or follows it — one fewer micro-batch
+        // of pure fixed cost. The spacer stays load-bearing and separate:
+        // it is what moves the on-time watermark into the filter before
+        // the late rows arrive.
+        writeReplayFile(
+          late.select("ts", "event_type")
+            .unionAll(Seq((flushTs, "__flush")).toDF("ts", "event_type")),
+          src, "b2_late_flush", 2)
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
-        withStreamPartitions(s, 4) {
+        withStreamPartitions(s, 2) {
           val q = s.readStream
             .schema(onTime.select("ts", "event_type").schema)
             .option("maxFilesPerTrigger", 1)
@@ -183,8 +197,9 @@ object StreamTwinQueries {
         ORDER BY day, event_type""")),
 
     // B37 oracle twin: streaming dedup through dropDuplicates state. The
-    // replay splits the corpus into four files (so the stateful operator
-    // really carries key state across micro-batches), duplicates every
+    // replay splits the corpus across a batch boundary such that most
+    // keys appear on BOTH sides (the stateful operator really drops
+    // later-batch rows against earlier-batch state), duplicates every
     // key by construction (the projection to (user_id, event_type) has
     // heavy natural duplication), and the drained sink must equal the
     // batch DISTINCT — projected to the key columns, so which physical
@@ -192,15 +207,24 @@ object StreamTwinQueries {
     Q(
       "q172_stream_dedup",
       (s, dir) => {
-        val ev = Tables.events(s, dir).select("user_id", "event_type")
+        val events = Tables.events(s, dir)
+        val ev = events.select("user_id", "event_type")
         val tmp = Files.createTempDirectory("stream_dedup").toString
         val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
-        (0 until 4).foreach { i =>
-          writeReplayFile(ev.filter(pmod(col("user_id"), lit(4)) === i),
-            src, s"part$i", i)
+        // Two replay files, not four, split by EVENT id (not user id, the
+        // old split, under which every dedup-key's duplicates rode in one
+        // file): with row-level parity both files carry instances of most
+        // (user_id, event_type) keys, so batch 2 really probes — and is
+        // dropped by — state written in batch 1. One batch boundary is
+        // all the cross-batch semantics needs; each extra file was a full
+        // micro-batch of fixed cost. The output is a distinct SET —
+        // invariant to how the corpus is batched.
+        (0 until 2).foreach { i =>
+          writeReplayFile(events.filter(pmod(col("event_id"), lit(2)) === i)
+            .select("user_id", "event_type"), src, s"part$i", i)
         }
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
-        withStreamPartitions(s, 4) {
+        withStreamPartitions(s, 2) {
           val q = s.readStream.schema(ev.schema)
             .option("maxFilesPerTrigger", 1).parquet(src)
             .dropDuplicates("user_id", "event_type")

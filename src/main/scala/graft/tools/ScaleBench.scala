@@ -27,12 +27,22 @@ object ScaleBench {
     // with super-linear risk, not just the vector tier.
     "q44_sessionize", "q153_funnel", "q154_retention",
     "q164_scd2_build", "q165_interval_merge", "q130_editdist_join",
-    "q59_simhash_pairs", "q111_ngram_decontaminate")
+    "q59_simhash_pairs", "q111_ngram_decontaminate",
+    // The streaming oracle twins: the heaviest bench entries with no
+    // measured exponent until r9. Their cost should be micro-batch /
+    // state-store fixed overhead (e ≈ 0) — the probe verifies that claim
+    // instead of taking it from a plan read.
+    "q170_stream_restart_ingest", "q171_stream_watermark_drop",
+    "q172_stream_dedup")
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("/tmp/sf1x")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // Optional 4th arg: comma-separated query subset, for probing a
+    // specific pair at an extra factor (e.g. the 30x confirmation points)
+    // without paying for the whole Heavy list.
+    val subset = args.lift(3).map(_.split(',').map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -44,6 +54,7 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
 
     val names = Heavy.filter(QueryRegistry.byName.contains)
+      .filter(n => subset.forall(_.contains(n)))
     // warmup pass at the small scale (JVM/codegen, page cache)
     names.foreach { n =>
       try QueryRegistry.byName(n).run(spark, small).count()
