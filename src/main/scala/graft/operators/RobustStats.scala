@@ -99,6 +99,13 @@ object RobustStats {
     * band against each other, and TrimmedMeanSpec pins this operator
     * against the exact threshold trim on random data.
     *
+    * Measured (BENCH_scale.json trimmed_mean_ab, 3-group lineitem,
+    * local[32]): this tier ties the exact rank trim at ~2M rows/group
+    * and wins 21% at 6M — and unlike the exact tier it has no
+    * single-task per-group sort, so the gap widens with group size on a
+    * real cluster. That measurement is what sets [[trimmedMean]]'s 4M
+    * default crossover.
+    *
     * Output: groupCols ++ (kept, trimmed_mean, lo, hi).
     */
   def trimmedMeanApprox(
