@@ -72,7 +72,8 @@ object QueryRegistry {
         queries.MaintenanceQueries.qs ++
         queries.CurationQueries.qs ++
         queries.SketchQueries.qs ++
-        queries.StreamTwinQueries.qs
+        queries.StreamTwinQueries.qs ++
+        queries.AnalysisQueries.qs
     val dups = qs.groupBy(_.name).filter(_._2.size > 1).keys
     require(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     qs

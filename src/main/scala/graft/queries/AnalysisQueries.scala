@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.GraftFunctions._
+import graft.operators.{Blocking, EvalMetrics, Triangles}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus evaluation + monitoring operators (SURVEY.md B80-B84): the
+  * statistics a 100 TB training-data pipeline computes ABOUT its own
+  * corpus and filter models between snapshots — drift detection
+  * (two-sample KS), quality-classifier evaluation (exact ROC-AUC,
+  * Cohen's kappa vs the nearest-centroid classifier), graph-shape
+  * screening (degree-oriented triangle counting / clustering
+  * coefficients over the co-occurrence graph), and hybrid lexical+vector
+  * retrieval fusion (RRF). The reference's workflow stops at eyeballing
+  * harvested slices (`/root/reference/fetch_data.py:64-167`); these make
+  * the check an operator with an exact, replayable answer.
+  *
+  * Everything is integer/rational arithmetic end to end (scores on the
+  * x1000 floored grid, statistics as num/den BIGINT pairs, integer `div`
+  * for RRF), so DuckDB replays each bit-identically.
+  */
+object AnalysisQueries {
+
+  /** DuckDB fragment: embeddings unnested to (vec_id, i, v) positions,
+    * then floored to the x1000 integer grid shared with q116/q126. */
+  private val OQPOS =
+    """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |             CAST(unnest(embedding) AS DOUBLE) AS v
+      |      FROM embeddings),
+      |qpos AS (SELECT vec_id, i, CAST(floor(v * 1000) AS BIGINT) AS qv FROM e)""".stripMargin
+
+  private val OTOKS =
+    """toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts FROM documents)"""
+
+  /** Embeddings on the x1000 grid: (vec_id, label, i, qv). */
+  private def qpos(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "v")))
+      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+        floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qv"))
+
+  val qs: Seq[Q] = Seq(
+    // B80: degree-oriented triangle counting over the co-purchase graph
+    // (parts co-occurring in an order, 25% order sample for a bounded
+    // demo slice). Wedges fan out only from each edge's lower-degree
+    // endpoint, so wedge volume is O(m^1.5) whatever the hub skew; the
+    // closing edge is a plain equi-join on the canonical pair. Output:
+    // the 20 most triangle-dense parts with degree (for the clustering
+    // coefficient 2*tri/(deg*(deg-1))) and the global triangle count.
+    Q(
+      "q173_triangle_count",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        val edges = li.as("x")
+          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+          .distinct()
+        val pn = Q.persistOnce(Triangles.perNode(edges))
+        val total = pn.agg(expr("sum(tri) div 3").as("total_triangles"))
+        pn.crossJoin(broadcast(total))
+          .orderBy(col("tri").desc, col("node"))
+          .limit(20)
+          .select(col("node"), col("deg"), col("tri"), col("total_triangles"))
+      },
+      Some("""
+        WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem WHERE l_orderkey % 4 = 0),
+        edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        deg AS (SELECT n, COUNT(*) AS deg
+                FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+                GROUP BY 1),
+        ore AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                            THEN a ELSE b END AS src,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                            THEN b ELSE a END AS dst
+                FROM edges JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+        tris AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                 FROM ore e1 JOIN ore e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN edges c ON c.a = least(e1.dst, e2.dst)
+                             AND c.b = greatest(e1.dst, e2.dst)),
+        pn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS tri
+               FROM (SELECT x AS n FROM tris UNION ALL
+                     SELECT y FROM tris UNION ALL
+                     SELECT z FROM tris)
+               GROUP BY 1),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_triangles FROM tris)
+        SELECT d.n AS node, d.deg, CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+               tot.total_triangles
+        FROM deg d LEFT JOIN pn ON pn.n = d.n, tot
+        ORDER BY tri DESC, node
+        LIMIT 20""")),
+
+    // B81: two-sample Kolmogorov-Smirnov drift test between order-key
+    // parity halves over o_totalprice — the snapshot-vs-snapshot
+    // distribution-shift monitor. D is emitted as the exact rational
+    // d_num/d_den = max_v |c1(v)*n2 - c2(v)*n1| / (n1*n2); cumulative
+    // counts run through the range-partitioned PrefixSum, never a
+    // single-partition window.
+    Q(
+      "q174_ks_drift",
+      (s, dir) =>
+        EvalMetrics.ksTest(
+          Tables.orders(s, dir),
+          col("o_orderkey") % 2 === 0,
+          col("o_totalprice")),
+      Some("""
+        WITH t AS (SELECT o_orderkey % 2 = 0 AS s1, o_totalprice AS v FROM orders),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        c AS (SELECT v, p, q,
+                     CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS c1,
+                     CAST(SUM(q) OVER (ORDER BY v) AS BIGINT) AS c2
+              FROM pv),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv)
+        SELECT n1, n2, CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS d_num,
+               CAST(n1 * n2 AS BIGINT) AS d_den, v AS ks_at
+        FROM c, n
+        ORDER BY d_num DESC, ks_at
+        LIMIT 1""")),
+
+    // B82: exact ROC-AUC (Mann-Whitney with tie correction) of a linear
+    // scorer over the x1000-floored embeddings against the binary task
+    // label >= 5 — the filter-model evaluation primitive. auc_num = 2U so
+    // tie half-credits stay integral; one partial-agg'd shuffle to
+    // per-score counts, then PrefixSum for negatives-below.
+    Q(
+      "q175_roc_auc",
+      (s, dir) => {
+        val w = when(col("i") % 3 === 0, 2L)
+          .when(col("i") % 3 === 1, -1L)
+          .otherwise(1L)
+        val scored = qpos(s, dir)
+          .groupBy("vec_id", "label")
+          .agg(sum(col("qv") * w).as("s"))
+        EvalMetrics.rocAuc(scored, col("label") >= 5, col("s"))
+      },
+      Some(s"""
+        WITH $OQPOS,
+        sc AS (SELECT vec_id,
+                      SUM(qv * CASE WHEN i % 3 = 0 THEN 2
+                                    WHEN i % 3 = 1 THEN -1
+                                    ELSE 1 END) AS s
+               FROM qpos GROUP BY 1),
+        lab AS (SELECT sc.vec_id, s, emb.label >= 5 AS y
+                FROM sc JOIN embeddings emb ON emb.vec_id = sc.vec_id),
+        ps AS (SELECT s,
+                      CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM lab GROUP BY s),
+        c AS (SELECT s, p, q, CAST(SUM(q) OVER (ORDER BY s) AS BIGINT) AS cq FROM ps)
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               CAST(SUM(p * (2 * (cq - q) + q)) AS BIGINT) AS auc_num,
+               CAST(2 * SUM(p) * SUM(q) AS BIGINT) AS auc_den
+        FROM c""")),
+
+    // B83: reciprocal-rank fusion (Cormack et al. 2009) of a lexical
+    // ranker (query-term frequency) and a vector ranker (x1000-grid dot
+    // product against the vec_id-0 probe) — hybrid retrieval, the
+    // standard RAG recall combiner. Ranks come from the distributed
+    // globalRank (range-repartition + zipWithIndex), contributions are
+    // integer `div` so both engines fuse bit-identically; docs seen by
+    // only one ranker enter through the full-outer join with a 0
+    // contribution from the other side.
+    Q(
+      "q176_rrf_fusion",
+      (s, dir) => {
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+          .filter(col("t").isin("spark", "join"))
+          .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+        val lex = Blocking.globalRank(tf, Seq(col("tf").desc, col("doc_id")))
+          .select(col("doc_id"), col("rn").as("r1"))
+        val pos = qpos(s, dir)
+        val probe = pos.filter(col("vec_id") === 0).select(col("i"), col("qv").as("pv"))
+        val scores = pos.filter(col("vec_id") =!= 0)
+          .join(broadcast(probe), "i")
+          .groupBy("vec_id").agg(sum(col("qv") * col("pv")).as("s"))
+        val vec = Blocking.globalRank(scores, Seq(col("s").desc, col("vec_id")))
+          .select(col("vec_id"), col("rn").as("r2"))
+        lex.join(vec, col("doc_id") === col("vec_id"), "full_outer")
+          .select(
+            coalesce(col("doc_id"), col("vec_id")).as("id"),
+            col("r1"), col("r2"),
+            (coalesce(expr("1000000 div (60 + r1)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + r2)"), lit(0L))).as("score"))
+          .orderBy(col("score").desc, col("id"))
+          .limit(15)
+      },
+      Some(s"""
+        WITH $OTOKS,
+        tf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(ts) AS t FROM toks)
+               WHERE t IN ('spark', 'join')
+               GROUP BY 1),
+        lex AS (SELECT doc_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS BIGINT) AS r1
+                FROM tf),
+        $OQPOS,
+        probe AS (SELECT i, qv AS pv FROM qpos WHERE vec_id = 0),
+        sc AS (SELECT q.vec_id, CAST(SUM(q.qv * probe.pv) AS BIGINT) AS s
+               FROM qpos q JOIN probe USING (i)
+               WHERE q.vec_id <> 0
+               GROUP BY 1),
+        vec AS (SELECT vec_id,
+                       CAST(ROW_NUMBER() OVER (ORDER BY s DESC, vec_id) AS BIGINT) AS r2
+                FROM sc)
+        SELECT COALESCE(l.doc_id, v.vec_id) AS id, r1, r2,
+               CAST(COALESCE(1000000 // (60 + r1), 0) +
+                    COALESCE(1000000 // (60 + r2), 0) AS BIGINT) AS score
+        FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.vec_id
+        ORDER BY score DESC, id
+        LIMIT 15""")),
+
+    // B84: Cohen's kappa of the nearest-centroid classifier (q126's
+    // exact x1000-grid pipeline) against the true labels — agreement
+    // corrected for chance, the rater-consistency metric for
+    // classifier-vs-annotator audits. Emitted as the exact rational
+    // (N*agree - sum_k row_k*col_k) / (N^2 - sum_k row_k*col_k).
+    Q(
+      "q177_cohen_kappa",
+      (s, dir) => {
+        val pos = qpos(s, dir)
+        val cent = pos.groupBy(col("label").as("clabel"), col("i"))
+          .agg(floor(sum(col("qv")).cast(DoubleType) / count(lit(1))).cast(LongType).as("cv"))
+        val dists = pos.join(broadcast(cent), Seq("i"))
+          .groupBy(col("vec_id"), col("label"), col("clabel"))
+          .agg(sum((col("qv") - col("cv")) * (col("qv") - col("cv"))).as("d2"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d2"), col("clabel"))
+        val confusion = dists.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .groupBy(col("label"), col("clabel").as("pred"))
+          .agg(count(lit(1)).as("cnt"))
+        EvalMetrics.cohenKappa(confusion, "label", "pred", "cnt")
+      },
+      Some(s"""
+        WITH $OQPOS,
+        q AS (SELECT qpos.vec_id, emb.label, i, qv
+              FROM qpos JOIN embeddings emb ON emb.vec_id = qpos.vec_id),
+        cent AS (SELECT label AS clabel, i,
+                        CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+                 FROM q GROUP BY 1, 2),
+        d AS (SELECT q.vec_id, q.label, cent.clabel,
+                     SUM((qv - cv) * (qv - cv)) AS d2
+              FROM q JOIN cent USING (i) GROUP BY 1, 2, 3),
+        r AS (SELECT vec_id, label, clabel,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+              FROM d),
+        conf AS (SELECT label AS a, clabel AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM r WHERE rn = 1 GROUP BY 1, 2),
+        tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS agree
+                FROM conf),
+        rm AS (SELECT a AS k, SUM(cnt) AS ra FROM conf GROUP BY 1),
+        cm AS (SELECT b AS k, SUM(cnt) AS cb FROM conf GROUP BY 1),
+        pe AS (SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS pe_num
+               FROM rm JOIN cm USING (k))
+        SELECT n, agree,
+               CAST(n * agree - pe_num AS BIGINT) AS kappa_num,
+               CAST(n * n - pe_num AS BIGINT) AS kappa_den
+        FROM tot, pe"""))
+  )
+}

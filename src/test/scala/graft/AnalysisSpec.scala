@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{EvalMetrics, PrefixSum, Triangles}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the evaluation/monitoring wing (SURVEY.md B80-B84):
+  * every statistic must agree exactly with an in-memory brute-force
+  * reference across randomized inputs — the same contract the DuckDB
+  * oracles enforce cross-engine at sf0.01, asserted here at the unit
+  * level against from-first-principles implementations.
+  */
+class AnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(4242)
+
+  test("PrefixSum.runningSums equals the single-partition reference") {
+    val rows = Seq.tabulate(500)(i => (rng.nextInt(80).toLong, rng.nextInt(5).toLong, rng.nextInt(3).toLong))
+    // keys may repeat across rows: make the order total by adding a unique id
+    val df = rows.zipWithIndex.map { case ((k, x, y), id) => (k, id.toLong, x, y) }
+      .toDF("k", "id", "x", "y")
+    val got = PrefixSum.runningSums(df, Seq(col("k"), col("id")), Seq("x", "y"))
+      .select("k", "id", "c_x", "c_y").as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val sorted = rows.zipWithIndex.map { case ((k, x, y), id) => (k, id.toLong, x, y) }
+      .sortBy(r => (r._1, r._2))
+    var (cx, cy) = (0L, 0L)
+    val want = sorted.map { case (k, id, x, y) => cx += x; cy += y; (k, id, cx, cy) }
+    assert(got.toSeq == want)
+  }
+
+  test("ksTest equals brute force (exact rational, smallest-arg sup)") {
+    for (trial <- 1 to 5) {
+      val s1 = Seq.fill(60 + trial)(rng.nextInt(25).toLong)
+      val s2 = Seq.fill(80 - trial)(rng.nextInt(25).toLong + trial)
+      val df = (s1.map((_, true)) ++ s2.map((_, false))).toDF("v", "s1")
+      val got = EvalMetrics.ksTest(df, col("s1"), col("v"))
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      val (n1, n2) = (s1.size.toLong, s2.size.toLong)
+      val pooled = (s1 ++ s2).distinct.sorted
+      val diffs = pooled.map { v =>
+        val c1 = s1.count(_ <= v).toLong
+        val c2 = s2.count(_ <= v).toLong
+        (math.abs(c1 * n2 - c2 * n1), v)
+      }
+      val dMax = diffs.map(_._1).max
+      val at = diffs.filter(_._1 == dMax).map(_._2).min
+      assert(got == ((n1, n2, dMax, n1 * n2, at)), s"trial $trial")
+    }
+  }
+
+  test("rocAuc equals quadratic pair counting (ties at half credit)") {
+    for (trial <- 1 to 5) {
+      val pos = Seq.fill(40)(rng.nextInt(15).toLong)
+      val neg = Seq.fill(55)(rng.nextInt(15).toLong)
+      val df = (pos.map((_, true)) ++ neg.map((_, false))).toDF("s", "y")
+      val got = EvalMetrics.rocAuc(df, col("y"), col("s"))
+        .as[(Long, Long, Long, Long)].collect().head
+      val twoU = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      assert(got == ((pos.size.toLong, neg.size.toLong, twoU, 2L * pos.size * neg.size)), s"trial $trial")
+    }
+  }
+
+  test("cohenKappa equals the direct formula") {
+    val pairs = Seq.fill(300)((rng.nextInt(4), rng.nextInt(4)))
+    val confusion = pairs.groupBy(identity).map { case ((a, b), g) => (a, b, g.size.toLong) }
+      .toSeq.toDF("a", "b", "cnt")
+    val got = EvalMetrics.cohenKappa(confusion, "a", "b", "cnt")
+      .as[(Long, Long, Long, Long)].collect().head
+    val n = pairs.size.toLong
+    val agree = pairs.count { case (a, b) => a == b }.toLong
+    val peNum = (0 until 4).map { k =>
+      pairs.count(_._1 == k).toLong * pairs.count(_._2 == k).toLong
+    }.sum
+    assert(got == ((n, agree, n * agree - peNum, n * n - peNum)))
+  }
+
+  test("Triangles.perNode equals brute-force enumeration") {
+    for (trial <- 1 to 3) {
+      val nodes = (0L until 14L).toSeq
+      val edges = (for {
+        a <- nodes; b <- nodes if a < b && rng.nextDouble() < 0.35
+      } yield (a, b))
+      val df = edges.toDF("a", "b")
+      val got = Triangles.perNode(df)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val eset = edges.toSet
+      def conn(x: Long, y: Long) = eset.contains((x min y, x max y))
+      val triples = for {
+        x <- nodes; y <- nodes if x < y; z <- nodes if y < z
+        if conn(x, y) && conn(x, z) && conn(y, z)
+      } yield (x, y, z)
+      val present = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = present.map { v =>
+        val deg = edges.count(e => e._1 == v || e._2 == v).toLong
+        val tri = triples.count(t => t._1 == v || t._2 == v || t._3 == v).toLong
+        v -> ((deg, tri))
+      }.toMap
+      assert(got == want, s"trial $trial")
+      // global count invariant: sum(tri) = 3 * |triangles|
+      assert(got.values.map(_._2).sum == 3L * triples.size, s"trial $trial global")
+    }
+  }
+}
