@@ -33,7 +33,12 @@ object ScaleBench {
     // state-store fixed overhead (e ≈ 0) — the probe verifies that claim
     // instead of taking it from a plan read.
     "q170_stream_restart_ingest", "q171_stream_watermark_drop",
-    "q172_stream_dedup")
+    "q172_stream_dedup",
+    // The round-9 evaluation wing: the triangle wedge join and the two
+    // distributed-rank/prefix-sum statistics are new join shapes, so
+    // they get measured exponents from day one.
+    "q173_triangle_count", "q174_ks_drift", "q175_roc_auc",
+    "q176_rrf_fusion", "q177_cohen_kappa")
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
