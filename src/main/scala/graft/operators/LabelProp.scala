@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Synchronous label propagation (Zhu & Ghahramani 2002 / Raghavan et
+  * al. 2007, the deterministic clamped-seed variant) — the
+  * semi-supervised companion to [[ConnectedComponents]]: CC answers "what
+  * is connected", label propagation answers "what label does the
+  * neighborhood vote for", spreading a sparse set of trusted annotations
+  * (quality ratings, domain tags) across a similarity graph.
+  *
+  * Determinism contract (what makes a SQL oracle replayable): rounds are
+  * synchronous (every vote reads the PREVIOUS round's labels), seeds are
+  * clamped (a seed node never changes its label), vote ties break toward
+  * the smallest label, and a node with no labeled neighbor keeps its
+  * current label. Each round is two partial-agg'd hash-aggregate
+  * shuffles (vote counts grouped by (node, label) — bounded by the
+  * label-set size per node — then an argmax struct-max per node) plus
+  * one state join; state is one row per node, lineage cut per round via
+  * lazy localCheckpoint, the [[ConnectedComponents]] scale contract.
+  */
+object LabelProp {
+
+  /** Propagate `seeds` (node, lbl) over the undirected graph `edges`
+    * (a, b) restricted to `nodes` (node) for exactly `iters` synchronous
+    * rounds. Returns (node, lbl) with lbl null where no label reached
+    * the node.
+    */
+  def propagate(nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+    // one-pass symmetrize (same idiom as ConnectedComponents: don't run
+    // a possibly-expensive edge derivation twice for the two directions)
+    val sym = graft.Q.persistOnce(edges.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    // State carries the clamped seed alongside the current label so each
+    // round is ONE left join against the vote winners — not a re-join of
+    // nodes x seeds x previous x pick. Checkpoints are LAZY: the
+    // iteration count is fixed (no convergence action between rounds,
+    // unlike ConnectedComponents), so eager materialization would only
+    // add one driver-blocking job per round — lazy still truncates
+    // lineage at first evaluation and the whole chain collapses into the
+    // consumer's single action.
+    var state = nodes.join(seeds, Seq("node"), "left")
+      .select(col("node"), col("lbl").as("seed_lbl"), col("lbl"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val votes = sym
+        .join(state.filter(col("lbl").isNotNull).select(col("node").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      // argmax by (count desc, label asc) as a partial-agg'd hash
+      // aggregate — max(struct(c, -lbl)) — instead of a row_number
+      // window, which would sort-shuffle every (node, label) vote row.
+      val pick = votes
+        .groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("voted"))
+      state = state.join(pick, Seq("node"), "left")
+        .select(col("node"), col("seed_lbl"),
+          coalesce(col("seed_lbl"), col("voted"), col("lbl")).as("lbl"))
+        .localCheckpoint(false)
+    }
+    state.select(col("node"), col("lbl"))
+  }
+}

@@ -6,14 +6,15 @@ import graft.operators.{Blocking, EvalMetrics, Triangles}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Corpus evaluation + monitoring operators (SURVEY.md B80-B84): the
+/** Corpus evaluation + monitoring operators (SURVEY.md B80-B87): the
   * statistics a 100 TB training-data pipeline computes ABOUT its own
   * corpus and filter models between snapshots — drift detection
   * (two-sample KS), quality-classifier evaluation (exact ROC-AUC,
-  * Cohen's kappa vs the nearest-centroid classifier), graph-shape
-  * screening (degree-oriented triangle counting / clustering
-  * coefficients over the co-occurrence graph), and hybrid lexical+vector
-  * retrieval fusion (RRF). The reference's workflow stops at eyeballing
+  * Cohen's kappa vs the nearest-centroid classifier, decile
+  * calibration), graph-shape screening (degree-oriented triangle
+  * counting / clustering coefficients over the co-purchase graph),
+  * clamped-seed label propagation, cross-source quantile normalization,
+  * and hybrid lexical+vector retrieval fusion (RRF). The reference's workflow stops at eyeballing
   * harvested slices (`/root/reference/fetch_data.py:64-167`); these make
   * the check an operator with an exact, replayable answer.
   *
@@ -41,6 +42,33 @@ object AnalysisQueries {
       .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
         floor(col("v").cast(DoubleType) * 1000).cast(LongType).as("qv"))
 
+  /** Co-purchase graph: distinct (a < b) part pairs sharing an order, on
+    * the 25% order slice. Shared (and persistOnce'd) by q173 triangles
+    * and q179 label propagation — the derivation self-join runs once per
+    * session, both consumers cache-hit the same plan. */
+  private def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") % 4 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    graft.Q.persistOnce(li.as("x")
+      .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct())
+  }
+
+  /** DuckDB fragment twin of [[coPurchaseEdges]]. */
+  private val OEDGES =
+    """li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+      |       FROM lineitem WHERE l_orderkey % 4 = 0),
+      |edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
+      |          FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk)""".stripMargin
+
+  /** The q175/q180 linear scorer: integer dot of the x1000-grid vector
+    * with the fixed (+2, -1, +1) position pattern. */
+  private def scoreW = when(col("i") % 3 === 0, 2L)
+    .when(col("i") % 3 === 1, -1L)
+    .otherwise(1L)
+
   val qs: Seq[Q] = Seq(
     // B80: degree-oriented triangle counting over the co-purchase graph
     // (parts co-occurring in an order, 25% order sample for a bounded
@@ -52,25 +80,15 @@ object AnalysisQueries {
     Q(
       "q173_triangle_count",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .filter(col("l_orderkey") % 4 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val edges = li.as("x")
-          .join(li.as("y"), col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-          .select(col("x.pk").as("a"), col("y.pk").as("b"))
-          .distinct()
-        val pn = Q.persistOnce(Triangles.perNode(edges))
+        val pn = Q.persistOnce(Triangles.perNode(coPurchaseEdges(s, dir)))
         val total = pn.agg(expr("sum(tri) div 3").as("total_triangles"))
         pn.crossJoin(broadcast(total))
           .orderBy(col("tri").desc, col("node"))
           .limit(20)
           .select(col("node"), col("deg"), col("tri"), col("total_triangles"))
       },
-      Some("""
-        WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
-                    FROM lineitem WHERE l_orderkey % 4 = 0),
-        edges AS (SELECT DISTINCT x.pk AS a, y.pk AS b
-                  FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+      Some(s"""
+        WITH $OEDGES,
         deg AS (SELECT n, COUNT(*) AS deg
                 FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
                 GROUP BY 1),
@@ -133,12 +151,9 @@ object AnalysisQueries {
     Q(
       "q175_roc_auc",
       (s, dir) => {
-        val w = when(col("i") % 3 === 0, 2L)
-          .when(col("i") % 3 === 1, -1L)
-          .otherwise(1L)
         val scored = qpos(s, dir)
           .groupBy("vec_id", "label")
-          .agg(sum(col("qv") * w).as("s"))
+          .agg(sum(col("qv") * scoreW).as("s"))
         EvalMetrics.rocAuc(scored, col("label") >= 5, col("s"))
       },
       Some(s"""
@@ -266,6 +281,142 @@ object AnalysisQueries {
         SELECT n, agree,
                CAST(n * agree - pe_num AS BIGINT) AS kappa_num,
                CAST(n * n - pe_num AS BIGINT) AS kappa_den
-        FROM tot, pe"""))
+        FROM tot, pe""")),
+
+    // B85: quantile normalization across sources (the microarray-era
+    // standard, here the cross-domain length/quality calibrator): each
+    // doc's n_chars maps to the GLOBAL value at the same quantile
+    // position, k = ceil(r*N/ns) in pure integer arithmetic. Per-source
+    // ranks are a grouped window (partition-parallel); the global rank is
+    // Blocking.globalRank (distributed, never one partition); the pick is
+    // a plain equi-join on k.
+    Q(
+      "q178_quantile_norm",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "source", "n_chars")
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("n_chars"), col("doc_id"))
+        val ws = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        val ranked = docs
+          .withColumn("r", row_number().over(wr).cast(LongType))
+          .withColumn("ns", count(lit(1)).over(ws))
+        val g = Blocking.globalRank(
+            docs.select(col("n_chars").as("gv"), col("doc_id").as("gid")),
+            Seq(col("gv"), col("gid")))
+          .select(col("gv"), col("rn").as("k"))
+        val tot = docs.agg(count(lit(1)).as("nn"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("k", expr("(r * nn + ns - 1) div ns"))
+          .join(g, "k")
+          .select(col("doc_id"), col("source"), col("n_chars"), col("gv").as("norm_chars"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH r AS (SELECT doc_id, source, n_chars,
+                          CAST(ROW_NUMBER() OVER (
+                            PARTITION BY source ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+                          CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS ns
+                   FROM documents),
+        g AS (SELECT n_chars AS gv,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS k
+              FROM documents),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents)
+        SELECT r.doc_id, r.source, r.n_chars, g.gv AS norm_chars
+        FROM r, n
+        JOIN g ON g.k = (r.r * n.nn + r.ns - 1) // r.ns
+        ORDER BY doc_id""")),
+
+    // B86: clamped-seed label propagation over the co-purchase graph —
+    // every 10th part carries a trusted tag (pk % 3), three synchronous
+    // majority-vote rounds spread it to the rest. The oracle unrolls the
+    // identical rounds as CTEs (votes → deterministic min-label pick →
+    // coalesce with clamped seeds), so the distributed loop must agree
+    // exactly, including which nodes remain unlabeled (-1).
+    Q(
+      "q179_label_prop",
+      (s, dir) => {
+        val edges = coPurchaseEdges(s, dir)
+        val nodes = edges.select(col("a").as("node"))
+          .unionAll(edges.select(col("b").as("node"))).distinct()
+        val seeds = nodes.filter(col("node") % 10 === 0)
+          .select(col("node"), (col("node") % 3).as("lbl"))
+        graft.operators.LabelProp.propagate(nodes, edges, seeds, iters = 3)
+          .groupBy(coalesce(col("lbl"), lit(-1L)).as("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("lbl")
+      },
+      Some {
+        def round(i: Int) = s"""
+        v$i AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+                FROM sym e JOIN lab${i - 1} l ON l.node = e.src
+                WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        p$i AS (SELECT node, lbl FROM (
+                  SELECT node, lbl,
+                         ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+                  FROM v$i) WHERE rn = 1),
+        lab$i AS (SELECT n.node, COALESCE(s.lbl, p.lbl, l.lbl) AS lbl
+                  FROM nodes n
+                  LEFT JOIN seeds s ON s.node = n.node
+                  LEFT JOIN p$i p ON p.node = n.node
+                  LEFT JOIN lab${i - 1} l ON l.node = n.node)"""
+        s"""
+        WITH $OEDGES,
+        nodes AS (SELECT DISTINCT n AS node
+                  FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)),
+        sym AS (SELECT a AS src, b AS dst FROM edges
+                UNION ALL SELECT b, a FROM edges),
+        seeds AS (SELECT node, node % 3 AS lbl FROM nodes WHERE node % 10 = 0),
+        lab0 AS (SELECT n.node, s.lbl FROM nodes n
+                 LEFT JOIN seeds s ON s.node = n.node),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)}
+        SELECT CAST(COALESCE(lbl, -1) AS BIGINT) AS lbl,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM lab3 GROUP BY 1 ORDER BY 1"""
+      }),
+
+    // B87: decile calibration (reliability) table for the q175 scorer —
+    // equal-frequency score buckets from the distributed global rank
+    // (bucket = (rn-1)*10 div N, never NTILE whose remainder placement
+    // is engine-defined lore), per-bucket positives and score range. The
+    // companion diagnostic to B82's single-number AUC.
+    Q(
+      "q180_calibration",
+      (s, dir) => {
+        val scored = qpos(s, dir)
+          .groupBy("vec_id", "label")
+          .agg(sum(col("qv") * scoreW).as("s"))
+        val ranked = Blocking.globalRank(scored, Seq(col("s"), col("vec_id")))
+        val tot = scored.agg(count(lit(1)).as("nn"))
+        ranked.crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("((rn - 1) * 10) div nn"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("label") >= 5, 1L).otherwise(0L)).as("n_pos"),
+            min("s").as("min_s"), max("s").as("max_s"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH $OQPOS,
+        sc AS (SELECT vec_id,
+                      CAST(SUM(qv * CASE WHEN i % 3 = 0 THEN 2
+                                         WHEN i % 3 = 1 THEN -1
+                                         ELSE 1 END) AS BIGINT) AS s
+               FROM qpos GROUP BY 1),
+        lab AS (SELECT sc.vec_id, s, emb.label >= 5 AS y
+                FROM sc JOIN embeddings emb ON emb.vec_id = sc.vec_id),
+        r AS (SELECT s, y,
+                     CAST(ROW_NUMBER() OVER (ORDER BY s, vec_id) AS BIGINT) AS rn
+              FROM lab),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM lab)
+        SELECT CAST(((rn - 1) * 10) // nn AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+               CAST(MIN(s) AS BIGINT) AS min_s,
+               CAST(MAX(s) AS BIGINT) AS max_s
+        FROM r, n
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -38,7 +38,8 @@ object ScaleBench {
     // distributed-rank/prefix-sum statistics are new join shapes, so
     // they get measured exponents from day one.
     "q173_triangle_count", "q174_ks_drift", "q175_roc_auc",
-    "q176_rrf_fusion", "q177_cohen_kappa")
+    "q176_rrf_fusion", "q177_cohen_kappa", "q178_quantile_norm",
+    "q179_label_prop", "q180_calibration")
 
   def main(args: Array[String]): Unit = {
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")

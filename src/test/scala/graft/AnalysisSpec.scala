@@ -75,6 +75,38 @@ class AnalysisSpec extends SparkSpec {
     assert(got == ((n, agree, n * agree - peNum, n * n - peNum)))
   }
 
+  test("LabelProp.propagate equals a synchronous in-memory reference") {
+    for (trial <- 1 to 3) {
+      val nodes = (0L until 16L).toSeq
+      val edges = for {
+        a <- nodes; b <- nodes if a < b && rng.nextDouble() < 0.25
+      } yield (a, b)
+      val seeds = nodes.filter(_ % 5 == 0).map(n => (n, n % 3))
+      val iters = 3
+      val got = graft.operators.LabelProp.propagate(
+          nodes.toDF("node"), edges.toDF("a", "b"), seeds.toDF("node", "lbl"), iters)
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      // reference: synchronous rounds, clamped seeds, min-label ties,
+      // keep-previous when no labeled neighbor
+      val nbrs = nodes.map(n => n ->
+        edges.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }).toMap
+      val seedMap = seeds.toMap
+      var lab: Map[Long, Option[Long]] = nodes.map(n => n -> seedMap.get(n)).toMap
+      for (_ <- 1 to iters) {
+        lab = nodes.map { n =>
+          val next = seedMap.get(n).orElse {
+            val votes = nbrs(n).flatMap(lab(_)).groupBy(identity).map { case (l, g) => (l, g.size) }
+            if (votes.isEmpty) lab(n)
+            else Some(votes.toSeq.minBy { case (l, c) => (-c, l) }._1)
+          }
+          n -> next
+        }.toMap
+      }
+      assert(got == lab, s"trial $trial")
+    }
+  }
+
   test("Triangles.perNode equals brute-force enumeration") {
     for (trial <- 1 to 3) {
       val nodes = (0L until 14L).toSeq

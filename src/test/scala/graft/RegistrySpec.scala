@@ -15,7 +15,10 @@ class RegistrySpec extends SparkSpec {
     "q46_approx_distinct", "q48_sampling", "q54_exact_dedup_stats",
     "q72_try_cast_numeric", "q74_natural_key_dedup", "q16_bloom_prune",
     "q83_multimodal_decode", "q86_ivf_kmeans", "q110_ann_quantized",
-    "q139_skip_summary", "q143_ann_pq", "q153_funnel")
+    "q139_skip_summary", "q143_ann_pq", "q153_funnel",
+    // single-statistic rationals (their SQL happens to contain window
+    // ORDER BYs, but the exemption, not the substring, is why they pass)
+    "q174_ks_drift", "q175_roc_auc", "q177_cohen_kappa")
 
   test("every registry entry analyzes against the live testdata (schema-drift guard)") {
     // Standing guard for the r7 failure mode: the driver regenerated
@@ -26,7 +29,8 @@ class RegistrySpec extends SparkSpec {
     // physical schema drifts. NOT free: building a plan is lazy for most
     // entries, but some run eagerly inside q.run() (the stream twins
     // replay full streaming jobs, q96/q143/q86 collect during build, the
-    // agri entries materialize their corpus), so this sweep re-executes
+    // agri entries materialize their corpus, the round-9 analysis wing
+    // runs PrefixSum/globalRank offset jobs), so this sweep re-executes
     // those at full cost on top of the execution sweep below — accepted,
     // because skipping them here would leave exactly the entries with
     // the most moving parts outside the drift guard.
