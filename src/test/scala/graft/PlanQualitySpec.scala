@@ -147,6 +147,24 @@ class PlanQualitySpec extends SparkSpec {
       s"diff is not a full-outer sort-merge:\n$physText")
   }
 
+  test("analysis wing: prefix-sum statistics never fall back to a window sort") {
+    // The whole point of PrefixSum/globalRank is that no single-partition
+    // window appears anywhere in these plans; the 1-row totals attach via
+    // BroadcastNestedLoopJoin (1 x n, bounded), never CartesianProduct.
+    for (n <- Seq("q174_ks_drift", "q175_roc_auc", "q180_calibration")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n fell back to a window sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+    }
+    // q178 keeps its per-source windows (grouped, partition-parallel) but
+    // the global pick must be an equi-join on k, and q173's closing edge
+    // match an equi-join on the canonical pair — no cartesian anywhere.
+    for (n <- Seq("q173_triangle_count", "q176_rrf_fusion", "q178_quantile_norm")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+    }
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
