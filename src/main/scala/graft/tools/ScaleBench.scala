@@ -68,6 +68,14 @@ object ScaleBench {
     }
     def time(dir: String): Map[String, Double] = names.map { n =>
       val runs = (1 to 2).map { _ =>
+        // Cold-COMPUTE probe: Bench deliberately times the steady-state
+        // warm path (persistOnce caches included), but a scaling
+        // exponent taken over cache-served re-reads hides exactly the
+        // compute the probe exists to measure — a persistOnce query's
+        // min-of-2 would otherwise time an InMemoryRelation scan at both
+        // scales (q173 first measured at e ≈ 0 this way). JVM/codegen
+        // warmup is preserved; only the SQL cache resets per run.
+        spark.sharedState.cacheManager.clearCache()
         val t0 = System.nanoTime()
         try QueryRegistry.byName(n).run(spark, dir).count()
         catch { case e: Throwable => System.err.println(s"[scale] $n@$dir: $e") }
