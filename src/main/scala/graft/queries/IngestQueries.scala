@@ -207,6 +207,33 @@ object IngestQueries {
         GROUP BY s_nationkey
         ORDER BY s_nationkey""")),
 
+    // B1-adjacent: XML round trip — Spark 4's native XML source (the
+    // fourth wire format, SPARK-44265), exercised write-then-read with
+    // an explicit read schema (XML infers everything as string
+    // otherwise) and verified by the same decimal-exact aggregate as the
+    // other round trips.
+    Q(
+      "q181_xml_roundtrip",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("xml_rt").toString
+        val src = Tables.supplier(s, dir)
+        src.write.mode("overwrite")
+          .option("rootTag", "suppliers").option("rowTag", "supplier")
+          .xml(tmp)
+        s.read.schema(src.schema).option("rowTag", "supplier").xml(tmp)
+          .groupBy(col("s_nationkey"))
+          .agg(
+            count(lit(1)).as("cnt"),
+            sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""
+        SELECT s_nationkey, COUNT(*) AS cnt,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM supplier
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey""")),
+
     // B2/A8: value-partitioned parquet + partition pruning — write orders
     // partitioned by status to a temp dir, read back only one partition.
     // Oracle filters the original table; the plan-level pruning assertion
