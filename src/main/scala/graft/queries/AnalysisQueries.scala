@@ -286,10 +286,12 @@ object AnalysisQueries {
     // B85: quantile normalization across sources (the microarray-era
     // standard, here the cross-domain length/quality calibrator): each
     // doc's n_chars maps to the GLOBAL value at the same quantile
-    // position, k = ceil(r*N/ns) in pure integer arithmetic. Per-source
-    // ranks are a grouped window (partition-parallel); the global rank is
-    // Blocking.globalRank (distributed, never one partition); the pick is
-    // a plain equi-join on k.
+    // position, k = ceil(r*N/ns) in pure integer arithmetic (exact
+    // while r*N < 2^63 — the EvalMetrics product bound; beyond, rescale
+    // ranks to a coarser grid first). Per-source ranks are a grouped
+    // window (partition-parallel); the global rank is
+    // Blocking.globalRank (distributed, never one partition); the pick
+    // is a plain equi-join on k.
     Q(
       "q178_quantile_norm",
       (s, dir) => {
