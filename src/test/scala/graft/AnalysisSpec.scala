@@ -28,6 +28,18 @@ class AnalysisSpec extends SparkSpec {
     assert(got.toSeq == want)
   }
 
+  test("PrefixSum is invariant to input partitioning") {
+    // The broadcast-offset machinery is the partition-sensitive part:
+    // the same data arriving pre-partitioned any which way must produce
+    // identical running sums (the range exchange renormalizes layout).
+    val rows = Seq.tabulate(300)(i => (rng.nextInt(40).toLong, i.toLong, rng.nextInt(9).toLong))
+    def run(parts: Int) = PrefixSum
+      .runningSums(rows.toDF("k", "id", "x").repartition(parts), Seq(col("k"), col("id")), Seq("x"))
+      .select("k", "id", "c_x").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(1) == run(7))
+    assert(run(7) == run(32))
+  }
+
   test("ksTest equals brute force (exact rational, smallest-arg sup)") {
     for (trial <- 1 to 5) {
       val s1 = Seq.fill(60 + trial)(rng.nextInt(25).toLong)
