@@ -59,8 +59,14 @@ object MonitorDemo {
       .filter(col("rn") === 1)
       .groupBy(col("label"), col("clabel").as("pred"))
       .agg(count(lit(1)).as("cnt"))
+    // kappa_den = N^2 - sum(row_k*col_k) is legitimately 0 when the
+    // snapshot collapses to a single label (chance agreement = 1); emit
+    // NULL for that degenerate case instead of an engine-dependent
+    // null-vs-error (Spark's integer div returns null on 0, DuckDB
+    // raises — nullif makes both engines agree). KS/AUC need no such
+    // guard: EvalMetrics now fails fast on an empty sample/class.
     val kappa = EvalMetrics.cohenKappa(confusion, "label", "pred", "cnt")
-      .select(expr("(kappa_num * 1000000) div kappa_den").as("kappa_ppm"))
+      .select(expr("(kappa_num * 1000000) div nullif(kappa_den, 0)").as("kappa_ppm"))
 
     // 4+5. the near-dup candidate graph, consumed twice
     val index = Dedup.shingleIndex(docs, "doc_id", "text", n = 3)

@@ -13,8 +13,19 @@ import org.apache.spark.sql.functions._
   * rationals (numerator/denominator BIGINT pairs) so a SQL oracle replays
   * them bit-identically — no float aggregation anywhere. The integer
   * products bound exactness to n1*n2 < 2^63 (samples of ~3e9 rows each);
-  * beyond that, pre-bin the metric to quantiles first (B19's sketches)
-  * and run the same statistic over the binned counts.
+  * that bound is ENFORCED in-plan (a `raise_error` fires on the totals
+  * row, so an out-of-range corpus fails loudly instead of wrapping), and
+  * [[ksTestBinned]]/[[rocAucBinned]] are the documented escape hatch: the
+  * same exact statistic over equal-frequency quantile bins from one
+  * sketch pass, valid at any corpus size. Empty samples/classes also
+  * raise (a 0/0 statistic downstream would surface as an engine-dependent
+  * null-vs-error); both guards follow the refuse-loudly house contract.
+  *
+  * Null predicate rows: a row whose `inFirst`/`positive` column evaluates
+  * to NULL counts toward sample 2 / the negative class — made explicit by
+  * the `coalesce(..., false)` at each entry point so the choice is
+  * visible and matches the SQL oracles' `CASE WHEN x THEN ... ELSE`
+  * treatment of NULL.
   *
   * Scale shape: both KS and AUC reduce the corpus to per-distinct-value
   * counts with one partial-aggregated shuffle, then take cumulative
@@ -24,6 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object EvalMetrics {
 
+  /** In-plan validity guard: returns `pass` unchanged when `ok` holds
+    * (NULL counts as failed), raises `msg` otherwise. It rides INSIDE a
+    * consumed output column — a standalone guard column would be pruned
+    * away by Catalyst and never evaluate. */
+  private def guard(ok: Column, pass: Column, msg: Column): Column =
+    when(ok, pass).otherwise(raise_error(msg).cast("long"))
+
   /** Two-sample KS distance between rows where `inFirst` is true (sample
     * 1) and the rest (sample 2), over `value`. Output (one row):
     * n1, n2, d_num, d_den, ks_at — where D = d_num/d_den and ks_at is the
@@ -32,13 +50,27 @@ object EvalMetrics {
     */
   def ksTest(df: DataFrame, inFirst: Column, value: Column): DataFrame = {
     val perV = df
-      .select(inFirst.cast("boolean").as("s1"), value.as("v"))
+      .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
       .groupBy("v")
       .agg(
         sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
         sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
     val cum = PrefixSum.runningSums(perV, Seq(col("v")), Seq("p", "q"))
+    // Exactness + degeneracy guard on the single totals row: both samples
+    // non-empty (D is 0/0 otherwise) and n1*n2 representable (the exact
+    // rational's denominator; integer-div comparison so the check itself
+    // cannot overflow). Beyond the bound, ksTestBinned is the contract.
     val tot = cum.agg(sum("p").as("n1"), sum("q").as("n2"))
+      .select(
+        guard(
+          col("n1") > 0L && col("n2") > 0L &&
+            col("n1") <= expr(s"${Long.MaxValue}L div n2"),
+          col("n1"),
+          concat(
+            lit("[eval-metrics] ksTest needs both samples non-empty and n1*n2 < 2^63 (n1="),
+            coalesce(col("n1"), lit(0L)), lit(", n2="), coalesce(col("n2"), lit(0L)),
+            lit("); pre-bin with ksTestBinned beyond the exact bound"))).as("n1"),
+        col("n2"))
     // |F1(v) - F2(v)| cleared of denominators: |c1*n2 - c2*n1| over n1*n2.
     cum.crossJoin(broadcast(tot))
       .select(
@@ -59,7 +91,7 @@ object EvalMetrics {
     */
   def rocAuc(df: DataFrame, positive: Column, score: Column): DataFrame = {
     val perS = df
-      .select(positive.cast("boolean").as("y"), score.as("s"))
+      .select(coalesce(positive.cast("boolean"), lit(false)).as("y"), score.as("s"))
       .groupBy("s")
       .agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("p"),
@@ -71,9 +103,70 @@ object EvalMetrics {
         sum(col("q")).as("n_neg"),
         sum(col("p") * (lit(2L) * (col("c_q") - col("q")) + col("q"))).as("auc_num"))
       .select(
-        col("n_pos"), col("n_neg"), col("auc_num"),
+        col("n_pos"), col("n_neg"),
+        // Guard rides the auc_num output: both classes present (AUC is
+        // 0/0 otherwise) and 2*n_pos*n_neg representable — the doubled-U
+        // numerator is bounded by that product, so if the bound holds the
+        // summation above cannot have wrapped either.
+        guard(
+          col("n_pos") > 0L && col("n_neg") > 0L &&
+            col("n_pos") <= expr(s"${Long.MaxValue / 2}L div n_neg"),
+          col("auc_num"),
+          concat(
+            lit("[eval-metrics] rocAuc needs both classes non-empty and 2*n_pos*n_neg < 2^63 (n_pos="),
+            coalesce(col("n_pos"), lit(0L)), lit(", n_neg="), coalesce(col("n_neg"), lit(0L)),
+            lit("); pre-bin with rocAucBinned beyond the exact bound"))).as("auc_num"),
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
+
+  /** Append an equal-frequency `bin` column (LongType, 0..bins-1) for
+    * `value`: boundaries are the interior i/bins quantiles from ONE
+    * sketch aggregation (B19's approx-percentile tier), bin = number of
+    * boundaries strictly below the value. The mapping is
+    * order-preserving, so any rank statistic over `bin` equals the exact
+    * statistic of the value distribution coarsened to the boundary
+    * points. Only bin ASSIGNMENT touches doubles; every statistic
+    * downstream stays integer. NULL values land in bin 0 (same caveat as
+    * the exact tier, where NULL forms its own first-ordered group).
+    */
+  def quantileBin(df: DataFrame, value: Column, bins: Int): DataFrame = {
+    require(bins >= 2, s"quantileBin needs >= 2 bins, got $bins")
+    val qs = (1 until bins).map(i => i.toDouble / bins)
+    val bounds = df
+      .select(value.cast("double").as("__v"))
+      .agg(percentile_approx(col("__v"), lit(qs.toArray), lit(10000)).as("__bounds"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        size(filter(col("__bounds"), b => b < value.cast("double"))).cast("long"))
+      .drop("__bounds")
+  }
+
+  /** Approximate two-sample KS for corpora beyond the exact tier's
+    * n1*n2 < 2^63 bound: [[quantileBin]] the value, then run the SAME
+    * exact integer statistic over the bin ids. The binned CDFs agree
+    * with the exact CDFs at every bin boundary, so D_binned <= D_exact
+    * always, and D_exact - D_binned is at most the largest single-bin
+    * mass fraction of either sample (~1/bins plus tie mass for
+    * equal-frequency bins) — both bounds are oracle-checked in integer
+    * arithmetic by q183. Output matches [[ksTest]] with `ks_at` now the
+    * sup-attaining bin id, plus a `bins` column.
+    */
+  def ksTestBinned(df: DataFrame, inFirst: Column, value: Column, bins: Int): DataFrame =
+    ksTest(quantileBin(df, value, bins), inFirst, col("bin"))
+      .withColumnRenamed("ks_at", "ks_at_bin")
+      .withColumn("bins", lit(bins))
+
+  /** Approximate ROC-AUC beyond the exact tier's 2*n_pos*n_neg < 2^63
+    * bound: [[quantileBin]] the score, then the exact Mann–Whitney over
+    * bin ids. Pairs split across bins keep their exact order
+    * contribution; pairs within one bin become ties (half credit), so
+    * |2U_exact - 2U_binned| <= sum over bins of pos_k*neg_k — the
+    * integer bound q184 oracle-checks. Output matches [[rocAuc]] plus a
+    * `bins` column.
+    */
+  def rocAucBinned(df: DataFrame, positive: Column, score: Column, bins: Int): DataFrame =
+    rocAuc(quantileBin(df, score, bins), positive, col("bin"))
+      .withColumn("bins", lit(bins))
 
   /** Cohen's kappa from a confusion frame (`aCol` = rater/truth label,
     * `bCol` = second rater/prediction, `cntCol` = pair count). Exact

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Synchronous label propagation (Zhu & Ghahramani 2002 / Raghavan et
   * al. 2007, the deterministic clamped-seed variant) — the
@@ -25,7 +26,9 @@ object LabelProp {
   /** Propagate `seeds` (node, lbl) over the undirected graph `edges`
     * (a, b) restricted to `nodes` (node) for exactly `iters` synchronous
     * rounds. Returns (node, lbl) with lbl null where no label reached
-    * the node.
+    * the node. `lbl` may be any ORDERABLE type — numeric ratings take a
+    * single-aggregate argmax; strings/dates/etc. take an equivalent
+    * two-aggregate tie-break with identical semantics.
     */
   def propagate(nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
     // one-pass symmetrize (same idiom as ConnectedComponents: don't run
@@ -45,6 +48,13 @@ object LabelProp {
     var state = nodes.join(seeds, Seq("node"), "left")
       .select(col("node"), col("lbl").as("seed_lbl"), col("lbl"))
       .localCheckpoint(false)
+    // The fast single-aggregate tie-break (max(struct(c, -lbl))) only
+    // negates NUMERIC labels; for any other orderable label type (string
+    // domain tags, dates) Spark's implicit double-cast of the unary minus
+    // would yield null and make ties non-deterministic — so non-numeric
+    // labels take the generic two-aggregate path instead of failing
+    // silently.
+    val numericLbl = seeds.schema("lbl").dataType.isInstanceOf[NumericType]
     for (_ <- 1 to iters) {
       val votes = sym
         .join(state.filter(col("lbl").isNotNull).select(col("node").as("src"), col("lbl")), "src")
@@ -53,10 +63,18 @@ object LabelProp {
       // argmax by (count desc, label asc) as a partial-agg'd hash
       // aggregate — max(struct(c, -lbl)) — instead of a row_number
       // window, which would sort-shuffle every (node, label) vote row.
-      val pick = votes
-        .groupBy("node")
-        .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
-        .select(col("node"), (-col("m.neg")).as("voted"))
+      // Generic (non-numeric) path: max count per node, then min label
+      // among the rows attaining it — two hash aggregates plus one
+      // equi-join on the already-aggregated vote frame.
+      val pick =
+        if (numericLbl) votes
+          .groupBy("node")
+          .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
+          .select(col("node"), (-col("m.neg")).as("voted"))
+        else votes
+          .join(votes.groupBy("node").agg(max(col("c")).as("c")), Seq("node", "c"))
+          .groupBy("node")
+          .agg(min(col("lbl")).as("voted"))
       state = state.join(pick, Seq("node"), "left")
         .select(col("node"), col("seed_lbl"),
           coalesce(col("seed_lbl"), col("voted"), col("lbl")).as("lbl"))

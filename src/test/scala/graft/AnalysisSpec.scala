@@ -40,6 +40,45 @@ class AnalysisSpec extends SparkSpec {
     assert(run(7) == run(32))
   }
 
+  test("PrefixSum rejects nulls in a sum column loudly") {
+    val df = Seq((1L, Some(2L)), (2L, None: Option[Long]), (3L, Some(4L)))
+      .toDF("id", "x")
+    val e = intercept[Exception] {
+      PrefixSum.runningSums(df, Seq(col("id")), Seq("x")).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("[prefix-sum] null in sum column 'x'"))
+  }
+
+  test("PrefixSum stays correct under a dominant duplicate order key") {
+    // 40% of rows share one key value: the range exchange cannot split
+    // that run, but the running sums must still be exact (the skew
+    // contract is a straggler warning, never a correctness caveat).
+    val rows = Seq.tabulate(500) { i =>
+      val k = if (i % 5 < 2) 7L else rng.nextInt(40).toLong
+      (k, i.toLong, rng.nextInt(9).toLong)
+    }
+    val got = PrefixSum.runningSums(rows.toDF("k", "id", "x"), Seq(col("k"), col("id")), Seq("x"))
+      .select("k", "id", "c_x").as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    var cx = 0L
+    val want = rows.sortBy(r => (r._1, r._2)).map { case (k, id, x) => cx += x; (k, id, cx) }
+    assert(got.toSeq == want)
+  }
+
+  test("skewWarning fires on a dominant partition and stays quiet otherwise") {
+    // dominant: one of ten partitions holds 80% of rows (8x fair share)
+    val dominant = 80L +: Seq.fill(9)(2L)
+    assert(PrefixSum.skewWarning(dominant, minRows = 50L).isDefined)
+    // uniform: nobody exceeds 4x fair share
+    assert(PrefixSum.skewWarning(Seq.fill(10)(25L), minRows = 1L).isEmpty)
+    // dominant but tiny: below minRows, finishes fast regardless
+    assert(PrefixSum.skewWarning(dominant, minRows = 1000L).isEmpty)
+    // degenerate inputs
+    assert(PrefixSum.skewWarning(Nil, minRows = 1L).isEmpty)
+    assert(PrefixSum.skewWarning(Seq(100L), minRows = 1L).isEmpty)
+  }
+
   test("ksTest equals brute force (exact rational, smallest-arg sup)") {
     for (trial <- 1 to 5) {
       val s1 = Seq.fill(60 + trial)(rng.nextInt(25).toLong)
@@ -70,6 +109,103 @@ class AnalysisSpec extends SparkSpec {
       val twoU = (for (p <- pos; n <- neg)
         yield if (p > n) 2L else if (p == n) 1L else 0L).sum
       assert(got == ((pos.size.toLong, neg.size.toLong, twoU, 2L * pos.size * neg.size)), s"trial $trial")
+    }
+  }
+
+  private def causeChain(t: Throwable): String =
+    if (t == null) "" else t.getMessage + "|" + causeChain(t.getCause)
+
+  test("ksTest and rocAuc fail fast on an empty sample/class") {
+    val oneSided = Seq((1L, true), (2L, true), (3L, true)).toDF("v", "s1")
+    val e1 = intercept[Exception] {
+      EvalMetrics.ksTest(oneSided, col("s1"), col("v")).collect()
+    }
+    assert(causeChain(e1).contains("[eval-metrics] ksTest needs both samples non-empty"))
+    val e2 = intercept[Exception] {
+      EvalMetrics.rocAuc(oneSided, col("s1"), col("v")).collect()
+    }
+    assert(causeChain(e2).contains("[eval-metrics] rocAuc needs both classes non-empty"))
+  }
+
+  test("NULL predicate rows count toward sample 2 / the negative class") {
+    val df = Seq((1L, Some(true)), (2L, None: Option[Boolean]), (3L, Some(false)), (4L, Some(true)))
+      .toDF("v", "s1")
+    val ks = EvalMetrics.ksTest(df, col("s1"), col("v"))
+      .select("n1", "n2").as[(Long, Long)].collect().head
+    assert(ks == ((2L, 2L))) // the NULL row landed in sample 2
+    val auc = EvalMetrics.rocAuc(df, col("s1"), col("v"))
+      .select("n_pos", "n_neg").as[(Long, Long)].collect().head
+    assert(auc == ((2L, 2L)))
+  }
+
+  test("ksTestBinned: exact over bin ids, below exact D, gap within bin mass") {
+    for (trial <- 1 to 3) {
+      val s1 = Seq.fill(300)(rng.nextInt(1000).toLong)
+      val s2 = Seq.fill(350)(rng.nextInt(1000).toLong + 60 * trial)
+      val df = (s1.map((_, true)) ++ s2.map((_, false))).toDF("v", "s1")
+      val bins = 16
+      val (n1, n2) = (s1.size.toLong, s2.size.toLong)
+
+      // the binned statistic must BE the exact statistic over bin ids:
+      // brute-force it from the operator's own bin assignment
+      val binned = EvalMetrics.quantileBin(df, col("v"), bins)
+        .select(col("bin"), col("s1")).as[(Long, Boolean)].collect()
+      val binIds = binned.map(_._1).distinct.sorted
+      val diffs = binIds.map { b =>
+        val c1 = binned.count(r => r._1 <= b && r._2).toLong
+        val c2 = binned.count(r => r._1 <= b && !r._2).toLong
+        (math.abs(c1 * n2 - c2 * n1), b)
+      }
+      val wantD = diffs.map(_._1).max
+      val got = EvalMetrics.ksTestBinned(df, col("s1"), col("v"), bins)
+        .select("n1", "n2", "d_num", "d_den", "bins")
+        .as[(Long, Long, Long, Long, Int)].collect().head
+      assert(got._1 == n1 && got._2 == n2 && got._4 == n1 * n2 && got._5 == bins, s"trial $trial")
+      assert(got._3 == wantD, s"trial $trial binned != exact-over-bins")
+
+      // vs the exact unbinned D (same denominator): below, and the gap
+      // bounded by the largest per-sample single-bin mass cleared to n1*n2
+      val exactD = {
+        val pooled = (s1 ++ s2).distinct
+        pooled.map { v =>
+          val c1 = s1.count(_ <= v).toLong
+          val c2 = s2.count(_ <= v).toLong
+          math.abs(c1 * n2 - c2 * n1)
+        }.max
+      }
+      assert(got._3 <= exactD, s"trial $trial binned above exact")
+      val maxMass = binIds.map { b =>
+        val m1 = binned.count(r => r._1 == b && r._2).toLong
+        val m2 = binned.count(r => r._1 == b && !r._2).toLong
+        math.max(m1 * n2, m2 * n1)
+      }.max
+      assert(exactD - got._3 <= maxMass, s"trial $trial gap above bin mass")
+    }
+  }
+
+  test("rocAucBinned: exact over bin ids, within the tie-mass band of exact") {
+    for (trial <- 1 to 3) {
+      val pos = Seq.fill(250)(rng.nextInt(900).toLong + 40 * trial)
+      val neg = Seq.fill(300)(rng.nextInt(900).toLong)
+      val df = (pos.map((_, true)) ++ neg.map((_, false))).toDF("s", "y")
+      val bins = 16
+      val binned = EvalMetrics.quantileBin(df, col("s"), bins)
+        .select(col("bin"), col("y")).as[(Long, Boolean)].collect()
+      val bp = binned.filter(_._2).map(_._1)
+      val bn = binned.filterNot(_._2).map(_._1)
+      val want2U = (for (p <- bp; n <- bn)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val got = EvalMetrics.rocAucBinned(df, col("y"), col("s"), bins)
+        .select("n_pos", "n_neg", "auc_num", "auc_den", "bins")
+        .as[(Long, Long, Long, Long, Int)].collect().head
+      assert(got == ((pos.size.toLong, neg.size.toLong, want2U,
+        2L * pos.size * neg.size, bins)), s"trial $trial")
+      // |2U_exact - 2U_binned| <= sum over bins of pos_k*neg_k
+      val exact2U = (for (p <- pos; n <- neg)
+        yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+      val tieMass = bp.groupBy(identity).map { case (b, g) =>
+        g.size.toLong * bn.count(_ == b) }.sum
+      assert(math.abs(exact2U - want2U) <= tieMass, s"trial $trial tie-mass bound")
     }
   }
 
@@ -105,6 +241,40 @@ class AnalysisSpec extends SparkSpec {
         edges.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }).toMap
       val seedMap = seeds.toMap
       var lab: Map[Long, Option[Long]] = nodes.map(n => n -> seedMap.get(n)).toMap
+      for (_ <- 1 to iters) {
+        lab = nodes.map { n =>
+          val next = seedMap.get(n).orElse {
+            val votes = nbrs(n).flatMap(lab(_)).groupBy(identity).map { case (l, g) => (l, g.size) }
+            if (votes.isEmpty) lab(n)
+            else Some(votes.toSeq.minBy { case (l, c) => (-c, l) }._1)
+          }
+          n -> next
+        }.toMap
+      }
+      assert(got == lab, s"trial $trial")
+    }
+  }
+
+  test("LabelProp.propagate with STRING labels matches the reference (generic tie-break)") {
+    // The numeric fast path negates labels inside max(struct(c, -lbl));
+    // string domain tags must take the generic two-aggregate tie-break
+    // and agree with the same synchronous reference, min-label ties and
+    // all — not silently null out under an implicit double cast.
+    for (trial <- 1 to 3) {
+      val nodes = (0L until 16L).toSeq
+      val edges = for {
+        a <- nodes; b <- nodes if a < b && rng.nextDouble() < 0.3
+      } yield (a, b)
+      val seeds = nodes.filter(_ % 4 == 0).map(n => (n, s"dom${n % 3}"))
+      val iters = 3
+      val got = graft.operators.LabelProp.propagate(
+          nodes.toDF("node"), edges.toDF("a", "b"), seeds.toDF("node", "lbl"), iters)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1)))
+        .toMap
+      val nbrs = nodes.map(n => n ->
+        edges.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }).toMap
+      val seedMap = seeds.toMap
+      var lab: Map[Long, Option[String]] = nodes.map(n => n -> seedMap.get(n)).toMap
       for (_ <- 1 to iters) {
         lab = nodes.map { n =>
           val next = seedMap.get(n).orElse {
