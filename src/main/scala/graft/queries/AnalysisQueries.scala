@@ -35,6 +35,14 @@ object AnalysisQueries {
   private val OTOKS =
     """toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts FROM documents)"""
 
+  /** DuckDB fragment: distinct 3-shingles per doc (the q57/q117 sketch
+    * base, repeated here because q182 replays the same minhash graph). */
+  private val OSHINGLES =
+    """sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+      |                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+      |    FROM toks))""".stripMargin
+
   /** Embeddings on the x1000 grid: (vec_id, label, i, qv). */
   private def qpos(s: org.apache.spark.sql.SparkSession, dir: String) =
     Tables.embeddings(s, dir)
@@ -306,7 +314,17 @@ object AnalysisQueries {
             docs.select(col("n_chars").as("gv"), col("doc_id").as("gid")),
             Seq(col("gv"), col("gid")))
           .select(col("gv"), col("rn").as("k"))
+        // the k = ceil(r*N/ns) product is exact while r*N < 2^63 (r <= N,
+        // so N <= floor(sqrt(2^63-1)) suffices) — enforced in-plan on the
+        // single totals row, same refuse-loudly contract as EvalMetrics;
+        // beyond it, rescale ranks to a coarser grid first
         val tot = docs.agg(count(lit(1)).as("nn"))
+          .select(
+            when(col("nn") <= lit(3037000499L), col("nn"))
+              .otherwise(raise_error(concat(
+                lit("[quantile-norm] rank*N would exceed 2^63 at N="), col("nn"),
+                lit("; rescale ranks to a coarser grid first"))).cast("long"))
+              .as("nn"))
         ranked.crossJoin(broadcast(tot))
           .withColumn("k", expr("(r * nn + ns - 1) div ns"))
           .join(g, "k")
@@ -419,6 +437,243 @@ object AnalysisQueries {
                CAST(MIN(s) AS BIGINT) AS min_s,
                CAST(MAX(s) AS BIGINT) AS max_s
         FROM r, n
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // B81 binned tier: the documented escape hatch past the exact KS
+    // bound (n1*n2 < 2^63, now ENFORCED in-plan by EvalMetrics) — one
+    // sketch pass for 64 equal-frequency bin boundaries, then the SAME
+    // exact integer statistic over bin ids. The oracle anchors the exact
+    // statistic (hash-compared) and the tolerance contract rides as
+    // booleans (the q149 pattern): D_binned <= D_exact always (binned
+    // CDFs agree with exact CDFs at every boundary), and the gap is
+    // bounded by the largest single-bin mass of either sample, cleared
+    // to the shared n1*n2 denominator so the check stays integer.
+    Q(
+      "q183_ks_binned",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .select((col("o_custkey") % 3 === 0).as("s1"), col("o_totalprice").as("v"))
+        val exact = EvalMetrics.ksTest(base, col("s1"), col("v"))
+        // one shared bin assignment: the binned statistic and its mass
+        // bound must see the SAME boundaries (the sketch is not replayed)
+        val binned = Q.persistOnce(EvalMetrics.quantileBin(base, col("v"), 64))
+        val bks = EvalMetrics.ksTest(binned, col("s1"), col("bin"))
+          .select(col("d_num").as("b_num"))
+        val mm = binned.groupBy("bin")
+          .agg(
+            sum(when(col("s1"), 1L).otherwise(0L)).as("m1"),
+            sum(when(col("s1"), 0L).otherwise(1L)).as("m2"))
+          .agg(max("m1").as("max_m1"), max("m2").as("max_m2"))
+        exact.crossJoin(broadcast(bks)).crossJoin(broadcast(mm))
+          .select(
+            col("n1"), col("n2"), col("d_num"), col("d_den"), col("ks_at"),
+            (col("b_num") <= col("d_num")).as("binned_le_exact"),
+            (col("d_num") - col("b_num") <=
+              greatest(col("max_m1") * col("n2"), col("max_m2") * col("n1")))
+              .as("gap_within_bin_mass"))
+      },
+      Some("""
+        WITH t AS (SELECT o_custkey % 3 = 0 AS s1, o_totalprice AS v FROM orders),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        c AS (SELECT v, p, q,
+                     CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS c1,
+                     CAST(SUM(q) OVER (ORDER BY v) AS BIGINT) AS c2
+              FROM pv),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv)
+        SELECT n1, n2, CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS d_num,
+               CAST(n1 * n2 AS BIGINT) AS d_den, v AS ks_at,
+               TRUE AS binned_le_exact, TRUE AS gap_within_bin_mass
+        FROM c, n
+        ORDER BY d_num DESC, ks_at
+        LIMIT 1""")),
+
+    // B82 binned tier: Mann-Whitney over 64 equal-frequency score bins —
+    // the beyond-2^63 escape hatch for ROC-AUC. Pairs split across bins
+    // keep their exact contribution; within-bin pairs become half-credit
+    // ties, so |2U_exact - 2U_binned| <= sum over bins of pos_k*neg_k
+    // (shared 2*n_pos*n_neg denominator). Exact statistic hash-anchored,
+    // tolerance as a boolean.
+    Q(
+      "q184_auc_binned",
+      (s, dir) => {
+        val scored = qpos(s, dir)
+          .groupBy("vec_id", "label")
+          .agg(sum(col("qv") * scoreW).as("s"))
+        val exact = EvalMetrics.rocAuc(scored, col("label") >= 5, col("s"))
+        val binned = Q.persistOnce(EvalMetrics.quantileBin(
+          scored.select((col("label") >= 5).as("y"), col("s")), col("s"), 64))
+        val bauc = EvalMetrics.rocAuc(binned, col("y"), col("bin"))
+          .select(col("auc_num").as("b_num"))
+        val tie = binned.groupBy("bin")
+          .agg(
+            sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+            sum(when(col("y"), 0L).otherwise(1L)).as("q"))
+          .agg(sum(col("p") * col("q")).as("tie_mass"))
+        exact.crossJoin(broadcast(bauc)).crossJoin(broadcast(tie))
+          .select(
+            col("n_pos"), col("n_neg"), col("auc_num"), col("auc_den"),
+            (abs(col("auc_num") - col("b_num")) <= col("tie_mass"))
+              .as("binned_within_tie_mass"))
+      },
+      Some(s"""
+        WITH $OQPOS,
+        sc AS (SELECT vec_id,
+                      SUM(qv * CASE WHEN i % 3 = 0 THEN 2
+                                    WHEN i % 3 = 1 THEN -1
+                                    ELSE 1 END) AS s
+               FROM qpos GROUP BY 1),
+        lab AS (SELECT sc.vec_id, s, emb.label >= 5 AS y
+                FROM sc JOIN embeddings emb ON emb.vec_id = sc.vec_id),
+        ps AS (SELECT s,
+                      CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM lab GROUP BY s),
+        c AS (SELECT s, p, q, CAST(SUM(q) OVER (ORDER BY s) AS BIGINT) AS cq FROM ps)
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               CAST(SUM(p * (2 * (cq - q) + q)) AS BIGINT) AS auc_num,
+               CAST(2 * SUM(p) * SUM(q) AS BIGINT) AS auc_den,
+               TRUE AS binned_within_tie_mass
+        FROM c""")),
+
+    // The corpus-health COMPOSITION (examples/MonitorDemo): its five
+    // statistics are each oracle-checked on their own (q173-q175, q177,
+    // q179), but the one-row report a user actually consumes was only
+    // spec-pinned until now. This entry runs MonitorDemo.report verbatim
+    // and replays the ENTIRE composition in DuckDB — minhash-LSH
+    // candidate graph (q57's sketch fragments at 32 hashes / 8x4 bands),
+    // triangle boilerplate screen (q173's wedge CTEs), 2-round label
+    // propagation (q179's unrolled rounds), KS drift, AUC, and kappa —
+    // so every ppm figure is hash-compared end to end.
+    Q(
+      "q182_monitor_report",
+      (s, dir) => graft.examples.MonitorDemo.report(
+        Tables.documents(s, dir), Tables.embeddings(s, dir)),
+      Some {
+        val baseHash = "(('0x' || substr(md5(sh), 1, 15))::BIGINT % 2147483647)"
+        val mins = graft.operators.Dedup.minhashParams(32).zipWithIndex.map { case ((a, b), i) =>
+          s"min(($baseHash * $a + $b) % 2147483647) AS mh_$i"
+        }.mkString(", ")
+        val bandArms = (0 until 8).map { b =>
+          val key = (0 until 4).map(j => s"CAST(mh_${b * 4 + j} AS VARCHAR)").mkString(" || '_' || ")
+          s"SELECT doc_id, $b AS band, $key AS key FROM sig"
+        }.mkString(" UNION ALL ")
+        def lpRound(i: Int) = s"""
+        v$i AS (SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+                FROM sym e JOIN lab${i - 1} l ON l.node = e.src
+                WHERE l.lbl IS NOT NULL GROUP BY 1, 2),
+        p$i AS (SELECT node, lbl FROM (
+                  SELECT node, lbl,
+                         ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+                  FROM v$i) WHERE rn = 1),
+        lab$i AS (SELECT n.node, COALESCE(s.lbl, p.lbl, l.lbl) AS lbl
+                  FROM lpnodes n
+                  LEFT JOIN seeds s ON s.node = n.node
+                  LEFT JOIN p$i p ON p.node = n.node
+                  LEFT JOIN lab${i - 1} l ON l.node = n.node)"""
+        s"""
+        WITH $OTOKS,
+        $OSHINGLES,
+        sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+        bands AS ($bandArms),
+        pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                  FROM bands x JOIN bands y
+                    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        -- 1. KS drift between hash-split snapshot halves over n_chars
+        kt AS (SELECT n_chars AS v,
+                      ('0x' || substr(md5('monitor-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2 = 0 AS s1
+               FROM documents),
+        kpv AS (SELECT v,
+                       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                       CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+                FROM kt GROUP BY v),
+        kc AS (SELECT CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS c1,
+                      CAST(SUM(q) OVER (ORDER BY v) AS BIGINT) AS c2
+               FROM kpv),
+        kn AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM kpv),
+        ks AS (SELECT CAST((MAX(abs(c1 * n2 - c2 * n1)) * 1000000) // (n1 * n2) AS BIGINT) AS ks_ppm
+               FROM kc, kn GROUP BY n1, n2),
+        -- 2. exact ROC-AUC of the x1000-grid linear scorer
+        $OQPOS,
+        asc_ AS (SELECT vec_id,
+                        SUM(qv * CASE WHEN i % 3 = 0 THEN 2
+                                      WHEN i % 3 = 1 THEN -1
+                                      ELSE 1 END) AS s
+                 FROM qpos GROUP BY 1),
+        alab AS (SELECT a.vec_id, s, emb.label >= 5 AS y
+                 FROM asc_ a JOIN embeddings emb ON emb.vec_id = a.vec_id),
+        aps AS (SELECT s,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                       CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+                FROM alab GROUP BY s),
+        ac AS (SELECT s, p, q, CAST(SUM(q) OVER (ORDER BY s) AS BIGINT) AS cq FROM aps),
+        auc AS (SELECT CAST((CAST(SUM(p * (2 * (cq - q) + q)) AS BIGINT) * 1000000)
+                       // (2 * CAST(SUM(p) AS BIGINT) * CAST(SUM(q) AS BIGINT)) AS BIGINT) AS auc_ppm
+                FROM ac),
+        -- 3. Cohen's kappa of the nearest-centroid classifier
+        kq AS (SELECT qpos.vec_id, emb.label, i, qv
+               FROM qpos JOIN embeddings emb ON emb.vec_id = qpos.vec_id),
+        cent AS (SELECT label AS clabel, i,
+                        CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+                 FROM kq GROUP BY 1, 2),
+        kd AS (SELECT kq.vec_id, kq.label, cent.clabel,
+                      SUM((qv - cv) * (qv - cv)) AS d2
+               FROM kq JOIN cent USING (i) GROUP BY 1, 2, 3),
+        kr AS (SELECT vec_id, label, clabel,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rn
+               FROM kd),
+        conf AS (SELECT label AS a, clabel AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM kr WHERE rn = 1 GROUP BY 1, 2),
+        ktot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                        CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS agree
+                 FROM conf),
+        krm AS (SELECT a AS k, SUM(cnt) AS ra FROM conf GROUP BY 1),
+        kcm AS (SELECT b AS k, SUM(cnt) AS cb FROM conf GROUP BY 1),
+        kpe AS (SELECT CAST(COALESCE(SUM(ra * cb), 0) AS BIGINT) AS pe_num
+                FROM krm JOIN kcm USING (k)),
+        kap AS (SELECT CAST((CAST(n * agree - pe_num AS BIGINT) * 1000000)
+                       // nullif(CAST(n * n - pe_num AS BIGINT), 0) AS BIGINT) AS kappa_ppm
+                FROM ktot, kpe),
+        -- 4. boilerplate: clustering coefficient >= 1/2 over the LSH graph
+        deg AS (SELECT n, COUNT(*) AS deg
+                FROM (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)
+                GROUP BY 1),
+        ore AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                            THEN a ELSE b END AS src,
+                       CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b)
+                            THEN b ELSE a END AS dst
+                FROM pairs JOIN deg da ON da.n = a JOIN deg db ON db.n = b),
+        tris AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                 FROM ore e1 JOIN ore e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                 JOIN pairs c ON c.a = least(e1.dst, e2.dst)
+                             AND c.b = greatest(e1.dst, e2.dst)),
+        pn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS tri
+               FROM (SELECT x AS n FROM tris UNION ALL
+                     SELECT y FROM tris UNION ALL
+                     SELECT z FROM tris)
+               GROUP BY 1),
+        boiler AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_boilerplate
+                   FROM deg d LEFT JOIN pn ON pn.n = d.n
+                   WHERE d.deg >= 2
+                     AND 4 * COALESCE(pn.tri, 0) >= d.deg * (d.deg - 1)),
+        -- 5. review reach: 2-round clamped label propagation
+        lpnodes AS (SELECT DISTINCT n AS node
+                    FROM (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs)),
+        sym AS (SELECT a AS src, b AS dst FROM pairs
+                UNION ALL SELECT b, a FROM pairs),
+        seeds AS (SELECT node, CAST(1 AS BIGINT) AS lbl FROM lpnodes WHERE node % 20 = 0),
+        lab0 AS (SELECT n.node, s.lbl FROM lpnodes n
+                 LEFT JOIN seeds s ON s.node = n.node),
+        ${lpRound(1)},
+        ${lpRound(2)},
+        reach AS (SELECT CAST(SUM(CASE WHEN lbl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_review_reach
+                  FROM lab2)
+        SELECT ks_ppm, auc_ppm, kappa_ppm, n_boilerplate, n_review_reach
+        FROM ks, auc, kap, boiler, reach"""
+      })
   )
 }
