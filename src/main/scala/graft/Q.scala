@@ -37,6 +37,35 @@ object Q {
   def persistOnce(df: DataFrame): DataFrame =
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) df.persist()
     else df
+
+  /** Scratch dir for round-trip/staging queries: a fresh temp dir that is
+    * RECURSIVELY deleted at JVM exit. Round-trip entries (q75-q78, q181,
+    * q76's partition write, the stream twins' replay/checkpoint stages)
+    * used to leak one orphaned table copy per run — harmless at sf0.1,
+    * rude at scale. Each invocation still gets a FRESH dir (concurrent
+    * test suites may run the same query; streaming restart semantics
+    * need a virgin checkpoint), so nothing races on a shared path; the
+    * shutdown hook sweeps them all. */
+  def scratchDir(prefix: String): String = {
+    scratchHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchDirs.forEach { root =>
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
+        } catch { case _: Exception => () } // best-effort: exit hygiene, not correctness
+      }
+    }, "graft-scratch-cleanup"))
 }
 
 object QueryRegistry {

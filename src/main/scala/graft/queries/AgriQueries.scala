@@ -34,7 +34,7 @@ object AgriQueries {
   private object Corpus {
     @volatile private var dir: Option[String] = None
     private def build(spark: SparkSession): String = {
-      val out = java.nio.file.Files.createTempDirectory("agri_corpus_cache").toString
+      val out = graft.Q.scratchDir("agri_corpus_cache")
       AgriPipeline.dropInvalid(
         AgriPipeline.normalize(AgriPipeline.readCsv(spark, CropsGlob)))
         .select("state", "commodity", "arrival_date", "modal_price")

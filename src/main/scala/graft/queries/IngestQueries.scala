@@ -103,7 +103,7 @@ object IngestQueries {
     Q(
       "q75_csv_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("csv_rt").toString
+        val tmp = graft.Q.scratchDir("csv_rt")
         Tables.part(s, dir)
           .withColumn("noisy", concat(col("p_name"), lit(", \"x\" "), col("p_brand")))
           .write.mode("overwrite").option("header", "true").csv(tmp)
@@ -131,7 +131,7 @@ object IngestQueries {
     Q(
       "q77_json_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("json_rt").toString
+        val tmp = graft.Q.scratchDir("json_rt")
         Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"), col("value"), col("props"))
           .write.mode("overwrite").json(tmp)
@@ -163,7 +163,7 @@ object IngestQueries {
     Q(
       "q103_schema_evolution",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("schema_evo").toString
+        val tmp = graft.Q.scratchDir("schema_evo")
         val o = Tables.orders(s, dir)
         o.select(col("o_orderkey"), col("o_orderstatus"))
           .write.mode("overwrite").parquet(s"$tmp/gen=0")
@@ -191,7 +191,7 @@ object IngestQueries {
     Q(
       "q78_orc_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("orc_rt").toString
+        val tmp = graft.Q.scratchDir("orc_rt")
         Tables.supplier(s, dir).write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
           .groupBy(col("s_nationkey"))
@@ -215,7 +215,7 @@ object IngestQueries {
     Q(
       "q181_xml_roundtrip",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("xml_rt").toString
+        val tmp = graft.Q.scratchDir("xml_rt")
         val src = Tables.supplier(s, dir)
         src.write.mode("overwrite")
           .option("rootTag", "suppliers").option("rowTag", "supplier")
@@ -241,7 +241,7 @@ object IngestQueries {
     Q(
       "q76_partition_pruning",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("part_prune").toString
+        val tmp = graft.Q.scratchDir("part_prune")
         Tables.orders(s, dir)
           .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
         s.read.parquet(tmp)

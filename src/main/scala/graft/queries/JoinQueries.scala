@@ -30,7 +30,7 @@ object JoinQueries {
       // fail with TABLE_OR_VIEW_NOT_FOUND.
       if (!bucketedFor.contains(dir) ||
           !s.catalog.tableExists("graft_li_b") || !s.catalog.tableExists("graft_ord_b")) {
-        val tmp = java.nio.file.Files.createTempDirectory("bucketed").toString
+        val tmp = graft.Q.scratchDir("bucketed")
         s.sql("DROP TABLE IF EXISTS graft_li_b")
         s.sql("DROP TABLE IF EXISTS graft_ord_b")
         Tables.lineitem(s, dir).createOrReplaceTempView("li_src")

@@ -34,7 +34,7 @@ object StreamTwinQueries {
     * file source lists by mod time, so the replay order is the write
     * order however fast the writes ran. */
   private def writeReplayFile(df: DataFrame, dir: String, name: String, seq: Int): Unit = {
-    val stage = Files.createTempDirectory(s"replay_$name").toString
+    val stage = graft.Q.scratchDir(s"replay_$name")
     df.coalesce(1).write.mode("overwrite").parquet(stage)
     val part = Files.list(Paths.get(stage)).filter(_.getFileName.toString.endsWith(".parquet"))
       .findFirst().orElseThrow(() => new IllegalStateException(s"no parquet part in $stage"))
@@ -77,7 +77,7 @@ object StreamTwinQueries {
       "q170_stream_restart_ingest",
       (s, dir) => {
         val ev = Tables.events(s, dir)
-        val tmp = Files.createTempDirectory("stream_restart").toString
+        val tmp = graft.Q.scratchDir("stream_restart")
         val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
         val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
         def runDrain(): Unit = {
@@ -133,7 +133,7 @@ object StreamTwinQueries {
       (s, dir) => {
         import s.implicits._
         val ev = Tables.events(s, dir)
-        val tmp = Files.createTempDirectory("stream_wm").toString
+        val tmp = graft.Q.scratchDir("stream_wm")
         val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
         val onTime = ev.filter(col("event_id") % 10 =!= 0)
         val late = ev.filter(col("event_id") % 10 === 0)
@@ -209,7 +209,7 @@ object StreamTwinQueries {
       (s, dir) => {
         val events = Tables.events(s, dir)
         val ev = events.select("user_id", "event_type")
-        val tmp = Files.createTempDirectory("stream_dedup").toString
+        val tmp = graft.Q.scratchDir("stream_dedup")
         val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
         // Two replay files, not four, split by EVENT id (not user id, the
         // old split, under which every dedup-key's duplicates rode in one

@@ -56,7 +56,7 @@ class AdaptiveSpec extends SparkSpec {
     // side carries a selective filter, and the fact scan's partition list
     // is decided at runtime from the dim rows — the directory-level
     // counterpart of the bloom test above.
-    val tmp = java.nio.file.Files.createTempDirectory("dpp").toFile
+    val tmp = new java.io.File(graft.Q.scratchDir("dpp"))
     try {
       (0 until 2000).map(i => (i % 20, i.toLong))
         .toDF("pk", "v")

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 class AgriDemoSpec extends SparkSpec {
 
   test("harvest -> corpus -> analytics end to end") {
-    val out = Files.createTempDirectory("agri_demo").toString
+    val out = graft.Q.scratchDir("agri_demo")
     val corpus = AgriDemo.harvest(spark, 20000L, out)
     val landed = corpus.count()
     // every 97th record lacks a modal price; generator keys are unique

@@ -102,7 +102,7 @@ class AgriPipelineSpec extends SparkSpec {
   }
 
   test("JSON page decode with explicit schema (A4)") {
-    val tmp = java.nio.file.Files.createTempDirectory("agri_json")
+    val tmp = java.nio.file.Paths.get(graft.Q.scratchDir("agri_json"))
     val page = """{"State":"Odisha","District":"Angul","Market":"Angul","Commodity":"Egg","Variety":"Other","Grade":"FAQ","Arrival_Date":"07/06/2021","Min_Price":"550","Max_Price":"600","Modal_Price":"575","Commodity_Code":"367"}
       |{"State":"Kerala","District":"Idukki","Market":"Munnar","Commodity":"Cardamoms","Variety":"Other","Grade":"Small","Arrival_Date":"31/11/2021","Min_Price":"n/a","Max_Price":"1500","Modal_Price":"1450.5","Commodity_Code":"110"}""".stripMargin
     java.nio.file.Files.writeString(tmp.resolve("page0.json"), page)
@@ -116,7 +116,7 @@ class AgriPipelineSpec extends SparkSpec {
   }
 
   test("partitioned write produces dir-per-commodity layout (A8/A10)") {
-    val out = Files.createTempDirectory("agri_out").toString
+    val out = graft.Q.scratchDir("agri_out")
     val n = AgriPipeline.runBatch(spark, fixture, out)
     assert(n === 7)
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet

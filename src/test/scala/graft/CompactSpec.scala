@@ -11,7 +11,7 @@ class CompactSpec extends SparkSpec {
   import spark.implicits._
 
   test("compacts a fragmented flat dir without changing content") {
-    val dir = Files.createTempDirectory("compact_flat").toString + "/t"
+    val dir = graft.Q.scratchDir("compact_flat") + "/t"
     spark.range(0, 10000).toDF("id")
       .repartition(40) // 40 tiny files
       .write.parquet(dir)
@@ -24,7 +24,7 @@ class CompactSpec extends SparkSpec {
   }
 
   test("partitioned compaction keeps the dir-per-key layout") {
-    val dir = Files.createTempDirectory("compact_part").toString + "/t"
+    val dir = graft.Q.scratchDir("compact_part") + "/t"
     spark.range(0, 3000)
       .select((col("id") % 3).cast("string").as("k"), col("id"))
       .repartition(20)

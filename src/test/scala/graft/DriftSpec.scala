@@ -33,7 +33,7 @@ class DriftSpec extends SparkSpec {
 
   /** Clone the whole sf0.001 dir, rewriting each table through `rewrite`. */
   private def cloneDir(variant: String)(rewrite: (String, DataFrame) => DataFrame): String = {
-    val dir = java.nio.file.Files.createTempDirectory(s"drift_$variant").toString
+    val dir = graft.Q.scratchDir(s"drift_$variant")
     tableNames.foreach { t =>
       val df = spark.read.parquet(s"$base/$t.parquet")
       rewrite(t, df).write.mode("overwrite").parquet(s"$dir/$t.parquet")

@@ -88,7 +88,7 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("zFilter ranges push into the parquet scan as min/max-skippable filters") {
-    val tmp = java.nio.file.Files.createTempDirectory("zpush").toFile
+    val tmp = new java.io.File(graft.Q.scratchDir("zpush"))
     try {
       val rows = for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)
       rows.toDF("x", "y")

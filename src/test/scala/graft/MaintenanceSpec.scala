@@ -170,7 +170,7 @@ class MaintenanceSpec extends SparkSpec {
 
   test("applyChangesBatch: streamed CDC batches materialize a mutable keyed table") {
     import graft.sinks.VersionedSink
-    val dir = java.nio.file.Files.createTempDirectory("cdctable").toString
+    val dir = graft.Q.scratchDir("cdctable")
     val apply = graft.streaming.StreamingJobs.applyChangesBatch(dir, Seq("k"), Some("del")) _
     // batch 0: initial inserts
     apply(Seq((1L, "a", 10, false), (2L, "b", 20, false)).toDF("k", "s", "v", "del"), 0L)

@@ -50,7 +50,7 @@ class RealCorpusSpec extends SparkSpec {
     assert(deduped.count() === 1494547L, "corpus has 0 natural-key dups")
 
     // A8/A10: partitioned write round-trips; one dir per commodity_key
-    val out = Files.createTempDirectory("real_corpus_out").toString
+    val out = graft.Q.scratchDir("real_corpus_out")
     AgriPipeline.writePartitioned(deduped, out, mode = "overwrite")
     val nKeys = norm.select("commodity_key").distinct().count()
     val dirs = new java.io.File(out).listFiles().count(f =>

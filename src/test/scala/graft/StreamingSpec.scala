@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+  private def tmp(prefix: String) = graft.Q.scratchDir(prefix)
 
   test("checkpointed CSV ingest stream lands partitioned parquet (B33)") {
     val src = tmp("stream_src")

@@ -32,7 +32,7 @@ class TimestampCodecSpec extends SparkSpec {
   private def writeBoth(): (String, String) = {
     val s = spark
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("ts_codec").toString
+    val base = graft.Q.scratchDir("ts_codec")
     val nanosDir = s"$base/nanos"
     val microsDir = s"$base/micros"
     val rows = micros.zipWithIndex.map { case (us, i) =>
@@ -83,7 +83,7 @@ class TimestampCodecSpec extends SparkSpec {
   test("long ts columns decide their epoch unit once per load, by magnitude") {
     val s = spark
     import s.implicits._
-    val base = java.nio.file.Files.createTempDirectory("ts_unit").toString
+    val base = graft.Q.scratchDir("ts_unit")
     def write(name: String, f: Long => Long): String = {
       val dir = s"$base/$name"
       micros.zipWithIndex.map { case (us, i) =>
@@ -128,7 +128,7 @@ class TimestampCodecSpec extends SparkSpec {
   private def writeLongTs(name: String, values: Seq[Long]): String = {
     val s = spark
     import s.implicits._
-    val dir = java.nio.file.Files.createTempDirectory(s"ts_$name").toString
+    val dir = graft.Q.scratchDir(s"ts_$name")
     values.zipWithIndex.map { case (v, i) =>
       (i.toLong, v, i.toLong % 2, "view", 1.0, "{}")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")

@@ -12,7 +12,7 @@ class VersionedSinkSpec extends SparkSpec {
   import spark.implicits._
 
   test("commit publishes snapshots; rollback restores the previous one") {
-    val dir = Files.createTempDirectory("vtable").toString
+    val dir = graft.Q.scratchDir("vtable")
 
     val v0 = VersionedSink.commit(Seq((1, "a"), (2, "b")).toDF("id", "s"), dir)
     assert(v0 === 0L)
@@ -40,7 +40,7 @@ class VersionedSinkSpec extends SparkSpec {
   }
 
   test("rollback to a nonexistent version is refused") {
-    val dir = Files.createTempDirectory("vtable2").toString
+    val dir = graft.Q.scratchDir("vtable2")
     VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir)
     intercept[IllegalArgumentException] {
       VersionedSink.rollback(spark, dir, 7L)
@@ -48,7 +48,7 @@ class VersionedSinkSpec extends SparkSpec {
   }
 
   test("batch markers make replayed commits detectable (exactly-once ingest)") {
-    val dir = Files.createTempDirectory("vtable3").toString
+    val dir = graft.Q.scratchDir("vtable3")
     VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir, marker = Some("batch-0"))
     assert(VersionedSink.hasMarker(spark, dir, "batch-0"))
     assert(!VersionedSink.hasMarker(spark, dir, "batch-1"))
@@ -66,7 +66,7 @@ class VersionedSinkSpec extends SparkSpec {
   }
 
   test("readAsOf time-travels to any committed version; refuses uncommitted ones") {
-    val dir = Files.createTempDirectory("vtable5").toString
+    val dir = graft.Q.scratchDir("vtable5")
     VersionedSink.commit(Seq((1, "a"), (2, "b")).toDF("id", "s"), dir)
     VersionedSink.commit(Seq((3, "c")).toDF("id", "s"), dir)
     // v=n is live; v=n-1 is still readable as-of
@@ -78,7 +78,7 @@ class VersionedSinkSpec extends SparkSpec {
   }
 
   test("a half-written snapshot (no completion marker) is invisible to readers") {
-    val dir = Files.createTempDirectory("vtable6").toString
+    val dir = graft.Q.scratchDir("vtable6")
     VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir)
     // simulate a commit that crashed mid-parquet-write: a v=1 dir with
     // data debris but no _COMMITTED/_SUCCESS, and (worst case) a lost
@@ -102,7 +102,7 @@ class VersionedSinkSpec extends SparkSpec {
   }
 
   test("crash between marker write and pointer flip: replay republishes, not skips") {
-    val dir = Files.createTempDirectory("vtable7").toString
+    val dir = graft.Q.scratchDir("vtable7")
     // batch 0 committed and published normally
     graft.streaming.StreamingJobs.commitVersionedBatch(dir)(
       Seq((1, "a")).toDF("id", "s"), 0L)
@@ -138,7 +138,7 @@ class VersionedSinkSpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration._
-    val dir = Files.createTempDirectory("vtable8").toString
+    val dir = graft.Q.scratchDir("vtable8")
     val commits = (1 to 4).map { i =>
       Future(VersionedSink.commit(Seq((i, s"w$i")).toDF("id", "s"), dir))
     }
@@ -153,7 +153,7 @@ class VersionedSinkSpec extends SparkSpec {
   }
 
   test("reader survives a lost _LATEST pointer (falls back to newest snapshot)") {
-    val dir = Files.createTempDirectory("vtable4").toString
+    val dir = graft.Q.scratchDir("vtable4")
     VersionedSink.commit(Seq((1, "a")).toDF("id", "s"), dir)
     VersionedSink.commit(Seq((2, "b")).toDF("id", "s"), dir)
     // simulate the crash window: pointer file gone, snapshots intact
