@@ -37,4 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Harness log hygiene: Spark only applies its log4j2-defaults when the
+  // context is unconfigured, so pointing the forked JVMs at our mirror
+  // (root WARN + the known-unavoidable streaming/NativeCodeLoader
+  // warners muted to ERROR) makes the bench/verify tail empty-by-default
+  // — any WARN that still appears is a new signal. Harness-only: library
+  // consumers of the jar keep Spark's stock logging.
+  s"-Dlog4j2.configurationFile=${(file("conf") / "log4j2-harness.properties").getAbsoluteFile.toURI}",
 )

@@ -28,6 +28,7 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // Optional conf overrides for A/B runs, e.g.
@@ -46,6 +47,8 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // re-assert: setLogLevel resets the root level these loggers inherit
+    graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
     // Steady-state methodology: one untimed pass first, then the timed
     // passes. A single cold run charges JVM tiered-compilation (C2 only
     // kicks in at volume: measured 12.6s cold vs 1.7s steady on the

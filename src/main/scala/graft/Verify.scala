@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -18,6 +19,8 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // re-assert: setLogLevel resets the root level these loggers inherit
+    graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
     new java.io.File(outDir).mkdirs()
     // Local-iteration filter: SPARK_GRAFT_ONLY=q145,q146 runs just those
     // (prefix match). Unset = everything — the driver's contract.
