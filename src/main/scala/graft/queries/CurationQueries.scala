@@ -702,15 +702,25 @@ object CurationQueries {
     Q(
       "q166_apportion_budget",
       (s, dir) => {
-        val w = Tables.documents(s, dir).groupBy("source")
-          .agg(sum(col("n_chars")).as("w"))
+        val w = graft.operators.BoundedWindow.aggregated(
+          Tables.documents(s, dir).groupBy("source")
+            .agg(sum(col("n_chars")).as("w")),
+          "per-source corpus mass")
         val tot = w.agg(sum(col("w")).as("tw"))
         val base = w.crossJoin(broadcast(tot))
           .withColumn("base", expr("(1000000 * w) div tw"))
           .withColumn("rem", expr("(1000000 * w) % tw"))
         val used = base.agg(sum(col("base")).as("allocated"))
-        val win = org.apache.spark.sql.expressions.Window
-          .orderBy(col("rem").desc, col("source"))
+        // global remainder ranking over the per-SOURCE aggregate (a
+        // handful of rows however big the corpus; the aggregate is
+        // BoundedWindow.aggregated-guarded above) — BoundedWindow's spec
+        // also keeps WindowExec's single-partition warning out of an
+        // intentionally-global window (it fired 14x per Verify run here).
+        // Ordered by -rem ascending == rem descending: BoundedWindow
+        // hashes the first order expression for its constant partition
+        // key, which needs a plain expression, not a SortOrder.
+        val win = graft.operators.BoundedWindow
+          .orderBy((-col("rem")).as("neg_rem"), col("source"))
         base.crossJoin(broadcast(used))
           .withColumn("rk", row_number().over(win))
           .withColumn("alloc",
