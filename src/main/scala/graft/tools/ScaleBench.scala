@@ -27,7 +27,11 @@ object ScaleBench {
     // with super-linear risk, not just the vector tier.
     "q44_sessionize", "q153_funnel", "q154_retention",
     "q164_scd2_build", "q165_interval_merge", "q130_editdist_join",
-    "q59_simhash_pairs", "q111_ngram_decontaminate",
+    // q59 measures the EXACT simhash tier — deliberately all-pairs below
+    // its 4M-sketch broadcast budget, so its exponent sits near the
+    // quadratic term's emergence by design; q95 carries the banded
+    // (Hamming-ball candidate join) scale path's exponent.
+    "q59_simhash_pairs", "q95_simhash_banded", "q111_ngram_decontaminate",
     // The streaming oracle twins: the heaviest bench entries with no
     // measured exponent until r9. Their cost should be micro-batch /
     // state-store fixed overhead (e ≈ 0) — the probe verifies that claim
@@ -42,6 +46,7 @@ object ScaleBench {
     "q179_label_prop", "q180_calibration")
 
   def main(args: Array[String]): Unit = {
+    graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
     val small = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val big = args.lift(1).getOrElse("/tmp/sf1x")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
@@ -58,6 +63,8 @@ object ScaleBench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // re-assert: setLogLevel resets the root level these loggers inherit
+    graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
 
     val names = Heavy.filter(QueryRegistry.byName.contains)
       .filter(n => subset.forall(_.contains(n)))

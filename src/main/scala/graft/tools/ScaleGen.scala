@@ -14,10 +14,36 @@ import org.apache.spark.sql.functions._
   * Embeddings get a deterministic per-replica jitter on one component
   * (hash-derived, ±0.0005) so vector replicas are near but not bitwise
   * duplicates — an ANN probe over exact duplicates would understate
-  * distance-computation cost. Documents replicate verbatim with fresh
-  * doc_ids: corpus tokens scale ×factor while the vocabulary stays
-  * fixed, which is precisely the Heaps-law regime the BPE scale claim is
-  * about. nation/region (fixed dimension tables) copy unchanged.
+  * distance-computation cost.
+  *
+  * Documents MUTATE per replica (replica 0 stays verbatim): every token
+  * is renamed through a deterministic per-replica vocabulary hash —
+  * token -> translate(xxhash64(token, rep) % 65536 to letters). The
+  * r9 probe proved verbatim text replication makes the three heaviest
+  * candidate-join exponents (q111 1.21, q130 1.11, q59 1.05 at 30x)
+  * artifacts of OUTPUT growth: every replica of a contaminated pair is a
+  * new contaminated pair, so output itself grows factor² and the probe
+  * cannot distinguish "sub-linear join on quadratic output" from a real
+  * fan-out regression. The rename fixes that by construction:
+  *  - INTRA-replica, renaming is one vocabulary substitution applied
+  *    corpus-wide, so token equality — hence shingle sets, minhash
+  *    signatures, simhash neighborhoods, shared-n-gram counts, equal
+  *    prefixes — is preserved and each replica contributes the original
+  *    corpus's pair structure exactly once (output ~linear in factor);
+  *  - CROSS-replica, two replicas' vocabularies are unrelated hashes, so
+  *    a match needs 3+ consecutive 16-bit collisions (~never).
+  *  Substitutes are alphabetic (digits translated to letters) because
+  *  q130's prefix key strips [^a-z ] — numeric substitutes would
+  *  collapse every mutated prefix to "x x x" and manufacture the exact
+  *  quadratic blowup the mutation removes. The substitute space is
+  *  BOUNDED (65536 slots), so corpus tokens still scale ×factor while
+  *  the vocabulary saturates — the Heaps-law regime the BPE claim needs.
+  *  n_chars is recomputed for mutated rows (renamed text has new
+  *  lengths); lang/source/doc_id semantics are untouched, and doc_id
+  *  PARITY is preserved by the even key stride (q111's corpus halves
+  *  stay aligned with their replicas).
+  *
+  * nation/region (fixed dimension tables) copy unchanged.
   *
   * Usage: `runMain graft.tools.ScaleGen <srcSfDir> <outDir> <factor>`
   */
@@ -68,8 +94,22 @@ object ScaleGen {
       Seq("p_partkey"), Stride), "part")
     write(offsetKeys(replicate(t("events"), factor),
       Seq("event_id", "user_id"), Stride), "events")
-    write(offsetKeys(replicate(t("documents"), factor),
-      Seq("doc_id"), Stride), "documents")
+    // Documents: per-replica vocabulary rename (see scaladoc) — replica
+    // 0 verbatim, others token-renamed into the bounded alphabetic hash
+    // space, n_chars recomputed to match the mutated text.
+    val docs = offsetKeys(replicate(t("documents"), factor), Seq("doc_id"), Stride)
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(
+          concat_ws(" ",
+            transform(
+              filter(split(trim(col("text")), "\\s+"), tk => length(tk) > lit(0)),
+              tk => translate(
+                pmod(xxhash64(tk, col("__rep")), lit(65536L)).cast("string"),
+                "0123456789", "abcdefghij")))))
+      .withColumn("n_chars",
+        when(col("__rep") === 0, col("n_chars"))
+          .otherwise(length(col("text")).cast("long")))
+    write(docs, "documents")
 
     // Embeddings: fresh ids + deterministic jitter on the first vector
     // component so replicas are near-duplicates, not duplicates.
