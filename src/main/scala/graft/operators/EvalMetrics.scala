@@ -48,13 +48,22 @@ object EvalMetrics {
     * smallest value attaining the sup (ties on the statistic break toward
     * the smaller value, making the row deterministic).
     */
-  def ksTest(df: DataFrame, inFirst: Column, value: Column): DataFrame = {
-    val perV = df
+  def ksTest(df: DataFrame, inFirst: Column, value: Column): DataFrame =
+    ksTestCounts(df
       .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
       .groupBy("v")
       .agg(
         sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
-        sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
+        sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
+
+  /** [[ksTest]] from PRE-AGGREGATED per-value counts `(v, p, q)` —
+    * p/q non-null LongType counts of samples 1/2 at each distinct `v`.
+    * The entry point for corpora that already arrive as histograms (a
+    * streamed complete-mode aggregation, a pre-binned snapshot, a
+    * partner's published distribution); same guards and output columns
+    * as the row-level tier.
+    */
+  def ksTestCounts(perV: DataFrame): DataFrame = {
     val cum = PrefixSum.runningSums(perV, Seq(col("v")), Seq("p", "q"))
     // Exactness + degeneracy guard on the single totals row: both samples
     // non-empty (D is 0/0 otherwise) and n1*n2 representable (the exact

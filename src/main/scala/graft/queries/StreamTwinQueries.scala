@@ -245,6 +245,66 @@ object StreamTwinQueries {
                CAST(SUM(user_id) AS BIGINT) AS uid_sum
         FROM d
         GROUP BY event_type
-        ORDER BY event_type"""))
+        ORDER BY event_type""")),
+
+    // B81 x B33: the STREAMING drift monitor — corpus snapshots land as
+    // files, a complete-mode stateful aggregation maintains the per-bin
+    // length histogram across micro-batches (fixed-width bins: a stream
+    // cannot take a quantile sketch pass over data it has not seen), and
+    // the exact integer KS replays over the final streamed histogram
+    // through EvalMetrics.ksTestCounts. Two snapshot files force a real
+    // cross-batch state update (maxFilesPerTrigger=1); the histogram is
+    // a SET of final per-bin counts, so batch boundaries cannot leak
+    // into the hash. The oracle computes the identical statistic from
+    // the batch table — if the streamed counts drift by one row, d_num
+    // or the totals mismatch.
+    Q(
+      "q185_stream_drift_histogram",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+        val tmp = graft.Q.scratchDir("stream_drift")
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        writeReplayFile(docs.filter(col("doc_id") % 2 === 0), src, "snap_a", 0)
+        writeReplayFile(docs.filter(col("doc_id") % 2 === 1), src, "snap_b", 1)
+        val table = s"drift_hist_${driftHistRuns.incrementAndGet()}"
+        withStreamPartitions(s, 2) {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withColumn("bin", expr("n_chars div 50"))
+            .withColumn("s1", col("doc_id") % 2 === 0)
+            .groupBy("bin")
+            .agg(
+              sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+              sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
+            .writeStream.format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Complete)
+            .start()
+          q.awaitTermination()
+        }
+        graft.operators.EvalMetrics
+          .ksTestCounts(s.table(table).select(col("bin").as("v"), col("p"), col("q")))
+          .withColumnRenamed("ks_at", "ks_at_bin")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id % 2 = 0 AS s1, n_chars // 50 AS bin FROM documents),
+        pv AS (SELECT bin,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY bin),
+        c AS (SELECT bin, p, q,
+                     CAST(SUM(p) OVER (ORDER BY bin) AS BIGINT) AS c1,
+                     CAST(SUM(q) OVER (ORDER BY bin) AS BIGINT) AS c2
+              FROM pv),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv)
+        SELECT n1, n2, CAST(abs(c1 * n2 - c2 * n1) AS BIGINT) AS d_num,
+               CAST(n1 * n2 AS BIGINT) AS d_den, CAST(bin AS BIGINT) AS ks_at_bin
+        FROM c, n
+        ORDER BY d_num DESC, ks_at_bin
+        LIMIT 1"""))
   )
+
+  /** Memory-sink table names must be unique per drain within a session
+    * (Bench's min-of-2, the registry sweeps): a monotonic suffix, not a
+    * timestamp, so nothing data-affecting varies between runs. */
+  private val driftHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }

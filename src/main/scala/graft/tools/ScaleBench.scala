@@ -37,7 +37,7 @@ object ScaleBench {
     // state-store fixed overhead (e ≈ 0) — the probe verifies that claim
     // instead of taking it from a plan read.
     "q170_stream_restart_ingest", "q171_stream_watermark_drop",
-    "q172_stream_dedup",
+    "q172_stream_dedup", "q185_stream_drift_histogram",
     // The round-9 evaluation wing: the triangle wedge join and the two
     // distributed-rank/prefix-sum statistics are new join shapes, so
     // they get measured exponents from day one.
