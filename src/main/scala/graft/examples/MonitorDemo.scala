@@ -37,7 +37,10 @@ object MonitorDemo {
     val ks = EvalMetrics.ksTest(halves, col("s1"), col("n_chars"))
       .select(expr("(d_num * 1000000) div d_den").as("ks_ppm"))
 
-    // 2. quality-filter model: the x1000-grid linear scorer vs labels
+    // 2. quality-filter model: the x1000-grid linear scorer vs labels.
+    // (The exploded grid feeds three consumers, but persisting it was
+    // measured SLOWER at sf0.1 — the explode is cheap and the
+    // materialization costs more than the recompute; keep it lazy.)
     val pos = emb
       .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "v")))
       .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),

@@ -61,6 +61,27 @@ object ScaleGen {
     keyCols.foldLeft(df)((d, k) =>
       d.withColumn(k, col(k) + col("__rep").cast("long") * stride))
 
+  /** The per-replica document mutation (see object doc): replica 0 keeps
+    * its text verbatim; every other replica renames each whitespace
+    * token through `translate(xxhash64(token, __rep) % 65536 → letters)`
+    * and recomputes `n_chars`. Factored out of [[main]] so
+    * ScaleGenSpec can pin the invariants the probe's honesty rests on
+    * (intra-replica token-identity preservation, cross-replica
+    * disjointness, rep-0 verbatim). Expects the `__rep` column. */
+  def mutateDocuments(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("text",
+        when(col("__rep") === 0, col("text")).otherwise(
+          concat_ws(" ",
+            transform(
+              filter(split(trim(col("text")), "\\s+"), tk => length(tk) > lit(0)),
+              tk => translate(
+                pmod(xxhash64(tk, col("__rep")), lit(65536L)).cast("string"),
+                "0123456789", "abcdefghij")))))
+      .withColumn("n_chars",
+        when(col("__rep") === 0, col("n_chars"))
+          .otherwise(length(col("text")).cast("long")))
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
@@ -97,19 +118,8 @@ object ScaleGen {
     // Documents: per-replica vocabulary rename (see scaladoc) — replica
     // 0 verbatim, others token-renamed into the bounded alphabetic hash
     // space, n_chars recomputed to match the mutated text.
-    val docs = offsetKeys(replicate(t("documents"), factor), Seq("doc_id"), Stride)
-      .withColumn("text",
-        when(col("__rep") === 0, col("text")).otherwise(
-          concat_ws(" ",
-            transform(
-              filter(split(trim(col("text")), "\\s+"), tk => length(tk) > lit(0)),
-              tk => translate(
-                pmod(xxhash64(tk, col("__rep")), lit(65536L)).cast("string"),
-                "0123456789", "abcdefghij")))))
-      .withColumn("n_chars",
-        when(col("__rep") === 0, col("n_chars"))
-          .otherwise(length(col("text")).cast("long")))
-    write(docs, "documents")
+    write(mutateDocuments(
+      offsetKeys(replicate(t("documents"), factor), Seq("doc_id"), Stride)), "documents")
 
     // Embeddings: fresh ids + deterministic jitter on the first vector
     // component so replicas are near-duplicates, not duplicates.

@@ -163,6 +163,15 @@ class PlanQualitySpec extends SparkSpec {
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
     }
+    // The round-10 binned tiers: same contract as the exact statistics
+    // (bin assignment is one sketch aggregation + a broadcast of <= bins
+    // boundaries; cumulative counts through PrefixSum) — no window, no
+    // cartesian.
+    for (n <- Seq("q183_ks_binned", "q184_auc_binned")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n fell back to a window sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+    }
   }
 
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins for the invariants the scale probe's honesty rests on: the
+  * ScaleGen document mutation must make each replica a structural twin
+  * of the original corpus (so candidate-join OUTPUT is linear in the
+  * factor by construction) while keeping replicas mutually dissimilar
+  * (so no cross-replica pairs manufacture factor-squared output — the
+  * r9 artifact that hid q111/q130/q59's real exponents).
+  */
+class ScaleGenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),
+    (3L, "completely different words appear in this one", "en"),
+    (4L, "short doc", "en"))
+
+  private def replicas(factor: Int) = {
+    val base = corpus.toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    graft.tools.ScaleGen.mutateDocuments(
+      base.crossJoin(spark.range(factor.toLong)
+        .select(col("id").cast("int").as("__rep"))))
+  }
+
+  private def toks(t: String): Seq[String] =
+    t.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  test("replica 0 is verbatim") {
+    val got = replicas(3).filter(col("__rep") === 0)
+      .select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = corpus.map { case (id, t, _) => (id, t, t.length.toLong) }
+    assert(got.toSeq == want)
+  }
+
+  test("intra-replica token identity is preserved (structure replicates exactly)") {
+    // Two tokens equal in the original must be equal in every replica
+    // and vice versa — corpus-wide, not just within a doc: that is what
+    // makes shingle sets, minhash signatures, shared-n-gram counts and
+    // equal prefixes replicate the original pair structure per replica.
+    val byRep = replicas(3).select("__rep", "doc_id", "text")
+      .as[(Int, Long, String)].collect().groupBy(_._1)
+    val orig = corpus.flatMap { case (id, t, _) => toks(t).map((id, _)) }
+    for (rep <- 1 to 2) {
+      val ren = byRep(rep).sortBy(_._2).flatMap { case (_, id, t) => toks(t).map((id, _)) }
+      assert(ren.length == orig.length, s"rep $rep changed token count")
+      // positionwise: original tokens equal <=> renamed tokens equal
+      val mapping = orig.map(_._2).zip(ren.map(_._2))
+      val fwd = mapping.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).distinct }
+      assert(fwd.values.forall(_.size == 1), s"rep $rep renamed one token inconsistently")
+      // injectivity over this corpus (no accidental merges in the test vocab)
+      val bwd = mapping.groupBy(_._2).map { case (k, g) => k -> g.map(_._1).distinct }
+      assert(bwd.values.forall(_.size == 1), s"rep $rep merged distinct tokens")
+    }
+  }
+
+  test("cross-replica vocabularies are disjoint and alphabetic") {
+    val byRep = replicas(4).select("__rep", "text")
+      .as[(Int, String)].collect().groupBy(_._1)
+      .view.mapValues(_.flatMap(r => toks(r._2)).toSet).toMap
+    for (i <- 1 to 3; j <- i + 1 to 3)
+      assert((byRep(i) intersect byRep(j)).isEmpty, s"reps $i/$j share tokens")
+    for (i <- 1 to 3) {
+      assert((byRep(0) intersect byRep(i)).isEmpty, s"rep $i collides with the original vocab")
+      // q130's prefix key strips [^a-z ] — substitutes must survive it
+      assert(byRep(i).forall(_.matches("[a-j]+")), s"rep $i has non-alphabetic substitutes")
+    }
+  }
+
+  test("n_chars matches the mutated text") {
+    val bad = replicas(3).filter(col("n_chars") =!= length(col("text")).cast("long")).count()
+    assert(bad == 0L)
+  }
+
+  test("mutation is deterministic across evaluations") {
+    val a = replicas(3).select("__rep", "doc_id", "text").as[(Int, Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    val b = replicas(3).select("__rep", "doc_id", "text").as[(Int, Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(a == b)
+  }
+}
