@@ -92,6 +92,57 @@ object EvalMetrics {
         (col("n1") * col("n2")).as("d_den"), col("v").as("ks_at"))
   }
 
+  /** Per-group drift: the exact two-sample KS of EACH group against the
+    * REST of the corpus, over a LOW-CARDINALITY `value` (pre-bin with
+    * [[quantileBin]] or a fixed-width grid first — the sup must be
+    * evaluated on the dense group×value grid, because F_rest keeps
+    * jumping at values a group never saw, so the grid is
+    * |groups|·|values| rows and must be bounded). One row per group:
+    * (g, n, n_rest, d_num, d_den) with D_g = d_num/d_den =
+    * max_v |c_g(v)·(N−n_g) − (C(v)−c_g(v))·n_g| / (n_g·(N−n_g)).
+    * Callers rank groups by the rational (cross-multiplied, or the
+    * double d_num/d_den — exact rationals that are equal render equal
+    * doubles, so cross-engine ordering stays deterministic).
+    *
+    * Scale shape: two partial-agg'd shuffles to (g,v) and (v) counts,
+    * the global cumulative through [[PrefixSum.runningSums]], a bounded
+    * broadcast cross of the two aggregated dictionaries, and per-group
+    * cumulative counts as a GROUPED window (partition-parallel — the
+    * safe kind). Guards: both sides of every group non-empty and
+    * n_g·(N−n_g) < 2^63, enforced in-plan per group.
+    */
+  def ksTestPerGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val perGV = df.select(group.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val perV = perGV.groupBy("v").agg(sum("c").as("cv"))
+    val cumV = PrefixSum.runningSums(perV, Seq(col("v")), Seq("cv"))
+    val perG = perGV.groupBy("g").agg(sum("c").as("n"))
+    val tot = perV.agg(sum("cv").as("nn"))
+    // dense bounded grid: every group at every distinct value, with the
+    // group's cumulative count carried forward by a grouped window
+    val grid = perG.crossJoin(broadcast(cumV.select(col("v"), col("c_cv"))))
+      .join(perGV, Seq("g", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("v")
+    val cum = grid.withColumn("cg", sum("c").over(wg))
+    cum.crossJoin(broadcast(tot))
+      .groupBy(col("g"), col("n"), col("nn"))
+      .agg(max(abs(col("cg") * (col("nn") - col("n")) -
+        (col("c_cv") - col("cg")) * col("n"))).as("d_num"))
+      .select(
+        col("g"), col("n"), (col("nn") - col("n")).as("n_rest"),
+        guard(
+          col("n") > 0L && col("nn") > col("n") &&
+            col("n") <= expr(s"${Long.MaxValue}L div (nn - n)"),
+          col("d_num"),
+          concat(
+            lit("[eval-metrics] ksTestPerGroup needs every group to have a non-empty "),
+            lit("complement and n_g*(N-n_g) < 2^63 (g="), col("g").cast("string"),
+            lit(", n="), col("n"), lit(", N="), col("nn"), lit(")"))).as("d_num"),
+        (col("n") * (col("nn") - col("n"))).as("d_den"))
+  }
+
   /** Exact ROC-AUC of `score` against boolean `positive`, with the
     * standard tie treatment (ties count 1/2). Output (one row): n_pos,
     * n_neg, auc_num, auc_den with AUC = auc_num/auc_den; the numerator is
@@ -125,6 +176,49 @@ object EvalMetrics {
             lit("[eval-metrics] rocAuc needs both classes non-empty and 2*n_pos*n_neg < 2^63 (n_pos="),
             coalesce(col("n_pos"), lit(0L)), lit(", n_neg="), coalesce(col("n_neg"), lit(0L)),
             lit("); pre-bin with rocAucBinned beyond the exact bound"))).as("auc_num"),
+        (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
+  }
+
+  /** Sliced model evaluation: the exact ROC-AUC of `score` vs `positive`
+    * computed WITHIN each group — the per-source / per-language fairness
+    * slice a filter model is audited on. One row per group: (g, n_pos,
+    * n_neg, auc_num, auc_den), same 2U integer statistic as [[rocAuc]].
+    * A single-class slice legitimately emits the 0/0 rational (auc_den =
+    * 0) instead of raising — slices routinely collapse to one class and
+    * the report must still cover them; consumers divide via nullif. The
+    * overflow guard stays (per-group 2·n_pos·n_neg < 2^63).
+    *
+    * Scale shape: one partial-agg'd shuffle to (g, score) counts, then
+    * per-group cumulative negatives as a GROUPED window
+    * (partition-parallel) — the global PrefixSum machinery is not needed
+    * because each group's sequence lives inside its own partition.
+    */
+  def rocAucPerGroup(df: DataFrame, group: Column, positive: Column, score: Column): DataFrame = {
+    val perGS = df
+      .select(group.as("g"),
+        coalesce(positive.cast("boolean"), lit(false)).as("y"), score.as("s"))
+      .groupBy("g", "s")
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("q"))
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("s")
+    perGS
+      .withColumn("cq", sum("q").over(wg))
+      .groupBy("g")
+      .agg(
+        sum(col("p")).as("n_pos"),
+        sum(col("q")).as("n_neg"),
+        sum(col("p") * (lit(2L) * (col("cq") - col("q")) + col("q"))).as("auc_num"))
+      .select(
+        col("g"), col("n_pos"), col("n_neg"),
+        guard(
+          col("n_neg") === 0L || col("n_pos") <= expr(s"${Long.MaxValue / 2}L div n_neg"),
+          col("auc_num"),
+          concat(
+            lit("[eval-metrics] rocAucPerGroup overflow: 2*n_pos*n_neg >= 2^63 in group "),
+            col("g").cast("string"), lit(" (n_pos="), col("n_pos"),
+            lit(", n_neg="), col("n_neg"), lit("); pre-bin the scores first"))).as("auc_num"),
         (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den"))
   }
 

@@ -539,6 +539,85 @@ object AnalysisQueries {
                TRUE AS binned_within_tie_mass
         FROM c""")),
 
+    // B81 sliced: WHICH source drifted — the exact each-vs-rest KS per
+    // source over fixed-width length bins (the dense group×value grid
+    // the sup needs is bounded by binning first; per-group cumulative
+    // counts are a GROUPED window, partition-parallel, while the global
+    // cumulative still goes through PrefixSum). Most-drifted source
+    // first; the rational d_num/d_den is exact so both engines rank
+    // identically (equal rationals render equal doubles).
+    Q(
+      "q186_source_drift",
+      (s, dir) =>
+        EvalMetrics.ksTestPerGroup(
+            Tables.documents(s, dir).select(col("source"), expr("n_chars div 100").as("bin")),
+            col("source"), col("bin"))
+          .orderBy((col("d_num").cast(DoubleType) / col("d_den")).desc, col("g")),
+      Some("""
+        WITH t AS (SELECT source AS g, n_chars // 100 AS bin FROM documents),
+        pgv AS (SELECT g, bin, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        pv AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS cv FROM pgv GROUP BY 1),
+        cumv AS (SELECT bin, CAST(SUM(cv) OVER (ORDER BY bin) AS BIGINT) AS ccv FROM pv),
+        pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM pgv GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS nn FROM pv),
+        grid AS (SELECT pg.g, pg.n, cumv.bin, cumv.ccv, COALESCE(pgv.c, 0) AS c
+                 FROM pg CROSS JOIN cumv
+                 LEFT JOIN pgv ON pgv.g = pg.g AND pgv.bin = cumv.bin),
+        cum AS (SELECT g, n, bin, ccv,
+                       CAST(SUM(c) OVER (PARTITION BY g ORDER BY bin) AS BIGINT) AS cg
+                FROM grid)
+        SELECT g, n, CAST(nn - n AS BIGINT) AS n_rest,
+               CAST(MAX(abs(cg * (nn - n) - (ccv - cg) * n)) AS BIGINT) AS d_num,
+               CAST(n * (nn - n) AS BIGINT) AS d_den
+        FROM cum, tot
+        GROUP BY g, n, nn
+        ORDER BY CAST(d_num AS DOUBLE) / d_den DESC, g""")),
+
+    // B82 sliced: per-source ROC-AUC of the q175 scorer — the fairness
+    // slice a quality-filter model is audited on before a corpus-wide
+    // rollout (a model can hold AUC 0.8 overall while scoring one
+    // source's documents at chance). Embeddings join documents on the
+    // shared id space for the slice key; within each slice the same
+    // exact 2U statistic, cumulative negatives as a grouped
+    // (partition-parallel) window.
+    Q(
+      "q187_source_auc",
+      (s, dir) => {
+        val scored = qpos(s, dir)
+          .groupBy("vec_id", "label")
+          .agg(sum(col("qv") * scoreW).as("s"))
+        val src = Tables.documents(s, dir)
+          .select(col("doc_id").as("vec_id"), col("source"))
+        EvalMetrics.rocAucPerGroup(
+            scored.join(src, "vec_id"), col("source"), col("label") >= 5, col("s"))
+          .orderBy("g")
+      },
+      Some(s"""
+        WITH $OQPOS,
+        sc AS (SELECT vec_id,
+                      SUM(qv * CASE WHEN i % 3 = 0 THEN 2
+                                    WHEN i % 3 = 1 THEN -1
+                                    ELSE 1 END) AS s
+               FROM qpos GROUP BY 1),
+        lab AS (SELECT sc.vec_id, s, emb.label >= 5 AS y
+                FROM sc JOIN embeddings emb ON emb.vec_id = sc.vec_id),
+        j AS (SELECT d.source AS g, lab.s, lab.y
+              FROM lab JOIN documents d ON d.doc_id = lab.vec_id),
+        ps AS (SELECT g, s,
+                      CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM j GROUP BY g, s),
+        c AS (SELECT g, s, p, q,
+                     CAST(SUM(q) OVER (PARTITION BY g ORDER BY s) AS BIGINT) AS cq
+              FROM ps)
+        SELECT g, CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               CAST(SUM(p * (2 * (cq - q) + q)) AS BIGINT) AS auc_num,
+               CAST(2 * SUM(p) * SUM(q) AS BIGINT) AS auc_den
+        FROM c
+        GROUP BY g
+        ORDER BY g""")),
+
     // The corpus-health COMPOSITION (examples/MonitorDemo): its five
     // statistics are each oracle-checked on their own (q173-q175, q177,
     // q179), but the one-row report a user actually consumes was only

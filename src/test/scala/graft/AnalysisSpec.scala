@@ -209,6 +209,59 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("ksTestPerGroup equals brute force for every group (each vs rest)") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(400)((s"g${rng.nextInt(5)}", rng.nextInt(12).toLong + trial))
+      val df = rows.toDF("g", "v")
+      val got = EvalMetrics.ksTestPerGroup(df, col("g"), col("v"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val n = rows.size.toLong
+      val vals = rows.map(_._2).distinct.sorted
+      for (g <- rows.map(_._1).distinct) {
+        val ing = rows.filter(_._1 == g).map(_._2)
+        val out = rows.filterNot(_._1 == g).map(_._2)
+        val (n1, n2) = (ing.size.toLong, out.size.toLong)
+        // the sup must range over ALL distinct values, including those
+        // the group never saw (F_rest keeps jumping there)
+        val d = vals.map { v =>
+          math.abs(ing.count(_ <= v) * n2 - out.count(_ <= v) * n1)
+        }.max
+        assert(got(g) == ((n1, n2, d, n1 * n2)), s"trial $trial group $g")
+        assert(n1 + n2 == n)
+      }
+    }
+  }
+
+  test("ksTestPerGroup fails fast when one group IS the whole corpus") {
+    val df = Seq(("only", 1L), ("only", 2L)).toDF("g", "v")
+    val e = intercept[Exception] {
+      EvalMetrics.ksTestPerGroup(df, col("g"), col("v")).collect()
+    }
+    assert(causeChain(e).contains("[eval-metrics] ksTestPerGroup needs every group"))
+  }
+
+  test("rocAucPerGroup equals per-group quadratic pair counting; 0/0 on single-class") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(300)(
+        (s"g${rng.nextInt(4)}", rng.nextBoolean(), rng.nextInt(20).toLong)) ++
+        Seq.fill(10)(("onlypos", true, rng.nextInt(20).toLong)) // single-class slice
+      val df = rows.toDF("g", "y", "s")
+      val got = EvalMetrics.rocAucPerGroup(df, col("g"), col("y"), col("s"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      for (g <- rows.map(_._1).distinct) {
+        val pos = rows.filter(r => r._1 == g && r._2).map(_._3)
+        val neg = rows.filter(r => r._1 == g && !r._2).map(_._3)
+        val twoU = (for (p <- pos; n <- neg)
+          yield if (p > n) 2L else if (p == n) 1L else 0L).sum
+        assert(got(g) == ((pos.size.toLong, neg.size.toLong, twoU,
+          2L * pos.size * neg.size)), s"trial $trial group $g")
+      }
+      assert(got("onlypos")._4 == 0L, "single-class slice must emit the 0/0 rational")
+    }
+  }
+
   test("cohenKappa equals the direct formula") {
     val pairs = Seq.fill(300)((rng.nextInt(4), rng.nextInt(4)))
     val confusion = pairs.groupBy(identity).map { case ((a, b), g) => (a, b, g.size.toLong) }
