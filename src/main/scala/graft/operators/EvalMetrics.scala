@@ -271,6 +271,65 @@ object EvalMetrics {
     rocAuc(quantileBin(df, score, bins), positive, col("bin"))
       .withColumn("bins", lit(bins))
 
+  /** Krippendorff's alpha (nominal metric) over a long ratings frame
+    * (unit, rater, value) — the multi-rater agreement statistic that,
+    * unlike Cohen's kappa, handles MISSING ratings: every unit with >= 2
+    * ratings contributes its ordered rating pairs at weight 1/(m_u - 1).
+    * Exact rational: clearing that weight by the static constant
+    * D = lcm(1 .. maxRaters-1) makes every coincidence count an integer
+    * (O_ck = sum of D/(m_u-1) over ordered pairs valued (c,k)), and with
+    * N_c = row sums, N = sum N_c, Do = sum of off-diagonal O:
+    *   alpha = (S - Do*(N - D)) / S  where  S = N² - sum_c N_c².
+    * (Any common multiple D yields the same alpha — numerator and
+    * denominator scale together — so fixing D by `maxRaters` keeps the
+    * emitted rational replayable without a data-dependent lcm.) Output
+    * (one row): n_units, n_pairable (= N/D ratings in pairable units),
+    * do_num (= D·Do), alpha_num, alpha_den.
+    *
+    * Scale shape: one count shuffle to per-unit sizes, one bounded
+    * self-join within units (<= maxRaters² rows per unit), two hash
+    * aggregates over the coincidence matrix (|values|² rows). Units with
+    * a single rating drop out, exactly as the statistic defines.
+    */
+  def krippendorffAlpha(
+      ratings: DataFrame, unit: Column, rater: Column, value: Column,
+      maxRaters: Int): DataFrame = {
+    require(maxRaters >= 2, s"krippendorffAlpha needs maxRaters >= 2, got $maxRaters")
+    val dLcm = (1 until maxRaters).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
+    val r = ratings.select(unit.as("u"), rater.as("rt"), value.as("c"))
+    val mu = r.groupBy("u").agg(count(lit(1)).as("m0"))
+      // the guard must ride the CONSUMED column (a dropped guard column
+      // would be pruned away): m > maxRaters would make D/(m-1)
+      // non-integral and silently corrupt every coincidence count
+      .select(col("u"),
+        guard(col("m0") <= maxRaters, col("m0"),
+          concat(lit(s"[eval-metrics] krippendorffAlpha: unit with more than maxRaters=$maxRaters ratings (unit "),
+            col("u").cast("string"), lit(", m="), col("m0"), lit(")"))).as("m"))
+      .filter(col("m") >= 2)
+      .withColumn("w", expr(s"${dLcm}L div (m - 1)"))
+      .select("u", "m", "w")
+    val rw = r.join(mu, "u")
+    val pairs = rw.as("x").join(rw.as("y"),
+        col("x.u") === col("y.u") && col("x.rt") =!= col("y.rt"))
+      .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.w").as("w"))
+    val o = pairs.groupBy("ca", "cb").agg(sum("w").as("o"))
+    val doSum = o.filter(col("ca") =!= col("cb"))
+      .agg(coalesce(sum("o"), lit(0L)).as("do_num"))
+    val nc = o.groupBy("ca").agg(sum("o").as("nc"))
+    val tot = nc.agg(
+      sum(col("nc")).as("nn"),
+      sum(col("nc") * col("nc")).as("nc2"))
+    val units = mu.agg(count(lit(1)).as("n_units"), sum("m").as("n_pairable"))
+    units.crossJoin(broadcast(tot)).crossJoin(broadcast(doSum))
+      .select(
+        col("n_units"), col("n_pairable"), col("do_num"),
+        (col("nn") * col("nn") - col("nc2") -
+          col("do_num") * (col("nn") - lit(dLcm))).as("alpha_num"),
+        (col("nn") * col("nn") - col("nc2")).as("alpha_den"))
+  }
+
+  private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+
   /** Cohen's kappa from a confusion frame (`aCol` = rater/truth label,
     * `bCol` = second rater/prediction, `cntCol` = pair count). Exact
     * rational: kappa = (N*agree - Σ_k row_k*col_k) / (N² - Σ_k row_k*col_k).

@@ -618,6 +618,53 @@ object AnalysisQueries {
         GROUP BY g
         ORDER BY g""")),
 
+    // B84 generalized: Krippendorff's alpha — multi-rater agreement
+    // WITH missing ratings, the statistic a labeling pipeline audits
+    // when every document is rated by a different subset of annotators
+    // (kappa requires the complete two-rater grid). Synthetic panel:
+    // four deterministic raters, each rating ~70% of docs (hash-gated),
+    // each flipping ~20% of labels up by one (hash noise) — both gates
+    // replayed byte-identically in the oracle. The 1/(m_u-1) pair
+    // weights are cleared by the static D = lcm(1..3) = 6 so the whole
+    // statistic is one exact integer rational.
+    Q(
+      "q188_krippendorff_alpha",
+      (s, dir) => {
+        val raters = s.range(4).select(col("id").cast(IntegerType).as("rt"))
+        val key = (p: String) => conv(substring(md5(
+          concat(lit(p), col("rt").cast(StringType), lit(":"),
+            col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+        val ratings = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label").cast(LongType).as("lab"))
+          .crossJoin(broadcast(raters))
+          .filter(pmod(key("rater"), lit(10L)) < 7)
+          .withColumn("c",
+            col("lab") + when(pmod(key("noise"), lit(5L)) === 0, 1L).otherwise(0L))
+        EvalMetrics.krippendorffAlpha(
+          ratings, col("vec_id"), col("rt"), col("c"), maxRaters = 4)
+      },
+      Some("""
+        WITH raters AS (SELECT unnest([0, 1, 2, 3]) AS rt),
+        r AS (SELECT e.vec_id AS u, raters.rt,
+                     CAST(e.label AS BIGINT) +
+                       CASE WHEN ('0x' || substr(md5('noise' || CAST(raters.rt AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT % 5 = 0
+                            THEN 1 ELSE 0 END AS c
+              FROM embeddings e CROSS JOIN raters
+              WHERE ('0x' || substr(md5('rater' || CAST(raters.rt AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 7),
+        mu AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS m FROM r GROUP BY u HAVING COUNT(*) >= 2),
+        rw AS (SELECT r.u, r.rt, r.c, 6 // (mu.m - 1) AS w, mu.m FROM r JOIN mu USING (u)),
+        pairs AS (SELECT x.c AS ca, y.c AS cb, x.w
+                  FROM rw x JOIN rw y ON x.u = y.u AND x.rt <> y.rt),
+        o AS (SELECT ca, cb, CAST(SUM(w) AS BIGINT) AS o FROM pairs GROUP BY 1, 2),
+        dsum AS (SELECT CAST(COALESCE(SUM(o), 0) AS BIGINT) AS do_num FROM o WHERE ca <> cb),
+        nc AS (SELECT ca, CAST(SUM(o) AS BIGINT) AS nc FROM o GROUP BY 1),
+        tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS nn, CAST(SUM(nc * nc) AS BIGINT) AS nc2 FROM nc),
+        units AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_units, CAST(SUM(m) AS BIGINT) AS n_pairable FROM mu)
+        SELECT n_units, n_pairable, do_num,
+               CAST(nn * nn - nc2 - do_num * (nn - 6) AS BIGINT) AS alpha_num,
+               CAST(nn * nn - nc2 AS BIGINT) AS alpha_den
+        FROM units, tot, dsum""")),
+
     // The corpus-health COMPOSITION (examples/MonitorDemo): its five
     // statistics are each oracle-checked on their own (q173-q175, q177,
     // q179), but the one-row report a user actually consumes was only

@@ -276,6 +276,50 @@ class AnalysisSpec extends SparkSpec {
     assert(got == ((n, agree, n * agree - peNum, n * n - peNum)))
   }
 
+  test("krippendorffAlpha equals the coincidence-matrix reference (missing ratings)") {
+    val maxRaters = 4
+    val dLcm = 6L // lcm(1, 2, 3)
+    for (trial <- 1 to 3) {
+      // sparse ratings: each of 40 units rated by a random subset of 4
+      // raters (possibly 0 or 1 — those units must drop out)
+      val ratings = for {
+        u <- 0L until 40L
+        rt <- 0 until maxRaters
+        if rng.nextDouble() < 0.6
+      } yield (u, rt, (u % 3 + (if (rng.nextDouble() < 0.3) 1 else 0)))
+      val got = EvalMetrics.krippendorffAlpha(
+          ratings.toDF("u", "rt", "c"), col("u"), col("rt"), col("c"), maxRaters)
+        .as[(Long, Long, Long, Long, Long)].collect().head
+      val byU = ratings.groupBy(_._1).filter(_._2.size >= 2)
+      val o = scala.collection.mutable.Map[(Long, Long), Long]().withDefaultValue(0L)
+      for ((_, rs) <- byU) {
+        val w = dLcm / (rs.size - 1)
+        for (a <- rs; b <- rs if a._2 != b._2) o((a._3, b._3)) += w
+      }
+      val doNum = o.collect { case ((c, k), v) if c != k => v }.sum
+      val nc = o.groupBy(_._1._1).map { case (c, g) => c -> g.values.sum }
+      val nn = nc.values.sum
+      val s = nn * nn - nc.values.map(v => v * v).sum
+      val want = (byU.size.toLong, byU.values.map(_.size.toLong).sum,
+        doNum, s - doNum * (nn - dLcm), s)
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("krippendorffAlpha: perfect agreement is 1, overflow-free guard on m > maxRaters") {
+    val perfect = (for (u <- 0L until 10L; rt <- 0 until 3)
+      yield (u, rt, u % 2)).toDF("u", "rt", "c")
+    val got = EvalMetrics.krippendorffAlpha(perfect, col("u"), col("rt"), col("c"), 4)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(got._3 == 0L && got._4 == got._5 && got._5 > 0L) // Do = 0, alpha = 1
+    val over = (for (u <- 0L until 3L; rt <- 0 until 5)
+      yield (u, rt, 1L)).toDF("u", "rt", "c")
+    val e = intercept[Exception] {
+      EvalMetrics.krippendorffAlpha(over, col("u"), col("rt"), col("c"), 4).collect()
+    }
+    assert(causeChain(e).contains("more than maxRaters=4"))
+  }
+
   test("LabelProp.propagate equals a synchronous in-memory reference") {
     for (trial <- 1 to 3) {
       val nodes = (0L until 16L).toSeq

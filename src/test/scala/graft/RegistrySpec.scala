@@ -19,7 +19,7 @@ class RegistrySpec extends SparkSpec {
     // single-statistic rationals (their SQL happens to contain window
     // ORDER BYs, but the exemption, not the substring, is why they pass)
     "q174_ks_drift", "q175_roc_auc", "q177_cohen_kappa",
-    "q182_monitor_report", "q183_ks_binned", "q184_auc_binned",
+    "q182_monitor_report", "q183_ks_binned", "q184_auc_binned", "q188_krippendorff_alpha",
     "q185_stream_drift_histogram")
 
   test("every registry entry analyzes against the live testdata (schema-drift guard)") {
