@@ -43,7 +43,12 @@ object ScaleBench {
     // they get measured exponents from day one.
     "q173_triangle_count", "q174_ks_drift", "q175_roc_auc",
     "q176_rrf_fusion", "q177_cohen_kappa", "q178_quantile_norm",
-    "q179_label_prop", "q180_calibration")
+    "q179_label_prop", "q180_calibration",
+    // The round-10 composition: q182 chains the 32-hash minhash graph,
+    // triangle screen, label prop and all three ppm statistics into one
+    // report — the heaviest single registry entry, so its end-to-end
+    // exponent is measured rather than inferred from its parts.
+    "q182_monitor_report")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
