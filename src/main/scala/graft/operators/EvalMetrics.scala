@@ -112,8 +112,12 @@ object EvalMetrics {
     * n_g·(N−n_g) < 2^63, enforced in-plan per group.
     */
   def ksTestPerGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
-    val perGV = df.select(group.as("g"), value.as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    // persistOnce: the (g, v) count dictionary feeds THREE consumers
+    // (the value dictionary, the group sizes, the grid's left join) —
+    // uncached, each would re-scan the raw corpus; cached, the corpus
+    // is read once and the bounded aggregate serves the rest
+    val perGV = graft.Q.persistOnce(df.select(group.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c")))
     val perV = perGV.groupBy("v").agg(sum("c").as("cv"))
     val cumV = PrefixSum.runningSums(perV, Seq(col("v")), Seq("cv"))
     val perG = perGV.groupBy("g").agg(sum("c").as("n"))
@@ -296,7 +300,12 @@ object EvalMetrics {
       maxRaters: Int): DataFrame = {
     require(maxRaters >= 2, s"krippendorffAlpha needs maxRaters >= 2, got $maxRaters")
     val dLcm = (1 until maxRaters).map(_.toLong).reduce((a, b) => a / gcd(a, b) * b)
-    val r = ratings.select(unit.as("u"), rater.as("rt"), value.as("c"))
+    // persistOnce both stages: the raw ratings feed the unit-size count
+    // AND the weighted join; the weighted frame then feeds BOTH sides of
+    // the pair self-join and the unit totals — uncached, the source
+    // would be re-scanned up to 9 times, cached it is read once
+    val r = graft.Q.persistOnce(
+      ratings.select(unit.as("u"), rater.as("rt"), value.as("c")))
     val mu = r.groupBy("u").agg(count(lit(1)).as("m0"))
       // the guard must ride the CONSUMED column (a dropped guard column
       // would be pruned away): m > maxRaters would make D/(m-1)
@@ -308,11 +317,13 @@ object EvalMetrics {
       .filter(col("m") >= 2)
       .withColumn("w", expr(s"${dLcm}L div (m - 1)"))
       .select("u", "m", "w")
-    val rw = r.join(mu, "u")
+    val rw = graft.Q.persistOnce(r.join(mu, "u"))
     val pairs = rw.as("x").join(rw.as("y"),
         col("x.u") === col("y.u") && col("x.rt") =!= col("y.rt"))
       .select(col("x.c").as("ca"), col("y.c").as("cb"), col("x.w").as("w"))
-    val o = pairs.groupBy("ca", "cb").agg(sum("w").as("o"))
+    // the coincidence matrix (|values|² rows) feeds the disagreement
+    // total and the marginals — cache it so the pair join runs once
+    val o = graft.Q.persistOnce(pairs.groupBy("ca", "cb").agg(sum("w").as("o")))
     val doSum = o.filter(col("ca") =!= col("cb"))
       .agg(coalesce(sum("o"), lit(0L)).as("do_num"))
     val nc = o.groupBy("ca").agg(sum("o").as("nc"))
