@@ -71,10 +71,20 @@ object LabelProp {
           .groupBy("node")
           .agg(max(struct(col("c"), (-col("lbl")).as("neg"))).as("m"))
           .select(col("node"), (-col("m.neg")).as("voted"))
-        else votes
-          .join(votes.groupBy("node").agg(max(col("c")).as("c")), Seq("node", "c"))
-          .groupBy("node")
-          .agg(min(col("lbl")).as("voted"))
+        else {
+          // checkpoint the vote frame EAGERLY: its two consumers (both
+          // join sides) otherwise race to compute the same lazy
+          // checkpoint partitions concurrently — doing the edge-state
+          // join twice and landing duplicate block-puts (the
+          // "Block rdd_N already exists" WARN). Unlike the single-consumer
+          // state frame below, a two-consumer frame is strictly cheaper
+          // materialized up front; unlike persistOnce, nothing
+          // accumulates in the CacheManager across rounds
+          val v = votes.localCheckpoint(true)
+          v.join(v.groupBy("node").agg(max(col("c")).as("c")), Seq("node", "c"))
+            .groupBy("node")
+            .agg(min(col("lbl")).as("voted"))
+        }
       state = state.join(pick, Seq("node"), "left")
         .select(col("node"), col("seed_lbl"),
           coalesce(col("seed_lbl"), col("voted"), col("lbl")).as("lbl"))
