@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Exact evaluation/monitoring statistics a training-data pipeline runs
   * over its own outputs: two-sample Kolmogorov–Smirnov drift detection
-  * between corpus snapshots, exact ROC-AUC (Mann–Whitney with tie
-  * correction) for quality-filter models, and Cohen's kappa for
-  * rater/classifier agreement.
+  * between corpus snapshots, categorical drift as total variation
+  * distance ([[tvdTest]]) and Pearson chi-square ([[chiSquareTest]]) for
+  * the order-free columns KS cannot rank, exact ROC-AUC (Mann–Whitney
+  * with tie correction) for quality-filter models, and Cohen's kappa /
+  * Krippendorff's alpha for rater/classifier agreement.
   *
   * All three are computed in pure integer arithmetic and emitted as exact
   * rationals (numerator/denominator BIGINT pairs) so a SQL oracle replays
@@ -17,7 +19,10 @@ import org.apache.spark.sql.functions._
   * row, so an out-of-range corpus fails loudly instead of wrapping), and
   * [[ksTestBinned]]/[[rocAucBinned]] are the documented escape hatch: the
   * same exact statistic over equal-frequency quantile bins from one
-  * sketch pass, valid at any corpus size. Empty samples/classes also
+  * sketch pass, with the per-bin counts downscaled past the integer
+  * bound when the corpus exceeds it ([[ksTestCountsRescaled]]) — so the
+  * binned tier is genuinely valid at any corpus size, not just a smaller
+  * value dictionary behind the same guard. Empty samples/classes also
   * raise (a 0/0 statistic downstream would surface as an engine-dependent
   * null-vs-error); both guards follow the refuse-loudly house contract.
   *
@@ -153,13 +158,17 @@ object EvalMetrics {
     * 2U (Mann–Whitney U doubled so half-credits stay integral):
     * 2U = Σ over distinct scores s of pos(s) * (2*negs_below(s) + neg(s)).
     */
-  def rocAuc(df: DataFrame, positive: Column, score: Column): DataFrame = {
-    val perS = df
+  def rocAuc(df: DataFrame, positive: Column, score: Column): DataFrame =
+    rocAucCounts(df
       .select(coalesce(positive.cast("boolean"), lit(false)).as("y"), score.as("s"))
       .groupBy("s")
       .agg(
         sum(when(col("y"), 1L).otherwise(0L)).as("p"),
-        sum(when(col("y"), 0L).otherwise(1L)).as("q"))
+        sum(when(col("y"), 0L).otherwise(1L)).as("q")))
+
+  /** [[rocAuc]] from PRE-AGGREGATED per-score class counts `(s, p, q)` —
+    * same guards and output columns as the row-level tier. */
+  def rocAucCounts(perS: DataFrame): DataFrame = {
     val cum = PrefixSum.runningSums(perS, Seq(col("s")), Seq("q"))
     cum
       .agg(
@@ -248,32 +257,384 @@ object EvalMetrics {
       .drop("__bounds")
   }
 
+  /** Downscale pre-aggregated counts so the exact tiers' integer
+    * products fit a long however big the corpus: the single totals row
+    * derives the smallest shift k with (t1>>k)·(t2>>k) < 2^60 (3 bits of
+    * margin; k = 0 whenever the corpus is already inside the bound, so
+    * the common case is bit-identical to the unscaled counts), and every
+    * count column is shifted by it. Flooring loses < 2^k rows per
+    * distinct value — for B binned values that is a CDF perturbation of
+    * at most B·2^k rows per sample, the second (and for realistic B
+    * negligible) error term of the binned tiers. */
+  private def rescaleCounts(
+      perV: DataFrame, cCols: Seq[String], withSumTerm: Boolean = false,
+      keepShift: Boolean = false): DataFrame = {
+    val tots = cCols.zipWithIndex.map { case (c, i) => sum(col(c)).as(s"t$i") }
+    // withSumTerm = the chi-square budget: its intermediates are bounded
+    // by t1·t2·(t1+t2), so the shift must clear one more log term and
+    // each unit of k buys 3 bits instead of 2
+    val logSumBase = cCols.indices.map(i => log(2.0, col(s"t$i"))).reduce(_ + _)
+    val logSum =
+      if (withSumTerm)
+        logSumBase + log(2.0, cCols.indices.map(i => col(s"t$i")).reduce(_ + _))
+      else logSumBase
+    val k = perV.agg(tots.head, tots.tail: _*)
+      .select(greatest(lit(0),
+        ceil((logSum - 60) / (if (withSumTerm) 3 else 2))).cast("int").as("__k"))
+    val scaled = cCols.foldLeft(perV.crossJoin(broadcast(k)))(
+      (d, c) => d.withColumn(c, expr(s"shiftright($c, __k)")))
+    if (keepShift) scaled.withColumnRenamed("__k", "shift") else scaled.drop("__k")
+  }
+
+  /** [[ksTestCounts]] over counts first downscaled by [[rescaleCounts]]
+    * — the histogram entry that stays valid at ANY corpus size: beyond
+    * n1*n2 < 2^63 the counts shift right until the products fit, the
+    * statistic runs unchanged, and the emitted n1/n2/d_num/d_den are in
+    * the rescaled units (D = d_num/d_den is what matters and is
+    * preserved to within the documented flooring term). Inside the
+    * bound the shift is 0 and the output is bit-identical to
+    * [[ksTestCounts]]. */
+  def ksTestCountsRescaled(perV: DataFrame): DataFrame =
+    ksTestCounts(rescaleCounts(perV, Seq("p", "q")))
+
+  /** [[rocAucCounts]] over [[rescaleCounts]]-downscaled counts — see
+    * [[ksTestCountsRescaled]] for the contract. */
+  def rocAucCountsRescaled(perS: DataFrame): DataFrame =
+    rocAucCounts(rescaleCounts(perS, Seq("p", "q")))
+
   /** Approximate two-sample KS for corpora beyond the exact tier's
-    * n1*n2 < 2^63 bound: [[quantileBin]] the value, then run the SAME
-    * exact integer statistic over the bin ids. The binned CDFs agree
-    * with the exact CDFs at every bin boundary, so D_binned <= D_exact
-    * always, and D_exact - D_binned is at most the largest single-bin
-    * mass fraction of either sample (~1/bins plus tie mass for
-    * equal-frequency bins) — both bounds are oracle-checked in integer
-    * arithmetic by q183. Output matches [[ksTest]] with `ks_at` now the
-    * sup-attaining bin id, plus a `bins` column.
+    * n1*n2 < 2^63 bound: [[quantileBin]] the value, reduce to per-bin
+    * counts, downscale them past the integer bound ([[rescaleCounts]] —
+    * a no-op shift of 0 inside it), then run the SAME exact integer
+    * statistic over the bin ids. The binned CDFs agree with the exact
+    * CDFs at every bin boundary, so D_binned <= D_exact always, and
+    * D_exact - D_binned is at most the largest single-bin mass fraction
+    * of either sample (~1/bins plus tie mass for equal-frequency bins)
+    * plus the flooring term when a rescale kicked in — the in-bound
+    * bounds are oracle-checked in integer arithmetic by q183, the
+    * beyond-bound path is property-pinned against a BigInt reference.
+    * Output matches [[ksTest]] with `ks_at` now the sup-attaining bin id
+    * (and counts in rescaled units beyond the bound), plus a `bins`
+    * column.
     */
   def ksTestBinned(df: DataFrame, inFirst: Column, value: Column, bins: Int): DataFrame =
-    ksTest(quantileBin(df, value, bins), inFirst, col("bin"))
+    ksTestCountsRescaled(
+      quantileBin(df, value, bins)
+        .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), col("bin").as("v"))
+        .groupBy("v")
+        .agg(
+          sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
       .withColumnRenamed("ks_at", "ks_at_bin")
       .withColumn("bins", lit(bins))
 
   /** Approximate ROC-AUC beyond the exact tier's 2*n_pos*n_neg < 2^63
-    * bound: [[quantileBin]] the score, then the exact Mann–Whitney over
-    * bin ids. Pairs split across bins keep their exact order
-    * contribution; pairs within one bin become ties (half credit), so
-    * |2U_exact - 2U_binned| <= sum over bins of pos_k*neg_k — the
-    * integer bound q184 oracle-checks. Output matches [[rocAuc]] plus a
-    * `bins` column.
+    * bound: [[quantileBin]] the score, per-bin class counts, downscale
+    * past the integer bound, then the exact Mann–Whitney over bin ids.
+    * Pairs split across bins keep their exact order contribution; pairs
+    * within one bin become ties (half credit), so |2U_exact -
+    * 2U_binned| <= sum over bins of pos_k*neg_k (q184's oracle-checked
+    * bound), plus the flooring term when a rescale kicked in. Output
+    * matches [[rocAuc]] plus a `bins` column.
     */
   def rocAucBinned(df: DataFrame, positive: Column, score: Column, bins: Int): DataFrame =
-    rocAuc(quantileBin(df, score, bins), positive, col("bin"))
+    rocAucCountsRescaled(
+      quantileBin(df, score, bins)
+        .select(coalesce(positive.cast("boolean"), lit(false)).as("y"), col("bin").as("s"))
+        .groupBy("s")
+        .agg(
+          sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("y"), 0L).otherwise(1L)).as("q")))
       .withColumn("bins", lit(bins))
+
+  /** Wasserstein-1 (earth-mover) distance between two samples of an
+    * ORDERED integer value — the drift MAGNITUDE complement to
+    * [[ksTest]]'s sup: KS reports the largest CDF gap but not how FAR
+    * mass moved (every document gaining one token is a tiny KS blip at
+    * each length but a full token of transport); W1 integrates |F1 − F2|
+    * over the value axis, in the VALUE's units. Exact rational:
+    * W1 = w1_num / w1_den, w1_den = n1·n2,
+    * w1_num = Σ_i (v_{i+1} − v_i)·|D_i| with D_i = C1(v_i)·n2 − C2(v_i)·n1.
+    */
+  def wasserstein1(df: DataFrame, inFirst: Column, value: Column): DataFrame =
+    wasserstein1Counts(df
+      .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
+
+  /** [[wasserstein1]] from PRE-AGGREGATED per-value counts `(v, p, q)`,
+    * v LongType. No lead/lag pass is needed despite the gap weights:
+    * summation by parts rewrites Σ_i gap_i·|D_i| as
+    * Σ_j v_j·(|D_{j−1}| − |D_j|), and D_{j−1} = D_j − δ_j (with
+    * δ_j = p_j·n2 − q_j·n1) is derivable from row j alone — so the whole
+    * statistic is ONE plain aggregate over the [[PrefixSum.runningSums]]
+    * frame, the same scale shape as [[ksTest]] minus its top-1 sort.
+    * (The telescoped form also shows translation invariance directly:
+    * the |D| differences sum to zero, so any constant shift of v cancels.)
+    *
+    * Guards: both samples non-empty and (v_max − v_min)·n1·n2 < 2^61 —
+    * Σ_j |v'_j·(|D_{j−1}| − |D_j|)| ≤ range·Σ|δ_j| ≤ 2·range·n1·n2, so
+    * under the bound every partial sum of the aggregate fits a long.
+    * Beyond it, coarsen the grid CALLER-side (`value div 2^m` divides the
+    * range while preserving W1 in the original units up to 2^m per unit
+    * mass — the natural W1 escape hatch, unlike count-rescaling which
+    * would change the units). Output (one row): n1, n2, w1_num, w1_den.
+    */
+  def wasserstein1Counts(perV: DataFrame): DataFrame = {
+    require(perV.schema("v").dataType == org.apache.spark.sql.types.LongType,
+      s"wasserstein1 needs a LongType value column, got ${perV.schema("v").dataType}")
+    val cum = PrefixSum.runningSums(perV, Seq(col("v")), Seq("p", "q"))
+    // nested guards so the inner n1*n2 product only evaluates once the
+    // outer bound has cleared it (CaseWhen branches evaluate lazily)
+    val k61 = Long.MaxValue / 4
+    val tot = cum.agg(
+        sum("p").as("n1"), sum("q").as("n2"),
+        min("v").as("vmin"), max("v").as("vmax"))
+      .select(
+        guard(
+          col("n1") > 0L && col("n2") > 0L && col("n1") <= expr(s"${k61}L div n2"),
+          guard(
+            col("vmax") - col("vmin") <= expr(s"${k61}L div (n1 * n2)"),
+            col("n1"),
+            concat(
+              lit("[eval-metrics] wasserstein1 needs (v_max-v_min)*n1*n2 < 2^61 (range="),
+              col("vmax") - col("vmin"), lit(", n1="), col("n1"), lit(", n2="), col("n2"),
+              lit("); coarsen the value grid (value div 2^m) to shrink the range"))),
+          concat(
+            lit("[eval-metrics] wasserstein1 needs both samples non-empty and "),
+            lit("n1*n2 < 2^61 (n1="), coalesce(col("n1"), lit(0L)),
+            lit(", n2="), coalesce(col("n2"), lit(0L)),
+            lit("); coarsen the value grid and pre-aggregate beyond the bound")))
+          .as("n1"),
+        col("n2"), col("vmin"))
+    cum.crossJoin(broadcast(tot))
+      .select(
+        col("n1"), col("n2"),
+        ((col("v") - col("vmin")) *
+          (abs(col("c_p") * col("n2") - col("c_q") * col("n1") -
+            (col("p") * col("n2") - col("q") * col("n1"))) -
+            abs(col("c_p") * col("n2") - col("c_q") * col("n1")))).as("t"))
+      .groupBy("n1", "n2")
+      .agg(sum(col("t")).as("w1_num"))
+      .select(
+        col("n1"), col("n2"), col("w1_num"),
+        (col("n1") * col("n2")).as("w1_den"))
+  }
+
+  /** Per-group category concentration: Gini impurity of `value`'s
+    * distribution within each group, as the exact rational
+    * gini = (n² − Σ_v c_v²) / n² ∈ [0, 1) — 0 = the group is pure (one
+    * category), →1 = maximally mixed. The monitoring twin of
+    * [[tvdPerGroup]]: TVD ranks which group MOVED between snapshots,
+    * concentration ranks which group is DEGENERATE within one snapshot
+    * (a source whose language mix collapsed to one value). The inverse
+    * Simpson "effective number of categories" is the caller's one-liner
+    * gini_den / (gini_den − gini_num). One row per group:
+    * (g, n, gini_num, gini_den).
+    *
+    * Scale shape: one partial-agg'd shuffle to (g, v) counts, one to
+    * groups — no joins, no broadcast, nothing global. Guard per group:
+    * n_g ≤ floor(sqrt(2^63)) so n² (which bounds Σc²) fits a long.
+    */
+  def concentrationPerGroup(df: DataFrame, group: Column, value: Column): DataFrame =
+    df.select(group.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+      .groupBy("g").agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"))
+      .select(
+        col("g"), col("n"),
+        guard(col("n") <= lit(3037000499L),
+          col("n") * col("n") - col("s2"),
+          concat(
+            lit("[eval-metrics] concentrationPerGroup overflow: group "),
+            col("g").cast("string"), lit(" has n="), col("n"),
+            lit(" rows, n^2 would overflow; sample within groups first"))).as("gini_num"),
+        when(col("n") <= lit(3037000499L), col("n") * col("n"))
+          .cast(org.apache.spark.sql.types.LongType).as("gini_den"))
+
+  /** Total variation distance between two samples of a CATEGORICAL
+    * value — the drift statistic for columns KS cannot rank (language,
+    * source, event type: KS needs an order; TVD is order-free and equals
+    * the largest probability difference over ANY event set, i.e. "the
+    * fraction of corpus mass that moved"). Exact rational:
+    * TVD = (1/2)·Σ_v |p_v/n1 − q_v/n2| = tvd_num/tvd_den with
+    * tvd_num = Σ_v |p_v·n2 − q_v·n1| and tvd_den = 2·n1·n2 — pure
+    * integers, so the oracle replays it bit-identically. Output (one
+    * row): n1, n2, tvd_num, tvd_den. (Per-category attribution is the
+    * caller's one-liner over the same counts frame; the statistic needs
+    * no argmax, unlike KS's sup.)
+    *
+    * Scale shape: ONE partial-agg'd shuffle to per-category counts and a
+    * bounded broadcast of the totals row — no cumulative pass at all
+    * (TVD needs no order), so it is strictly cheaper than [[ksTest]].
+    * Guards: both samples non-empty and n1·n2 < 2^62 (the denominator is
+    * 2·n1·n2, and Σ_v |p·n2 − q·n1| ≤ 2·n1·n2 bounds the numerator sum
+    * by the same product, so one check covers every intermediate);
+    * beyond the bound pre-aggregate and go through [[tvdCountsRescaled]].
+    */
+  def tvdTest(df: DataFrame, inFirst: Column, value: Column): DataFrame =
+    tvdCounts(df
+      .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
+
+  /** [[tvdTest]] from PRE-AGGREGATED per-category counts `(v, p, q)` —
+    * same guards and output columns as the row-level tier. */
+  def tvdCounts(perV: DataFrame): DataFrame = {
+    val tot = perV.agg(sum("p").as("n1"), sum("q").as("n2"))
+      .select(
+        guard(
+          col("n1") > 0L && col("n2") > 0L &&
+            col("n1") <= expr(s"${Long.MaxValue / 2}L div n2"),
+          col("n1"),
+          concat(
+            lit("[eval-metrics] tvdTest needs both samples non-empty and n1*n2 < 2^62 (n1="),
+            coalesce(col("n1"), lit(0L)), lit(", n2="), coalesce(col("n2"), lit(0L)),
+            lit("); pre-aggregate and rescale with tvdCountsRescaled beyond the bound"))).as("n1"),
+        col("n2"))
+    perV.crossJoin(broadcast(tot))
+      .withColumn("dev", abs(col("p") * col("n2") - col("q") * col("n1")))
+      .groupBy("n1", "n2")
+      .agg(sum(col("dev")).as("tvd_num"))
+      .select(
+        col("n1"), col("n2"), col("tvd_num"),
+        (lit(2L) * col("n1") * col("n2")).as("tvd_den"))
+  }
+
+  /** [[tvdCounts]] over [[rescaleCounts]]-downscaled counts — valid at
+    * any corpus size; see [[ksTestCountsRescaled]] for the contract. */
+  def tvdCountsRescaled(perV: DataFrame): DataFrame =
+    tvdCounts(rescaleCounts(perV, Seq("p", "q")))
+
+  /** Per-group categorical drift: the TVD of EACH group's category
+    * distribution against the REST of the corpus — the "which source
+    * changed its language mix" ranking, order-free where
+    * [[ksTestPerGroup]] needs a binned order. One row per group:
+    * (g, n, n_rest, tvd_num, tvd_den) with
+    * TVD_g = Σ_v |c_gv·(N−n_g) − (C_v−c_gv)·n_g| / (2·n_g·(N−n_g)).
+    *
+    * Scale shape: one partial-agg'd shuffle to (g, v) counts, bounded
+    * aggregates for the category dictionary and group sizes, and an
+    * equi-join back on v — NO dense group×category grid: categories a
+    * group never saw contribute n_g·C_v each, folded in as the closed
+    * form n_g·(N − Σ_{v∈g} C_v), so the join stays proportional to the
+    * observed (g, v) pairs. Guards per group: non-empty complement and
+    * n_g·(N−n_g) < 2^62.
+    */
+  def tvdPerGroup(df: DataFrame, group: Column, value: Column): DataFrame = {
+    // persistOnce: the (g, v) dictionary feeds the category totals, the
+    // group sizes AND the deviation join — cached, the corpus is scanned
+    // once and the bounded aggregate serves all three
+    val perGV = graft.Q.persistOnce(df.select(group.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c")))
+    val perV = perGV.groupBy("v").agg(sum("c").as("cv"))
+    val perG = perGV.groupBy("g").agg(sum("c").as("n"))
+    val tot = perV.agg(sum("cv").as("nn"))
+    perGV.join(perV, "v")
+      .join(perG, "g")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("g"), col("n"), col("nn"))
+      .agg(
+        sum(abs(col("c") * (col("nn") - col("n")) -
+          (col("cv") - col("c")) * col("n"))).as("dev_present"),
+        sum(col("cv")).as("sv"))
+      .select(
+        col("g"), col("n"), (col("nn") - col("n")).as("n_rest"),
+        guard(
+          col("n") > 0L && col("nn") > col("n") &&
+            col("n") <= expr(s"${Long.MaxValue / 2}L div (nn - n)"),
+          // categories absent from g contribute C_v·n_g each: their sum
+          // is n_g·(N − Σ_{v seen by g} C_v)
+          col("dev_present") + col("n") * (col("nn") - col("sv")),
+          concat(
+            lit("[eval-metrics] tvdPerGroup needs every group to have a non-empty "),
+            lit("complement and n_g*(N-n_g) < 2^62 (g="), col("g").cast("string"),
+            lit(", n="), col("n"), lit(", N="), col("nn"), lit(")"))).as("tvd_num"),
+        (lit(2L) * col("n") * (col("nn") - col("n"))).as("tvd_den"))
+  }
+
+  /** Two-sample Pearson chi-square over a CATEGORICAL value — the
+    * drift statistic that, unlike [[tvdTest]]'s mass-moved view, weights
+    * deviations by the rarity of the category (a rare language doubling
+    * its share registers strongly). For the 2×C table of samples
+    * 1/2 × categories, the statistic reduces to
+    * chi² = Σ_v Δ_v² / (n1·n2·C_v) with Δ_v = p_v·n2 − q_v·n1 and
+    * C_v = p_v + q_v. Emitted as chi2_num = Σ_v floor(Δ_v²/C_v) and
+    * chi2_den = n1·n2 — each per-category term floors once, losing < 1
+    * unit per OBSERVED category out of a numerator of order chi²·n1·n2,
+    * and integer flooring is engine-portable so the oracle replays the
+    * statistic bit-identically. Output (one row): n1, n2, chi2_num,
+    * chi2_den (chi² = chi2_num/chi2_den, df = C−1 for the caller).
+    *
+    * The squared term never materializes Δ_v² (which alone would need
+    * n1·n2 < 2^31.5): with Δ = q·C + r (integer div/mod by C),
+    * floor(Δ²/C) = Δ·q + (r·Δ) div C — every intermediate is bounded by
+    * (n1+n2)·n1·n2, which the guard requires < 2^63 (both samples
+    * non-empty and n1 ≤ (2^63−1) div n2 div (n1+n2); floor-division
+    * composes, so the check itself cannot overflow). Beyond the bound,
+    * pre-aggregate and go through [[chiSquareCountsRescaled]].
+    *
+    * Scale shape: identical to [[tvdCounts]] — one partial-agg'd shuffle
+    * to per-category counts plus a broadcast totals row.
+    */
+  def chiSquareTest(df: DataFrame, inFirst: Column, value: Column): DataFrame =
+    chiSquareCounts(df
+      .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
+
+  /** [[chiSquareTest]] from PRE-AGGREGATED per-category counts
+    * `(v, p, q)` — same guards and output columns as the row-level
+    * tier. */
+  def chiSquareCounts(perV: DataFrame): DataFrame = {
+    val tot = perV.agg(sum("p").as("n1"), sum("q").as("n2"))
+      .select(
+        guard(
+          col("n1") > 0L && col("n2") > 0L &&
+            col("n1") <= expr(s"(${Long.MaxValue}L div n2) div (n1 + n2)"),
+          col("n1"),
+          concat(
+            lit("[eval-metrics] chiSquareTest needs both samples non-empty and "),
+            lit("n1*n2*(n1+n2) < 2^63 (n1="), coalesce(col("n1"), lit(0L)),
+            lit(", n2="), coalesce(col("n2"), lit(0L)),
+            lit("); pre-aggregate and rescale with chiSquareCountsRescaled beyond the bound"))).as("n1"),
+        col("n2"))
+    perV.crossJoin(broadcast(tot))
+      .withColumn("cc", col("p") + col("q"))
+      .withColumn("d", abs(col("p") * col("n2") - col("q") * col("n1")))
+      // floor(d^2/cc) without materializing d^2: d = qd*cc + r
+      .withColumn("qd", expr("d div cc"))
+      .withColumn("r", col("d") % col("cc"))
+      .withColumn("t", col("d") * col("qd") + expr("(r * d) div cc"))
+      .groupBy("n1", "n2")
+      .agg(sum(col("t")).as("chi2_num"))
+      .select(
+        col("n1"), col("n2"), col("chi2_num"),
+        (col("n1") * col("n2")).as("chi2_den"))
+  }
+
+  /** [[chiSquareCounts]] over counts downscaled to the chi-square
+    * tier's TIGHTER budget (n1·n2·N < 2^63, hence the cube-root shift) —
+    * valid at any corpus size. UNLIKE TVD and KS (probabilities —
+    * invariant under a uniform count rescale), chi-square is EXTENSIVE:
+    * it grows linearly with sample size, so a 2^k downscale shrinks the
+    * statistic by the same 2^k. The output therefore carries a `shift`
+    * column: chi2 of the ORIGINAL corpus ≈ (chi2_num / chi2_den) · 2^shift
+    * (to within the per-count flooring term), and n1/n2 are in rescaled
+    * units. Inside the bound shift = 0 and every other column is
+    * bit-identical to [[chiSquareCounts]]. */
+  def chiSquareCountsRescaled(perV: DataFrame): DataFrame = {
+    val scaled = rescaleCounts(perV, Seq("p", "q"), withSumTerm = true, keepShift = true)
+    // shift is constant on every row; re-deriving it from the (bounded,
+    // dictionary-sized) counts frame is cheaper than a persist
+    val k = scaled.agg(max(col("shift")).as("shift"))
+    chiSquareCounts(scaled.drop("shift")).crossJoin(broadcast(k))
+  }
 
   /** Krippendorff's alpha (nominal metric) over a long ratings frame
     * (unit, rater, value) — the multi-rater agreement statistic that,
@@ -331,12 +692,28 @@ object EvalMetrics {
       sum(col("nc")).as("nn"),
       sum(col("nc") * col("nc")).as("nc2"))
     val units = mu.agg(count(lit(1)).as("n_units"), sum("m").as("n_pairable"))
+    // Same refuse-loudly contract as the sibling statistics, on the
+    // single totals row: N² must fit a long (the guard's pass branch is
+    // the only place N² is computed — CaseWhen branches evaluate lazily,
+    // so the CHECK itself cannot overflow) and a panel where every
+    // pairable rating shares one category (expected disagreement 0, the
+    // 0/0 alpha) raises instead of leaking an engine-dependent
+    // null-vs-error downstream.
+    val sExpr = col("nn") * col("nn") - col("nc2")
     units.crossJoin(broadcast(tot)).crossJoin(broadcast(doSum))
       .select(
         col("n_units"), col("n_pairable"), col("do_num"),
-        (col("nn") * col("nn") - col("nc2") -
-          col("do_num") * (col("nn") - lit(dLcm))).as("alpha_num"),
-        (col("nn") * col("nn") - col("nc2")).as("alpha_den"))
+        guard(col("nn") <= lit(3037000499L),
+          guard(sExpr > 0L,
+            sExpr - col("do_num") * (col("nn") - lit(dLcm)),
+            lit("[eval-metrics] krippendorffAlpha undefined: every pairable rating " +
+              "shares one category (expected disagreement 0)")),
+          concat(
+            lit("[eval-metrics] krippendorffAlpha overflow: weighted total N="),
+            col("nn"), lit(" would overflow N^2; rate a sample of units instead")))
+          .as("alpha_num"),
+        when(col("nn") <= lit(3037000499L), sExpr).cast(org.apache.spark.sql.types.LongType)
+          .as("alpha_den"))
   }
 
   private def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)

@@ -6,7 +6,7 @@ import graft.operators.{Blocking, EvalMetrics, Triangles}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Corpus evaluation + monitoring operators (SURVEY.md B80-B87): the
+/** Corpus evaluation + monitoring operators (SURVEY.md B80-B88): the
   * statistics a 100 TB training-data pipeline computes ABOUT its own
   * corpus and filter models between snapshots — drift detection
   * (two-sample KS), quality-classifier evaluation (exact ROC-AUC,
@@ -499,9 +499,12 @@ object AnalysisQueries {
     Q(
       "q184_auc_binned",
       (s, dir) => {
-        val scored = qpos(s, dir)
+        // persistOnce: scored feeds the exact AUC, the quantile-sketch
+        // bounds pass AND the bin assignment — uncached, the embedding
+        // explode+aggregate would run three times
+        val scored = Q.persistOnce(qpos(s, dir)
           .groupBy("vec_id", "label")
-          .agg(sum(col("qv") * scoreW).as("s"))
+          .agg(sum(col("qv") * scoreW).as("s")))
         val exact = EvalMetrics.rocAuc(scored, col("label") >= 5, col("s"))
         val binned = Q.persistOnce(EvalMetrics.quantileBin(
           scored.select((col("label") >= 5).as("y"), col("s")), col("s"), 64))
@@ -631,9 +634,11 @@ object AnalysisQueries {
       "q188_krippendorff_alpha",
       (s, dir) => {
         val raters = s.range(4).select(col("id").cast(IntegerType).as("rt"))
-        val key = (p: String) => conv(substring(md5(
+        // the portable 60-bit hash contract lives in ONE place
+        // (GraftFunctions.hash60); only the key layout is local
+        val key = (p: String) => graft.functions.GraftFunctions.hash60(
           concat(lit(p), col("rt").cast(StringType), lit(":"),
-            col("vec_id").cast(StringType))), 1, 15), 16, 10).cast(LongType)
+            col("vec_id").cast(StringType)))
         val ratings = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("label").cast(LongType).as("lab"))
           .crossJoin(broadcast(raters))
@@ -800,6 +805,136 @@ object AnalysisQueries {
                   FROM lab2)
         SELECT ks_ppm, auc_ppm, kappa_ppm, n_boilerplate, n_review_reach
         FROM ks, auc, kap, boiler, reach"""
-      })
+      }),
+
+    // B88: categorical drift as exact total variation distance — the
+    // order-free complement to q174's KS (language/source/event-type
+    // columns have no order for a CDF sup; TVD = half the L1 gap = "the
+    // fraction of corpus mass that moved"). One partial-agg'd shuffle to
+    // per-category counts, broadcast totals, no cumulative pass at all.
+    Q(
+      "q189_tvd_drift",
+      (s, dir) =>
+        EvalMetrics.tvdTest(
+          Tables.documents(s, dir),
+          col("doc_id") % 2 === 0,
+          col("lang")),
+      Some("""
+        WITH t AS (SELECT doc_id % 2 = 0 AS s1, lang AS v FROM documents),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv)
+        SELECT n1, n2,
+               CAST(SUM(abs(p * n2 - q * n1)) AS BIGINT) AS tvd_num,
+               CAST(2 * n1 * n2 AS BIGINT) AS tvd_den
+        FROM pv, n
+        GROUP BY n1, n2""")),
+
+    // B88: the chi-square tier of the same categorical drift — weights
+    // deviations by category rarity (a rare event type doubling its
+    // share registers strongly where TVD barely moves). Every
+    // per-category term is the staged integer floor(d^2/c) (d = qd*c + r
+    // => d*qd + (r*d) div c), so no intermediate ever materializes d^2
+    // and both engines floor identically.
+    Q(
+      "q190_chi2_drift",
+      (s, dir) =>
+        EvalMetrics.chiSquareTest(
+          Tables.events(s, dir),
+          col("event_id") % 2 === 0,
+          col("event_type")),
+      Some("""
+        WITH t AS (SELECT event_id % 2 = 0 AS s1, event_type AS v FROM events),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv),
+        d AS (SELECT n1, n2, p + q AS cc, abs(p * n2 - q * n1) AS dd FROM pv, n),
+        terms AS (SELECT n1, n2, dd * (dd // cc) + ((dd % cc) * dd) // cc AS tt FROM d)
+        SELECT n1, n2, CAST(SUM(tt) AS BIGINT) AS chi2_num,
+               CAST(n1 * n2 AS BIGINT) AS chi2_den
+        FROM terms GROUP BY n1, n2""")),
+
+    // B88 sliced: which SOURCE changed its language mix vs the rest of
+    // the corpus — tvdPerGroup ranks sources by an exact rational with
+    // no dense group x category grid (absent categories fold into the
+    // closed form n_g * (N - sum of C_v seen by g)).
+    Q(
+      "q191_source_tvd",
+      (s, dir) =>
+        EvalMetrics.tvdPerGroup(
+            Tables.documents(s, dir), col("source"), col("lang"))
+          .orderBy((col("tvd_num").cast(DoubleType) / col("tvd_den")).desc, col("g")),
+      Some("""
+        WITH t AS (SELECT source AS g, lang AS v FROM documents),
+        pgv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1, 2),
+        pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv FROM pgv GROUP BY 1),
+        pg AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM pgv GROUP BY 1),
+        tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS nn FROM pv),
+        dev AS (SELECT pgv.g, pg.n, nn,
+                       abs(pgv.c * (nn - pg.n) - (pv.cv - pgv.c) * pg.n) AS dv,
+                       pv.cv
+                FROM pgv JOIN pv USING (v) JOIN pg USING (g) CROSS JOIN tot)
+        SELECT g, n, CAST(nn - n AS BIGINT) AS n_rest,
+               CAST(SUM(dv) + n * (nn - SUM(cv)) AS BIGINT) AS tvd_num,
+               CAST(2 * n * (nn - n) AS BIGINT) AS tvd_den
+        FROM dev
+        GROUP BY g, n, nn
+        ORDER BY CAST(tvd_num AS DOUBLE) / tvd_den DESC, g""")),
+
+    // B89: Wasserstein-1 (earth-mover) drift over document length — the
+    // drift MAGNITUDE complement to q174's KS sup: W1 integrates |F1-F2|
+    // over the value axis, so it reports HOW FAR the length distribution
+    // moved, in characters. Summation by parts folds the gap-weighted
+    // cumulative sum into one plain aggregate over the PrefixSum frame
+    // (no lead/lag, no second ordered pass).
+    Q(
+      "q192_w1_drift",
+      (s, dir) =>
+        EvalMetrics.wasserstein1(
+          Tables.documents(s, dir),
+          col("doc_id") % 2 === 0,
+          length(col("text")).cast(LongType)),
+      Some("""
+        WITH t AS (SELECT doc_id % 2 = 0 AS s1, CAST(length(text) AS BIGINT) AS v
+                   FROM documents),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        c AS (SELECT v, p, q,
+                     CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS c1,
+                     CAST(SUM(q) OVER (ORDER BY v) AS BIGINT) AS c2
+              FROM pv),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv),
+        m AS (SELECT MIN(v) AS vmin FROM pv)
+        SELECT n1, n2,
+               CAST(SUM((v - vmin) * (abs((c1 - p) * n2 - (c2 - q) * n1)
+                                      - abs(c1 * n2 - c2 * n1))) AS BIGINT) AS w1_num,
+               CAST(n1 * n2 AS BIGINT) AS w1_den
+        FROM c, n, m
+        GROUP BY n1, n2""")),
+
+    // B90: per-source language concentration (Gini impurity, exact
+    // rational (n^2 - sum c^2)/n^2) — the within-snapshot degeneracy
+    // monitor beside q191's between-snapshot movement ranking: a source
+    // whose language mix collapsed to one value shows gini -> 0. Two
+    // partial-agg'd shuffles, no joins.
+    Q(
+      "q193_source_concentration",
+      (s, dir) =>
+        EvalMetrics.concentrationPerGroup(
+            Tables.documents(s, dir), col("source"), col("lang"))
+          .orderBy("g"),
+      Some("""
+        WITH pgv AS (SELECT source AS g, lang AS v, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM documents GROUP BY 1, 2)
+        SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS gini_num,
+               CAST(SUM(c) * SUM(c) AS BIGINT) AS gini_den
+        FROM pgv GROUP BY g ORDER BY g"""))
   )
 }

@@ -183,6 +183,58 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("rescaled counts tier survives beyond the 2^63 product bound (BigInt reference)") {
+    // Synthetic per-bin histograms with ~6e10 rows per sample: n1*n2 ~
+    // 4e21 >> 2^63, so the exact tier's guard would raise — the rescaled
+    // tier must run, and its D must match the BigInt-exact D to within
+    // the documented flooring term (bins * 2^k rows per sample).
+    val bins = 16
+    val counts = Seq.tabulate(bins) { b =>
+      (b.toLong,
+        3_500_000_000L + b * 137_000_000L, // sample 1 leans low bins
+        3_500_000_000L + (bins - 1 - b) * 151_000_000L) // sample 2 leans high
+    }
+    val df = counts.toDF("v", "p", "q")
+    intercept[Exception] { EvalMetrics.ksTestCounts(df).collect() } // exact tier refuses
+    val got = EvalMetrics.ksTestCountsRescaled(df)
+      .select("n1", "n2", "d_num", "d_den").as[(Long, Long, Long, Long)].collect().head
+    val (n1, n2) = (counts.map(_._2).sum, counts.map(_._3).sum)
+    assert(got._1 > 0L && got._2 > 0L && got._4 > 0L)
+    val k = math.max(0, math.ceil(
+      (math.log(n1.toDouble) / math.log(2) + math.log(n2.toDouble) / math.log(2) - 60) / 2).toInt)
+    assert(k > 0, "test must actually exercise the rescale path")
+    // BigInt-exact D vs the rescaled rational
+    val exactD = {
+      var (c1, c2) = (BigInt(0), BigInt(0))
+      counts.map { case (_, p, q) =>
+        c1 += p; c2 += q
+        (c1 * n2 - c2 * n1).abs
+      }.max
+    }
+    val dExact = BigDecimal(exactD) / (BigDecimal(n1) * BigDecimal(n2))
+    val dScaled = BigDecimal(got._3) / BigDecimal(got._4)
+    val floorTerm = BigDecimal(bins.toLong * (1L << k)) /
+      BigDecimal(math.min(got._1, got._2)) // rescaled-unit sample sizes
+    assert((dExact - dScaled).abs <= floorTerm,
+      s"k=$k dExact=$dExact dScaled=$dScaled floorTerm=$floorTerm")
+    // AUC twin: runs, stays in [0, 1], exact tier refuses the same input
+    intercept[Exception] {
+      EvalMetrics.rocAucCounts(df.withColumnRenamed("v", "s")).collect()
+    }
+    val auc = EvalMetrics.rocAucCountsRescaled(df.withColumnRenamed("v", "s"))
+      .select("auc_num", "auc_den").as[(Long, Long)].collect().head
+    assert(auc._2 > 0L && auc._1 >= 0L && auc._1 <= auc._2)
+  }
+
+  test("rescale is a bit-identical no-op inside the bound") {
+    val counts = Seq((1L, 10L, 20L), (2L, 30L, 5L), (5L, 7L, 9L))
+    val a = EvalMetrics.ksTestCounts(counts.toDF("v", "p", "q"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    val b = EvalMetrics.ksTestCountsRescaled(counts.toDF("v", "p", "q"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(a == b)
+  }
+
   test("rocAucBinned: exact over bin ids, within the tie-mass band of exact") {
     for (trial <- 1 to 3) {
       val pos = Seq.fill(250)(rng.nextInt(900).toLong + 40 * trial)
@@ -411,5 +463,223 @@ class AnalysisSpec extends SparkSpec {
       // global count invariant: sum(tri) = 3 * |triangles|
       assert(got.values.map(_._2).sum == 3L * triples.size, s"trial $trial global")
     }
+  }
+
+  test("tvdTest equals the brute-force reference") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(400)((rng.nextBoolean(), s"c${rng.nextInt(8)}"))
+      val got = EvalMetrics.tvdTest(rows.toDF("s1", "v"), col("s1"), col("v"))
+        .as[(Long, Long, Long, Long)].collect().head
+      val c1 = rows.filter(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c2 = rows.filterNot(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (n1, n2) = (c1.values.sum, c2.values.sum)
+      val num = (c1.keySet ++ c2.keySet).toSeq
+        .map(v => math.abs(c1.getOrElse(v, 0L) * n2 - c2.getOrElse(v, 0L) * n1)).sum
+      assert(got == ((n1, n2, num, 2 * n1 * n2)), s"trial $trial")
+      // TVD is a probability: 0 <= num <= den
+      assert(got._3 >= 0L && got._3 <= got._4, s"trial $trial range")
+    }
+  }
+
+  test("chiSquareTest matches the BigInt floored reference") {
+    for (trial <- 1 to 3) {
+      // skewed category masses so rare-category weighting is exercised
+      val rows = Seq.fill(500)(
+        (rng.nextInt(3) > 0, s"c${math.min(rng.nextInt(10), rng.nextInt(10))}"))
+      val got = EvalMetrics.chiSquareTest(rows.toDF("s1", "v"), col("s1"), col("v"))
+        .as[(Long, Long, Long, Long)].collect().head
+      val c1 = rows.filter(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c2 = rows.filterNot(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (n1, n2) = (c1.values.sum, c2.values.sum)
+      val num = (c1.keySet ++ c2.keySet).toSeq.map { v =>
+        val (p, q) = (c1.getOrElse(v, 0L), c2.getOrElse(v, 0L))
+        val d = BigInt(p * n2 - q * n1).abs
+        (d * d / BigInt(p + q)).toLong
+      }.sum
+      assert(got == ((n1, n2, num, n1 * n2)), s"trial $trial")
+      // floored-integer chi2 stays within 1 of the float statistic * den
+      val floatChi = (c1.keySet ++ c2.keySet).toSeq.map { v =>
+        val (p, q) = (c1.getOrElse(v, 0L), c2.getOrElse(v, 0L))
+        val d = (p * n2 - q * n1).toDouble
+        d * d / ((p + q).toDouble * n1 * n2)
+      }.sum
+      assert(math.abs(got._3.toDouble / got._4 - floatChi) < 12.0 / (n1 * n2).toDouble,
+        s"trial $trial float cross-check")
+    }
+  }
+
+  test("tvdPerGroup equals the brute-force reference (absent categories included)") {
+    for (trial <- 1 to 3) {
+      // deliberately give one group a private category so the
+      // absent-category closed form n_g*(N - sum cv) is exercised both ways
+      val rows = Seq.fill(300)((s"g${rng.nextInt(5)}", s"c${rng.nextInt(6)}")) ++
+        Seq.fill(20)(("g0", "only0"))
+      val got = EvalMetrics.tvdPerGroup(rows.toDF("g", "v"), col("g"), col("v"))
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val tot = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val nn = rows.size.toLong
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val cg = rs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+        val n = rs.size.toLong
+        val num = tot.keySet.toSeq.map { v =>
+          val c = cg.getOrElse(v, 0L)
+          math.abs(c * (nn - n) - (tot(v) - c) * n)
+        }.sum
+        g -> ((n, nn - n, num, 2 * n * (nn - n)))
+      }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("categorical drift guards refuse empty samples loudly") {
+    val allFirst = Seq((true, "a"), (true, "b")).toDF("s1", "v")
+    val e1 = intercept[Exception] {
+      EvalMetrics.tvdTest(allFirst, col("s1"), col("v")).collect()
+    }
+    val e2 = intercept[Exception] {
+      EvalMetrics.chiSquareTest(allFirst, col("s1"), col("v")).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e1).contains("tvdTest needs both samples non-empty"))
+    assert(chain(e2).contains("chiSquareTest needs both samples non-empty"))
+  }
+
+  test("categorical rescaled tiers survive beyond their integer bounds") {
+    // ~6e9-per-category counts: n1*n2 ~ 2.3e21 >> 2^62, so both exact
+    // tiers refuse — the rescaled tiers must run and agree with the
+    // BigInt-exact statistic to within the documented flooring terms.
+    val cats = 8
+    val counts = Seq.tabulate(cats) { b =>
+      (s"c$b",
+        4_000_000_000L + b * 800_000_000L,
+        4_000_000_000L + (cats - 1 - b) * 700_000_000L)
+    }
+    val df = counts.toDF("v", "p", "q")
+    intercept[Exception] { EvalMetrics.tvdCounts(df).collect() }
+    intercept[Exception] { EvalMetrics.chiSquareCounts(df).collect() }
+    val (n1, n2) = (counts.map(_._2).sum, counts.map(_._3).sum)
+    val tvdExact = {
+      val num = counts.map { case (_, p, q) => (BigInt(p) * n2 - BigInt(q) * n1).abs }.sum
+      BigDecimal(num) / (BigDecimal(2) * BigDecimal(n1) * BigDecimal(n2))
+    }
+    val tvd = EvalMetrics.tvdCountsRescaled(df)
+      .select("n1", "n2", "tvd_num", "tvd_den").as[(Long, Long, Long, Long)].collect().head
+    assert(tvd._4 > 0L)
+    val kTvd = math.max(0, math.ceil(
+      (math.log(n1.toDouble) / math.log(2) + math.log(n2.toDouble) / math.log(2) - 60) / 2).toInt)
+    assert(kTvd > 0, "must exercise the rescale path")
+    val tvdScaled = BigDecimal(tvd._3) / BigDecimal(tvd._4)
+    val tvdFloor = BigDecimal(2L * cats * (1L << kTvd)) / BigDecimal(math.min(tvd._1, tvd._2))
+    assert((tvdExact - tvdScaled).abs <= tvdFloor, s"k=$kTvd exact=$tvdExact scaled=$tvdScaled")
+    val chiExact = {
+      val num = counts.map { case (_, p, q) =>
+        val d = (BigInt(p) * n2 - BigInt(q) * n1).abs
+        d * d / BigInt(p + q)
+      }.sum
+      BigDecimal(num) / (BigDecimal(n1) * BigDecimal(n2))
+    }
+    val chi = EvalMetrics.chiSquareCountsRescaled(df)
+      .select("n1", "n2", "chi2_num", "chi2_den", "shift")
+      .as[(Long, Long, Long, Long, Int)].collect().head
+    assert(chi._4 > 0L && chi._5 > 0, "must exercise the chi2 rescale path")
+    // chi-square is EXTENSIVE: a 2^k count downscale shrinks it by 2^k,
+    // which the shift column undoes. After the correction the statistic
+    // is smooth in the per-category masses; a relative band is the
+    // honest check (flooring shifts each count by < 2^k out of
+    // ~4e9-per-category masses)
+    val chiScaled =
+      BigDecimal(chi._3) / BigDecimal(chi._4) * BigDecimal(BigInt(1) << chi._5)
+    assert(chiExact > 0 && (chiExact - chiScaled).abs / chiExact < BigDecimal("0.02"),
+      s"exact=$chiExact scaled=$chiScaled shift=${chi._5}")
+  }
+
+  test("wasserstein1 equals the brute-force gap-weighted reference") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(400)((rng.nextBoolean(), rng.nextInt(120).toLong + 17 * trial))
+      val got = EvalMetrics.wasserstein1(rows.toDF("s1", "v"), col("s1"), col("v"))
+        .as[(Long, Long, Long, Long)].collect().head
+      val s1 = rows.filter(_._1).map(_._2).sorted
+      val s2 = rows.filterNot(_._1).map(_._2).sorted
+      val (n1, n2) = (s1.size.toLong, s2.size.toLong)
+      // brute force: walk the merged distinct values, gap * |C1*n2 - C2*n1|
+      val vs = (s1 ++ s2).distinct.sorted
+      val num = vs.zip(vs.tail).map { case (v, vNext) =>
+        val c1 = s1.count(_ <= v).toLong
+        val c2 = s2.count(_ <= v).toLong
+        (vNext - v) * math.abs(c1 * n2 - c2 * n1)
+      }.sum
+      assert(got == ((n1, n2, num, n1 * n2)), s"trial $trial")
+      assert(got._3 >= 0L, s"trial $trial nonneg")
+    }
+  }
+
+  test("wasserstein1 is translation-invariant and matches a known shift") {
+    // sample2 = sample1 + 3: W1 must be exactly 3 (every unit of mass
+    // moves 3), and shifting BOTH samples by a constant changes nothing
+    val base = Seq.fill(200)(rng.nextInt(50).toLong)
+    val rows = base.map((true, _)) ++ base.map(v => (false, v + 3L))
+    val got = EvalMetrics.wasserstein1(rows.toDF("s1", "v"), col("s1"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._4 == got._1 * got._2 && got._3 == 3L * got._4,
+      s"W1 should be exactly 3: $got")
+    val shifted = rows.map { case (s, v) => (s, v + 1000L) }
+    val got2 = EvalMetrics.wasserstein1(shifted.toDF("s1", "v"), col("s1"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got == got2)
+  }
+
+  test("wasserstein1 guards refuse empty samples and over-range grids loudly") {
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val allFirst = Seq((true, 1L), (true, 2L)).toDF("s1", "v")
+    val e1 = intercept[Exception] {
+      EvalMetrics.wasserstein1(allFirst, col("s1"), col("v")).collect()
+    }
+    assert(chain(e1).contains("wasserstein1 needs both samples non-empty"))
+    // range * n1 * n2 over 2^61: two points 2^62 apart
+    val wide = Seq((true, 0L), (false, 1L << 62)).toDF("s1", "v")
+    val e2 = intercept[Exception] {
+      EvalMetrics.wasserstein1(wide, col("s1"), col("v")).collect()
+    }
+    assert(chain(e2).contains("coarsen the value grid"))
+    // non-long value type refuses at plan time
+    val e3 = intercept[IllegalArgumentException] {
+      EvalMetrics.wasserstein1(
+        Seq((true, 1), (false, 2)).toDF("s1", "v"), col("s1"), col("v").cast("int"))
+    }
+    assert(e3.getMessage.contains("LongType"))
+  }
+
+  test("concentrationPerGroup equals the brute-force Gini reference") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(300)((s"g${rng.nextInt(4)}", s"c${math.min(rng.nextInt(6), rng.nextInt(6))}"))
+      val got = EvalMetrics.concentrationPerGroup(rows.toDF("g", "v"), col("g"), col("v"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        val n = rs.size.toLong
+        val s2 = rs.groupBy(_._2).values.map(c => c.size.toLong * c.size).sum
+        g -> ((n, n * n - s2, n * n))
+      }
+      assert(got == want, s"trial $trial")
+      // gini in [0, 1), pure group check: a group with one category is 0
+      got.values.foreach { case (_, num, den) =>
+        assert(num >= 0L && num < den)
+      }
+    }
+  }
+
+  test("categorical rescale is a bit-identical no-op inside the bounds") {
+    val counts = Seq(("a", 10L, 20L), ("b", 30L, 5L), ("c", 7L, 9L))
+    val df = counts.toDF("v", "p", "q")
+    val t1 = EvalMetrics.tvdCounts(df).as[(Long, Long, Long, Long)].collect().head
+    val t2 = EvalMetrics.tvdCountsRescaled(df).as[(Long, Long, Long, Long)].collect().head
+    assert(t1 == t2)
+    val c1 = EvalMetrics.chiSquareCounts(df).as[(Long, Long, Long, Long)].collect().head
+    val c2 = EvalMetrics.chiSquareCountsRescaled(df)
+      .as[(Long, Long, Long, Long, Int)].collect().head
+    assert((c1._1, c1._2, c1._3, c1._4, 0) == c2)
   }
 }

@@ -20,7 +20,8 @@ class RegistrySpec extends SparkSpec {
     // ORDER BYs, but the exemption, not the substring, is why they pass)
     "q174_ks_drift", "q175_roc_auc", "q177_cohen_kappa",
     "q182_monitor_report", "q183_ks_binned", "q184_auc_binned", "q188_krippendorff_alpha",
-    "q185_stream_drift_histogram")
+    "q185_stream_drift_histogram", "q189_tvd_drift", "q190_chi2_drift",
+    "q192_w1_drift")
 
   test("every registry entry analyzes against the live testdata (schema-drift guard)") {
     // Standing guard for the r7 failure mode: the driver regenerated
