@@ -48,7 +48,13 @@ object ScaleBench {
     // triangle screen, label prop and all three ppm statistics into one
     // report — the heaviest single registry entry, so its end-to-end
     // exponent is measured rather than inferred from its parts.
-    "q182_monitor_report")
+    "q182_monitor_report",
+    // The round-10 drift wing: q192 shares q174's PrefixSum shape (one
+    // range-exchange cumulative pass), the categorical statistics are
+    // single partial-agg shuffles — measured from day one like the r9
+    // wing rather than trusted from plan reads.
+    "q189_tvd_drift", "q190_chi2_drift", "q191_source_tvd",
+    "q192_w1_drift", "q193_source_concentration")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
