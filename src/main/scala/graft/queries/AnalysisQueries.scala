@@ -935,6 +935,95 @@ object AnalysisQueries {
         SELECT g, CAST(SUM(c) AS BIGINT) AS n,
                CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS gini_num,
                CAST(SUM(c) * SUM(c) AS BIGINT) AS gini_den
-        FROM pgv GROUP BY g ORDER BY g"""))
+        FROM pgv GROUP BY g ORDER BY g""")),
+
+    // B81+B88+B89 composition: the one-row "did the corpus move" panel a
+    // user runs between snapshots — ordinal drift (KS sup + W1 transport
+    // over document length) and categorical drift (TVD + chi-square over
+    // language), all from ONE text scan: the corpus reduces to a cached
+    // (len, lang) count cube whose two marginals feed all four
+    // statistics. Emitted as exact integer grids (ppm / x1000, integer
+    // div — positive operands, so Spark div and DuckDB // agree), which
+    // tightens the product bound by the grid factor: fine for a panel
+    // (beyond it, run the statistics individually via the rescaled
+    // tiers).
+    Q(
+      "q194_drift_panel",
+      (s, dir) => {
+        val perLL = Q.persistOnce(Tables.documents(s, dir)
+          .select(
+            (col("doc_id") % 2 === 0).as("s1"),
+            length(col("text")).cast(LongType).as("len"), col("lang"))
+          .groupBy("len", "lang")
+          .agg(
+            sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+            sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
+        val perLen = perLL.groupBy(col("len").as("v"))
+          .agg(sum("p").as("p"), sum("q").as("q"))
+        val perLang = perLL.groupBy(col("lang").as("v"))
+          .agg(sum("p").as("p"), sum("q").as("q"))
+        val ks = EvalMetrics.ksTestCounts(perLen)
+          .select(expr("(1000000 * d_num) div d_den").as("ks_ppm"))
+        val w1 = EvalMetrics.wasserstein1Counts(perLen)
+          .select(expr("(1000 * w1_num) div w1_den").as("w1_x1000"))
+        val tvd = EvalMetrics.tvdCounts(perLang)
+          .select(expr("(1000000 * tvd_num) div tvd_den").as("tvd_ppm"))
+        val chi = EvalMetrics.chiSquareCounts(perLang)
+          .select(expr("(1000 * chi2_num) div chi2_den").as("chi2_x1000"))
+        // four single-row scalar attaches (the sanctioned crossJoin form)
+        ks.crossJoin(w1).crossJoin(tvd).crossJoin(chi)
+      },
+      Some("""
+        WITH src AS (SELECT doc_id % 2 = 0 AS s1,
+                            CAST(length(text) AS BIGINT) AS len, lang
+                     FROM documents),
+        pll AS (SELECT len, lang,
+                       CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                       CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+                FROM src GROUP BY 1, 2),
+        plen AS (SELECT len AS v, CAST(SUM(p) AS BIGINT) AS p,
+                        CAST(SUM(q) AS BIGINT) AS q FROM pll GROUP BY 1),
+        plang AS (SELECT lang AS v, CAST(SUM(p) AS BIGINT) AS p,
+                         CAST(SUM(q) AS BIGINT) AS q FROM pll GROUP BY 1),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM plen),
+        clen AS (SELECT v, p, q,
+                        CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS c1,
+                        CAST(SUM(q) OVER (ORDER BY v) AS BIGINT) AS c2
+                 FROM plen),
+        m AS (SELECT MIN(v) AS vmin FROM plen),
+        ks AS (SELECT CAST((1000000 * MAX(abs(c1 * n2 - c2 * n1))) // (n1 * n2) AS BIGINT) AS ks_ppm
+               FROM clen, n GROUP BY n1, n2),
+        w1 AS (SELECT CAST((1000 * SUM((v - vmin) * (abs((c1 - p) * n2 - (c2 - q) * n1)
+                                                     - abs(c1 * n2 - c2 * n1)))) // (n1 * n2) AS BIGINT) AS w1_x1000
+               FROM clen, n, m GROUP BY n1, n2),
+        tvd AS (SELECT CAST((1000000 * SUM(abs(p * n2 - q * n1))) // (2 * n1 * n2) AS BIGINT) AS tvd_ppm
+                FROM plang, n GROUP BY n1, n2),
+        chit AS (SELECT n1, n2, p + q AS cc, abs(p * n2 - q * n1) AS dd FROM plang, n),
+        chi AS (SELECT CAST((1000 * SUM(dd * (dd // cc) + ((dd % cc) * dd) // cc)) // (n1 * n2) AS BIGINT) AS chi2_x1000
+                FROM chit GROUP BY n1, n2)
+        SELECT ks_ppm, w1_x1000, tvd_ppm, chi2_x1000 FROM ks, w1, tvd, chi""")),
+
+    // B91: privacy audit — k-anonymity class sizes and l-diversity of
+    // the sensitive column per quasi-identifier equivalence class, with
+    // violation flags. Two partial-agg'd shuffles, no joins; the inner
+    // (class, value) group bounds state by observed pairs.
+    Q(
+      "q196_kanon_audit",
+      (s, dir) =>
+        graft.operators.Privacy.kAnonymityAudit(
+            Tables.customer(s, dir),
+            Seq("c_nationkey", "c_mktsegment"), col("c_acctbal"),
+            k = 10L, l = 5L)
+          .orderBy("c_nationkey", "c_mktsegment"),
+      Some("""
+        WITH cs AS (SELECT c_nationkey, c_mktsegment, c_acctbal,
+                           CAST(COUNT(*) AS BIGINT) AS c
+                    FROM customer GROUP BY 1, 2, 3)
+        SELECT c_nationkey, c_mktsegment,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS l_distinct,
+               SUM(c) < 10 AS k_violation,
+               COUNT(*) < 5 AS l_violation
+        FROM cs GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -300,11 +300,57 @@ object StreamTwinQueries {
                CAST(n1 * n2 AS BIGINT) AS d_den, CAST(bin AS BIGINT) AS ks_at_bin
         FROM c, n
         ORDER BY d_num DESC, ks_at_bin
-        LIMIT 1"""))
+        LIMIT 1""")),
+
+    // B37/B88 twin: the CATEGORICAL drift statistic over a streamed
+    // complete-mode language histogram — the order-free complement of
+    // q185's streamed KS, same contract: the memory sink holds a SET of
+    // final per-category counts so batch boundaries cannot leak into the
+    // hash, and the oracle recomputes the identical exact rational from
+    // the batch table (it matches q189's batch path by construction —
+    // THAT is the batch≡stream assertion).
+    Q(
+      "q195_stream_tvd",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select("doc_id", "lang")
+        val tmp = graft.Q.scratchDir("stream_tvd")
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        writeReplayFile(docs.filter(col("doc_id") % 2 === 0), src, "snap_a", 0)
+        writeReplayFile(docs.filter(col("doc_id") % 2 === 1), src, "snap_b", 1)
+        val table = s"tvd_hist_${tvdHistRuns.incrementAndGet()}"
+        withStreamPartitions(s, 2) {
+          val q = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withColumn("s1", col("doc_id") % 2 === 0)
+            .groupBy("lang")
+            .agg(
+              sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+              sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
+            .writeStream.format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Complete)
+            .start()
+          q.awaitTermination()
+        }
+        graft.operators.EvalMetrics
+          .tvdCounts(s.table(table).select(col("lang").as("v"), col("p"), col("q")))
+      },
+      Some("""
+        WITH t AS (SELECT doc_id % 2 = 0 AS s1, lang AS v FROM documents),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv)
+        SELECT n1, n2,
+               CAST(SUM(abs(p * n2 - q * n1)) AS BIGINT) AS tvd_num,
+               CAST(2 * n1 * n2 AS BIGINT) AS tvd_den
+        FROM pv, n
+        GROUP BY n1, n2"""))
   )
 
   /** Memory-sink table names must be unique per drain within a session
     * (Bench's min-of-2, the registry sweeps): a monotonic suffix, not a
     * timestamp, so nothing data-affecting varies between runs. */
   private val driftHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val tvdHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }

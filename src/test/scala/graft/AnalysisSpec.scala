@@ -671,6 +671,25 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("kAnonymityAudit equals the brute-force reference (incl. null sensitive)") {
+    import graft.operators.Privacy
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(250)((
+        s"r${rng.nextInt(4)}", s"seg${rng.nextInt(3)}",
+        if (rng.nextInt(10) == 0) null else s"v${rng.nextInt(6)}"))
+      val got = Privacy.kAnonymityAudit(
+          rows.toDF("qa", "qb", "s"), Seq("qa", "qb"), col("s"), k = 15L, l = 4L)
+        .as[(String, String, Long, Long, Boolean, Boolean)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+      val want = rows.groupBy(r => (r._1, r._2)).map { case (g, rs) =>
+        val n = rs.size.toLong
+        val l = rs.map(_._3).distinct.size.toLong // null is one value
+        g -> ((n, l, n < 15L, l < 4L))
+      }
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("categorical rescale is a bit-identical no-op inside the bounds") {
     val counts = Seq(("a", 10L, 20L), ("b", 30L, 5L), ("c", 7L, 9L))
     val df = counts.toDF("v", "p", "q")
