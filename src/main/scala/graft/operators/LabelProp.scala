@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.NumericType
   * shuffles (vote counts grouped by (node, label) — bounded by the
   * label-set size per node — then an argmax struct-max per node) plus
   * one state join; state is one row per node, lineage cut per round via
-  * lazy localCheckpoint, the [[ConnectedComponents]] scale contract.
+  * eager localCheckpoint, the [[ConnectedComponents]] scale contract.
   */
 object LabelProp {
 
@@ -39,15 +39,16 @@ object LabelProp {
       .select(col("e.src").as("src"), col("e.dst").as("dst")))
     // State carries the clamped seed alongside the current label so each
     // round is ONE left join against the vote winners — not a re-join of
-    // nodes x seeds x previous x pick. Checkpoints are LAZY: the
-    // iteration count is fixed (no convergence action between rounds,
-    // unlike ConnectedComponents), so eager materialization would only
-    // add one driver-blocking job per round — lazy still truncates
-    // lineage at first evaluation and the whole chain collapses into the
-    // consumer's single action.
+    // nodes x seeds x previous x pick. Checkpoints are EAGER (the
+    // ConnectedComponents contract): every round's state has TWO
+    // consumers in the final action's DAG — the vote derivation and the
+    // next state join — and with a lazy checkpoint those branches race
+    // to compute the same partitions concurrently, doing each round's
+    // work twice and landing duplicate block-puts. One driver-blocking
+    // job per round buys single evaluation.
     var state = nodes.join(seeds, Seq("node"), "left")
       .select(col("node"), col("lbl").as("seed_lbl"), col("lbl"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     // The fast single-aggregate tie-break (max(struct(c, -lbl))) only
     // negates NUMERIC labels; for any other orderable label type (string
     // domain tags, dates) Spark's implicit double-cast of the unary minus
@@ -88,7 +89,7 @@ object LabelProp {
       state = state.join(pick, Seq("node"), "left")
         .select(col("node"), col("seed_lbl"),
           coalesce(col("seed_lbl"), col("voted"), col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     state.select(col("node"), col("lbl"))
   }

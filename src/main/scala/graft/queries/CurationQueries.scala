@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DateType
+import org.apache.spark.sql.types.{DateType, LongType}
 
 /** Corpus-curation operators a 100 TB training-data pipeline runs between
   * ingest and tokenization: coordinated (seed-reproducible) sampling,
@@ -739,6 +739,37 @@ object CurationQueries {
         SELECT source, w,
                CAST(base + CASE WHEN rk <= 1000000 - allocated THEN 1 ELSE 0 END AS BIGINT) AS alloc
         FROM r, u
-        ORDER BY source"""))
+        ORDER BY source""")),
+
+    // B92: leakage-safe leave-one-out target encoding — the feature is
+    // the mean order value of the OTHER rows in the category, as the
+    // exact rational (S_c − x)/(n_c − 1); singleton categories fall back
+    // to the global complement. One per-category aggregate + one
+    // equi-join back; no window, no per-row state. Target in paise so
+    // both engines stay in integer arithmetic end to end.
+    Q(
+      "q197_loo_target_encode",
+      (s, dir) =>
+        graft.operators.Encoding.looTargetEncode(
+            Tables.orders(s, dir).select(
+              col("o_orderkey"), col("o_orderpriority"),
+              // floor(x*100) both sides: identical input doubles floor
+              // identically, where CAST(double) rounds in DuckDB but
+              // truncates in Spark
+              floor(col("o_totalprice") * 100).cast(LongType).as("paise")),
+            col("o_orderpriority"), col("paise"))
+          .select("o_orderkey", "o_orderpriority", "loo_num", "loo_den")
+          .orderBy("o_orderkey"),
+      Some("""
+        WITH t AS (SELECT o_orderkey, o_orderpriority,
+                          CAST(floor(o_totalprice * 100) AS BIGINT) AS paise FROM orders),
+        c AS (SELECT o_orderpriority, CAST(SUM(paise) AS BIGINT) AS s,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY 1),
+        g AS (SELECT CAST(SUM(paise) AS BIGINT) AS gs, CAST(COUNT(*) AS BIGINT) AS gn FROM t)
+        SELECT o_orderkey, o_orderpriority,
+               CAST(CASE WHEN n > 1 THEN s - paise ELSE gs - paise END AS BIGINT) AS loo_num,
+               CAST(CASE WHEN n > 1 THEN n - 1 ELSE gn - 1 END AS BIGINT) AS loo_den
+        FROM t JOIN c USING (o_orderpriority) CROSS JOIN g
+        ORDER BY o_orderkey"""))
   )
 }

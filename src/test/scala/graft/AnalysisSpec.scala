@@ -690,6 +690,36 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("looTargetEncode equals brute force (singleton fallback, null category class)") {
+    import graft.operators.Encoding
+    for (trial <- 1 to 3) {
+      // one guaranteed singleton category and a null category class
+      val rows = Seq.fill(200)((
+        if (rng.nextInt(12) == 0) null else s"c${rng.nextInt(5)}",
+        rng.nextInt(1000).toLong)) :+ (("lonely", 777L))
+      val df = rows.toDF("cat", "t")
+      val got = Encoding.looTargetEncode(df, col("cat"), col("t"))
+        .select("cat", "t", "loo_num", "loo_den")
+        .as[(String, Long, Long, Long)].collect().sortBy(r => (Option(r._1), r._2))
+      val byCat = rows.groupBy(_._1)
+      val (gs, gn) = (rows.map(_._2).sum, rows.size.toLong)
+      val want = rows.map { case (c, t) =>
+        val rs = byCat(c)
+        if (rs.size > 1) (c, t, rs.map(_._2).sum - t, rs.size.toLong - 1)
+        else (c, t, gs - t, gn - 1)
+      }.sortBy(r => (Option(r._1), r._2))
+      assert(got.toSeq == want, s"trial $trial")
+    }
+    // null target refuses loudly
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val e = intercept[Exception] {
+      Encoding.looTargetEncode(
+        Seq(("a", Some(1L)), ("a", None)).toDF("cat", "t"), col("cat"), col("t")).collect()
+    }
+    assert(chain(e).contains("non-null target"))
+  }
+
   test("categorical rescale is a bit-identical no-op inside the bounds") {
     val counts = Seq(("a", 10L, 20L), ("b", 30L, 5L), ("c", 7L, 9L))
     val df = counts.toDF("v", "p", "q")
