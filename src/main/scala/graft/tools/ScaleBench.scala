@@ -54,7 +54,10 @@ object ScaleBench {
     // single partial-agg shuffles — measured from day one like the r9
     // wing rather than trusted from plan reads.
     "q189_tvd_drift", "q190_chi2_drift", "q191_source_tvd",
-    "q192_w1_drift", "q193_source_concentration")
+    "q192_w1_drift", "q193_source_concentration",
+    // the drift-panel composition (one text scan, four statistics), the
+    // governance audit and the LOO-encoding join-back
+    "q194_drift_panel", "q196_kanon_audit", "q197_loo_target_encode")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -174,6 +174,41 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("round-10 drift wing: categorical statistics never sort, order-free ops never window") {
+    // TVD/chi-square need NO order at all — one partial-agg'd shuffle to
+    // per-category counts plus a broadcast totals row; a Window or a
+    // global Sort in these plans would mean the implementation regressed
+    // to a cumulative pass it does not need. q192 (W1) and q194 (panel)
+    // keep the PrefixSum contract: no window, no cartesian.
+    for (n <- Seq("q189_tvd_drift", "q190_chi2_drift", "q193_source_concentration")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n grew a window it does not need:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+      assert(p.contains("partial_sum") || p.contains("partial_count"),
+        s"$n counts are not partial-agg'd:\n$p")
+    }
+    for (n <- Seq("q192_w1_drift", "q194_drift_panel", "q191_source_tvd")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n fell back to a window sort:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+    }
+  }
+
+  test("q196/q197: governance audit and target encoding stay join-light") {
+    // k-anonymity: two hash aggregates, nothing else — no join at all.
+    val ka = plan("q196_kanon_audit")
+    assert(!ka.contains("Join"), s"k-anonymity audit grew a join:\n$ka")
+    assert(!ka.contains("Window"), s"k-anonymity audit grew a window:\n$ka")
+    // LOO encoding: the category dictionary comes back on a broadcast
+    // equi-join (5 priorities), the global fallback on a 1-row broadcast
+    // nested loop — no window, no cartesian, no sort-merge on a
+    // dictionary AQE should broadcast.
+    val loo = plan("q197_loo_target_encode")
+    assert(!loo.contains("Window"), s"LOO encoding grew a window:\n$loo")
+    assert(!loo.contains("CartesianProduct"), s"LOO encoding went cartesian:\n$loo")
+    assert(loo.contains("BroadcastHashJoin"), s"category join not broadcast:\n$loo")
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
