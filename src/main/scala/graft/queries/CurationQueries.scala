@@ -770,6 +770,64 @@ object CurationQueries {
                CAST(CASE WHEN n > 1 THEN s - paise ELSE gs - paise END AS BIGINT) AS loo_num,
                CAST(CASE WHEN n > 1 THEN n - 1 ELSE gn - 1 END AS BIGINT) AS loo_den
         FROM t JOIN c USING (o_orderpriority) CROSS JOIN g
-        ORDER BY o_orderkey"""))
+        ORDER BY o_orderkey""")),
+
+    // B94: lagged co-movement per event type — the week-over-week
+    // autocorrelation summary behind "is this series momentum-driven":
+    // daily exact-integer value sums (floor PER ROW, then integer sum —
+    // a float SUM would wobble with aggregation order across engines),
+    // self-joined at lag 7, reduced to scale-cleared co-moment
+    // numerators (cov_num = n·Σxy − ΣxΣy, var?_num likewise; r² =
+    // cov²/(varx·vary) and sign(r) = sign(cov) are the caller's
+    // one-liners). In-plan guard n·max(Σx², Σy²) < 2^62 — by
+    // Cauchy–Schwarz that bounds every emitted product. One aggregate
+    // shuffle to (type, day), one equi-join at the lag, one bounded
+    // per-type aggregate.
+    Q(
+      "q199_lag_autocorr",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(sum(floor(col("value"))).as("x"))
+        val lead7 = daily.select(col("g"), (col("d") - 7).as("d"), col("x").as("y"))
+        val k62 = Long.MaxValue / 2
+        daily.join(lead7, Seq("g", "d"))
+          .groupBy("g")
+          .agg(
+            count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"),
+            sum(col("y") * col("y")).as("sy2"))
+          .select(
+            col("g"), col("n"),
+            when(
+              col("sx2") <= expr(s"${k62}L div n") && col("sy2") <= expr(s"${k62}L div n"),
+              col("n") * col("sxy") - col("sx") * col("sy"))
+              .otherwise(raise_error(concat(
+                lit("[lag-autocorr] co-moment overflow for group "), col("g"),
+                lit(": rescale the value unit (n*max(sum x^2, sum y^2) must stay < 2^62)")))
+                .cast(LongType))
+              .as("cov_num"),
+            (col("n") * col("sx2") - col("sx") * col("sx")).as("varx_num"),
+            (col("n") * col("sy2") - col("sy") * col("sy")).as("vary_num"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        p AS (SELECT a.g, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(a.x) AS BIGINT) AS sx, CAST(SUM(b.x) AS BIGINT) AS sy,
+                     CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+                     CAST(SUM(a.x * a.x) AS BIGINT) AS sx2,
+                     CAST(SUM(b.x * b.x) AS BIGINT) AS sy2
+              FROM daily a JOIN daily b ON a.g = b.g AND b.d = a.d + 7
+              GROUP BY 1)
+        SELECT g, n, CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+               CAST(n * sx2 - sx * sx AS BIGINT) AS varx_num,
+               CAST(n * sy2 - sy * sy AS BIGINT) AS vary_num
+        FROM p ORDER BY g"""))
   )
 }

@@ -394,6 +394,265 @@ object EventQueries {
                count(DISTINCT u.user_id) AS n_active
         FROM uw u JOIN cohort c ON u.user_id = c.user_id
         GROUP BY 1, 2
-        ORDER BY cohort_week, week_offset"""))
+        ORDER BY cohort_week, week_offset""")),
+
+    // B93: user-journey transition matrix — first-order Markov counts
+    // over each user's event sequence: consecutive (state -> next state)
+    // pairs per user under a total order (ts, event_id tiebreak), then
+    // the (from, to) count grid with the from-marginal attached, so the
+    // row-conditional transition probability is the caller's exact
+    // rational n/n_from. The per-user lead is a GROUPED window
+    // (partition-parallel by user — the safe kind; a user's history fits
+    // a partition by construction), and the grid is one partial-agg'd
+    // shuffle bounded by |event types|².
+    Q(
+      "q198_transition_matrix",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_state", lead(col("event_type"), 1).over(w))
+          .filter(col("to_state").isNotNull)
+          .groupBy(col("event_type").as("from_state"), col("to_state"))
+          .agg(count(lit(1)).as("n"))
+        val marg = pairs.groupBy("from_state").agg(sum("n").as("n_from"))
+        pairs.join(marg, "from_state")
+          .select("from_state", "to_state", "n", "n_from")
+          .orderBy("from_state", "to_state")
+      },
+      Some("""
+        WITH seq AS (SELECT event_type AS from_state,
+                            lead(event_type) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) AS to_state
+                     FROM events),
+        pairs AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        marg AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+                 FROM pairs GROUP BY 1)
+        SELECT from_state, to_state, n, n_from
+        FROM pairs JOIN marg USING (from_state)
+        ORDER BY from_state, to_state""")),
+
+    // B95: frequent journey trigrams — the second-order complement of the
+    // q198 transition matrix: which THREE-step paths dominate. Two leads
+    // over the same grouped per-user window, then one partial-agg'd count
+    // over a grid bounded by |event types|³, top-15 under a total order
+    // (count desc, then the path itself) so the cut is deterministic. The
+    // limit plans as TakeOrderedAndProject — no global sort.
+    Q(
+      "q200_journey_trigrams",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("a"))
+          .withColumn("b", lead(col("a"), 1).over(w))
+          .withColumn("c", lead(col("a"), 2).over(w))
+          .filter(col("c").isNotNull)
+          .groupBy("a", "b", "c")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("a"), col("b"), col("c"))
+          .limit(15)
+      },
+      Some("""
+        WITH seq AS (SELECT event_type AS a,
+                            lead(event_type, 1) OVER w AS b,
+                            lead(event_type, 2) OVER w AS c
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE c IS NOT NULL
+        GROUP BY 1, 2, 3
+        ORDER BY n DESC, a, b, c
+        LIMIT 15""")),
+
+    // B96: CUSUM changepoint per series — "WHEN did this metric move",
+    // the temporal complement of the drift wing's "did it move":
+    // D_g = max_k |S_k - (k/n)*S_n| over the daily exact-integer sums,
+    // cleared of the /n to the exact rational d_num/n, with change_at the
+    // earliest day attaining the max (ties break to the earliest — the
+    // argmax is one partial-agg'd max(struct), never a second window).
+    // The cumulative pass is a GROUPED window ordered by day (a series'
+    // history fits a partition; the global PrefixSum machinery would be
+    // overkill for per-series days). In-plan guard |S_k|,|S_n| < 2^62/n
+    // bounds every cleared product.
+    Q(
+      "q201_cusum_changepoint",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("d")
+        val k62 = Long.MaxValue / 2
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(sum(floor(col("value"))).as("x"))
+        val cum = daily
+          .withColumn("sk", sum("x").over(w))
+          .withColumn("k", row_number().over(w).cast(LongType))
+        val tot = daily.groupBy("g")
+          .agg(count(lit(1)).as("n"), sum("x").as("sn"))
+        cum.join(tot, "g")
+          .select(col("g"), col("n"), col("d"),
+            when(
+              abs(col("sk")) <= expr(s"${k62}L div n") &&
+                abs(col("sn")) <= expr(s"${k62}L div n"),
+              abs(col("n") * col("sk") - col("k") * col("sn")))
+              .otherwise(raise_error(concat(
+                lit("[cusum] cleared product overflow for series "), col("g"),
+                lit(": rescale the value unit (n*max|S_k| must stay < 2^62)")))
+                .cast(LongType))
+              .as("diff"))
+          .groupBy("g", "n")
+          .agg(max(struct(col("diff"), (-col("d")).as("neg"))).as("m"))
+          .select(col("g"), col("n"), col("m.diff").as("d_num"),
+            col("n").as("d_den"), (-col("m.neg")).as("change_at"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        cum AS (SELECT g, d,
+                       CAST(SUM(x) OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS sk,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS BIGINT) AS k
+                FROM daily),
+        tot AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sn
+                FROM daily GROUP BY 1)
+        SELECT g, n, CAST(MAX(abs(n*sk - k*sn)) AS BIGINT) AS d_num,
+               CAST(n AS BIGINT) AS d_den,
+               CAST(MIN(CASE WHEN abs(n*sk - k*sn) = m THEN d END) AS BIGINT) AS change_at
+        FROM (SELECT c.g, c.d, c.sk, c.k, t.n, t.sn,
+                     MAX(abs(t.n*c.sk - c.k*t.sn)) OVER (PARTITION BY c.g) AS m
+              FROM cum c JOIN tot t USING (g))
+        GROUP BY 1, 2 ORDER BY g""")),
+
+    // B97: Spearman rank correlation between every pair of series — which
+    // metrics co-move, robust to monotone rescaling (the rank twin of
+    // q199's lagged Pearson co-moments). Ranks are EXACT integers via the
+    // doubled-average-rank trick: 2*avgrank = 2*rank + |ties| - 1 (both
+    // engines compute rank() and a partition count identically — no float
+    // average anywhere), then the same scale-cleared co-moment reduction
+    // as q199 with the same Cauchy-Schwarz-backed guard. The day-aligned
+    // pair frame is one equi-join on day bounded by |series|² per day;
+    // the rank windows are GROUPED by (ga, gb) — partition-parallel.
+    Q(
+      "q202_spearman_pairs",
+      (s, dir) => {
+        val k62 = Long.MaxValue / 2
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(sum(floor(col("value"))).as("x"))
+        val a = daily.select(col("g").as("ga"), col("d"), col("x").as("xa"))
+        val b = daily.select(col("g").as("gb"), col("d"), col("x").as("xb"))
+        val W = org.apache.spark.sql.expressions.Window
+        val wa = W.partitionBy("ga", "gb").orderBy("xa")
+        val wb = W.partitionBy("ga", "gb").orderBy("xb")
+        val ta = W.partitionBy("ga", "gb", "xa")
+        val tb = W.partitionBy("ga", "gb", "xb")
+        a.join(b, "d").filter(col("ga") < col("gb"))
+          .select(col("ga"), col("gb"),
+            (rank().over(wa).cast(LongType) * 2L + count(lit(1)).over(ta) - 1L).as("ra"),
+            (rank().over(wb).cast(LongType) * 2L + count(lit(1)).over(tb) - 1L).as("rb"))
+          .groupBy("ga", "gb")
+          .agg(
+            count(lit(1)).as("n"), sum("ra").as("sx"), sum("rb").as("sy"),
+            sum(col("ra") * col("rb")).as("sxy"),
+            sum(col("ra") * col("ra")).as("sx2"),
+            sum(col("rb") * col("rb")).as("sy2"))
+          .select(
+            col("ga"), col("gb"), col("n"),
+            when(
+              col("sx2") <= expr(s"${k62}L div n") && col("sy2") <= expr(s"${k62}L div n"),
+              col("n") * col("sxy") - col("sx") * col("sy"))
+              .otherwise(raise_error(concat(
+                lit("[spearman] co-moment overflow for pair ("), col("ga"), lit(", "),
+                col("gb"), lit("): n*max(sum ra^2, sum rb^2) must stay < 2^62")))
+                .cast(LongType))
+              .as("cov_num"),
+            (col("n") * col("sx2") - col("sx") * col("sx")).as("varx_num"),
+            (col("n") * col("sy2") - col("sy") * col("sy")).as("vary_num"))
+          .orderBy("ga", "gb")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        pairs AS (SELECT a.g AS ga, b.g AS gb, a.d AS d, a.x AS xa, b.x AS xb
+                  FROM daily a JOIN daily b ON a.d = b.d AND a.g < b.g),
+        ranked AS (SELECT ga, gb,
+                          2*rank() OVER (PARTITION BY ga, gb ORDER BY xa)
+                            + count(*) OVER (PARTITION BY ga, gb, xa) - 1 AS ra,
+                          2*rank() OVER (PARTITION BY ga, gb ORDER BY xb)
+                            + count(*) OVER (PARTITION BY ga, gb, xb) - 1 AS rb
+                   FROM pairs),
+        m AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(ra) AS BIGINT) AS sx, CAST(SUM(rb) AS BIGINT) AS sy,
+                     CAST(SUM(ra*rb) AS BIGINT) AS sxy,
+                     CAST(SUM(ra*ra) AS BIGINT) AS sx2,
+                     CAST(SUM(rb*rb) AS BIGINT) AS sy2
+              FROM ranked GROUP BY 1, 2)
+        SELECT ga, gb, n, CAST(n*sxy - sx*sy AS BIGINT) AS cov_num,
+               CAST(n*sx2 - sx*sx AS BIGINT) AS varx_num,
+               CAST(n*sy2 - sy*sy AS BIGINT) AS vary_num
+        FROM m ORDER BY ga, gb""")),
+
+    // B98: Mann-Kendall trend test per series — the distribution-free "is
+    // this metric monotonically trending" answer (S = sum of pairwise
+    // value-change signs under time order) with the tie-corrected
+    // variance as the exact integer var18_num = n(n-1)(2n+5) - sum
+    // t(t-1)(2t+5), so Z = S/sqrt(var18/18) is the caller's one-liner.
+    // The pair frame is an equi-join on the series key with the d<d'
+    // residual — n_days²/2 pairs PER SERIES, which is the honest cost of
+    // the exact statistic (a decade of days is ~6.6M pairs; fine) and is
+    // pre-guarded: the day count rides the join input, so a series too
+    // long to square (> 65536 days) raises BEFORE the quadratic expansion,
+    // pointing at weekly pre-binning.
+    Q(
+      "q203_mann_kendall",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(sum(floor(col("value"))).as("x"))
+        val nPer = daily.groupBy("g").agg(count(lit(1)).as("n"))
+        val guarded = daily.join(nPer, "g")
+          .select(col("g"), col("d"), col("x"),
+            when(col("n") <= 65536L, col("n"))
+              .otherwise(raise_error(concat(
+                lit("[mann-kendall] series "), col("g"),
+                lit(" has too many points to pair exactly (> 65536): pre-bin to weeks")))
+                .cast(LongType))
+              .as("n"))
+        val sStat = guarded.as("a")
+          .join(guarded.as("b"), col("a.g") === col("b.g") && col("b.d") > col("a.d"))
+          .groupBy(col("a.g").as("g"))
+          .agg(sum(signum(col("b.x") - col("a.x")).cast(LongType)).as("s"))
+        val ties = daily.groupBy("g", "x").agg(count(lit(1)).as("t"))
+          .groupBy("g")
+          .agg(sum(col("t") * (col("t") - 1L) * (col("t") * 2L + 5L)).as("tie_adj"))
+        sStat.join(ties, "g").join(nPer, "g")
+          .select(col("g"), col("n"), col("s"),
+            (col("n") * (col("n") - 1L) * (col("n") * 2L + 5L) - col("tie_adj")).as("var18_num"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        s AS (SELECT a.g,
+                     CAST(SUM(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s
+              FROM daily a JOIN daily b ON a.g = b.g AND b.d > a.d GROUP BY 1),
+        ties AS (SELECT g, CAST(SUM(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_adj
+                 FROM (SELECT g, x, CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2)
+                 GROUP BY 1),
+        n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1)
+        SELECT g, n, s, CAST(n*(n-1)*(2*n+5) - tie_adj AS BIGINT) AS var18_num
+        FROM s JOIN ties USING (g) JOIN n USING (g)
+        ORDER BY g"""))
   )
 }

@@ -57,7 +57,12 @@ object ScaleBench {
     "q192_w1_drift", "q193_source_concentration",
     // the drift-panel composition (one text scan, four statistics), the
     // governance audit and the LOO-encoding join-back
-    "q194_drift_panel", "q196_kanon_audit", "q197_loo_target_encode")
+    "q194_drift_panel", "q196_kanon_audit", "q197_loo_target_encode",
+    // sequence wing: the per-user grouped-window leads, the lag join,
+    // and the per-series statistics (CUSUM / Spearman / Mann-Kendall —
+    // daily-frame cost is fixed by |series|x|days|; probe confirms)
+    "q198_transition_matrix", "q199_lag_autocorr", "q200_journey_trigrams",
+    "q201_cusum_changepoint", "q202_spearman_pairs", "q203_mann_kendall")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -209,6 +209,56 @@ class PlanQualitySpec extends SparkSpec {
     assert(loo.contains("BroadcastHashJoin"), s"category join not broadcast:\n$loo")
   }
 
+  test("q198/q199: sequence wing windows stay grouped and lag joins stay equi") {
+    // Transition matrix: the per-user lead is a GROUPED window (its sort
+    // rides the user_id hash exchange — never a global Sort before it),
+    // the (from, to) grid is partial-agg'd, and the marginal comes back
+    // on an equi-join (tiny: |event types| rows — AQE broadcasts it).
+    val tm = plan("q198_transition_matrix")
+    assert(tm.contains("Window"), s"transition pairs lost the grouped window:\n$tm")
+    assert(tm.contains("hashpartitioning(user_id"),
+      s"lead window not partitioned by user:\n$tm")
+    assert(!tm.contains("CartesianProduct"), s"marginal join went cartesian:\n$tm")
+    assert(tm.contains("partial_count"), s"pair grid not partial-agg'd:\n$tm")
+    // Lag autocorrelation: daily sums partial-agg'd, the lag-7 match is a
+    // plain equi-join on (g, d) — no window anywhere (the lag is a JOIN,
+    // not a lead over a per-group sort: the daily frame is already tiny).
+    val ac = plan("q199_lag_autocorr")
+    assert(!ac.contains("Window"), s"lag join degraded to a window:\n$ac")
+    assert(!ac.contains("CartesianProduct"), s"lag join went cartesian:\n$ac")
+    assert(ac.contains("partial_sum"), s"daily sums not partial-agg'd:\n$ac")
+  }
+
+  test("q200-q203: sequence-wing statistics keep one grouped exchange and broadcast joins") {
+    // Trigrams: the two leads share ONE grouped window pass (one exchange
+    // on user_id) and the top-15 plans as TakeOrderedAndProject — never a
+    // global sort of the |types|^3 grid.
+    val tg = plan("q200_journey_trigrams")
+    assert(tg.contains("TakeOrderedAndProject"), s"top-15 became a global sort:\n$tg")
+    assert(tg.contains("hashpartitioning(user_id"),
+      s"lead window not partitioned by user:\n$tg")
+    assert("""\(\d+\) Exchange""".r.findAllIn(tg).size <= 2,
+      s"trigrams grew extra shuffles:\n$tg")
+    // CUSUM: cumulative pass is a window GROUPED by series; the argmax is
+    // one max(struct) aggregate (never a second window over the diffs).
+    val cp = plan("q201_cusum_changepoint")
+    assert(cp.contains("hashpartitioning(g"), s"cumulative window not grouped by series:\n$cp")
+    assert(!cp.contains("CartesianProduct"), s"total join went cartesian:\n$cp")
+    // Spearman: the day-aligned pair frame enters ONE (ga, gb) exchange
+    // that all four rank/tie windows ride — the rank passes re-sort but
+    // never re-shuffle.
+    val sp = plan("q202_spearman_pairs")
+    assert(!sp.contains("CartesianProduct"), s"day alignment went cartesian:\n$sp")
+    assert(sp.contains("hashpartitioning(ga"), s"rank windows not grouped by pair:\n$sp")
+    // Mann-Kendall: every join (pair self-join on g + residual d<d', ties,
+    // n) broadcasts — the daily frame is days x series tiny by contract.
+    val mk = plan("q203_mann_kendall")
+    assert(!mk.contains("CartesianProduct") && !mk.contains("NestedLoop"),
+      s"pair join went cartesian:\n$mk")
+    assert(mk.contains("BroadcastHashJoin"), s"pair join not broadcast:\n$mk")
+    assert(mk.contains("partial_sum"), s"sign sum not partial-agg'd:\n$mk")
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
