@@ -618,6 +618,42 @@ object EvalMetrics {
         (col("n1") * col("n2")).as("chi2_den"))
   }
 
+  /** [[chiSquareCounts]] per GROUP: `perV` carries pre-aggregated
+    * (g, v, p, q) counts; one output row per group with the same
+    * staged-integer statistic, guards, and columns (plus dof =
+    * categories − 1). The intended use is feature RANKING — when every
+    * group covers the same underlying rows (e.g. one unpivoted row per
+    * feature), n1/n2 and hence chi2_den are identical across groups, so
+    * ordering by chi2_num IS the exact chi-square order without any
+    * rational comparison. Group totals join back on the group key
+    * (dictionary-sized — AQE broadcasts). */
+  def chiSquareCountsPerGroup(perV: DataFrame): DataFrame = {
+    val tot = perV.groupBy("g")
+      .agg(sum("p").as("n1t"), sum("q").as("n2"), (count(lit(1)) - 1L).as("dof"))
+      .select(col("g"),
+        guard(
+          col("n1t") > 0L && col("n2") > 0L &&
+            col("n1t") <= expr(s"(${Long.MaxValue}L div n2) div (n1t + n2)"),
+          col("n1t"),
+          concat(
+            lit("[eval-metrics] chiSquareCountsPerGroup needs both classes "),
+            lit("non-empty and n1*n2*(n1+n2) < 2^63 in group "), col("g"),
+            lit(" (n1="), coalesce(col("n1t"), lit(0L)),
+            lit(", n2="), coalesce(col("n2"), lit(0L)),
+            lit("); pre-aggregate and rescale beyond the bound"))).as("n1"),
+        col("n2"), col("dof"))
+    perV.join(tot, "g")
+      .withColumn("cc", col("p") + col("q"))
+      .withColumn("d", abs(col("p") * col("n2") - col("q") * col("n1")))
+      .withColumn("qd", expr("d div cc"))
+      .withColumn("r", col("d") % col("cc"))
+      .withColumn("t", col("d") * col("qd") + expr("(r * d) div cc"))
+      .groupBy("g", "n1", "n2", "dof")
+      .agg(sum(col("t")).as("chi2_num"))
+      .select(col("g"), col("n1"), col("n2"), col("dof"), col("chi2_num"),
+        (col("n1") * col("n2")).as("chi2_den"))
+  }
+
   /** [[chiSquareCounts]] over counts downscaled to the chi-square
     * tier's TIGHTER budget (n1·n2·N < 2^63, hence the cube-root shift) —
     * valid at any corpus size. UNLIKE TVD and KS (probabilities —

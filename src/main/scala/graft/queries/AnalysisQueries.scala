@@ -1024,6 +1024,251 @@ object AnalysisQueries {
                CAST(COUNT(*) AS BIGINT) AS l_distinct,
                SUM(c) < 10 AS k_violation,
                COUNT(*) < 5 AS l_violation
-        FROM cs GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM cs GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // B99: isotonic (PAV) calibration fit over the q180 decile reliability
+    // table — the monotone-regression step that turns the diagnostic into
+    // a usable calibrator. Exact arithmetic via the minimax
+    // characterization iso(i) = max_{j<=i} min_{k>=i} avg(y[j..k]) on
+    // prefix-sum differences, with every rational mapped through the
+    // order-embedding K(p/q) = (p * 10^12) div q BEFORE min/max: floor
+    // of a monotone map commutes with min and max over a finite set, so
+    // the output IS floor(iso * 10^12) exactly — no float division, no
+    // rational comparator. The segment/cover joins are range joins over
+    // post-aggregate frames bounded by |buckets|^2 (<= 55 segments for
+    // deciles) — broadcast NLJ territory by construction, never data-
+    // sized. Guard: p * 10^12 must fit BIGINT; the full-span segment has
+    // q = total rows, so `q <= 10^6` on every segment bounds the corpus
+    // and rides the consumed K column (raise_error points at coarser
+    // pre-binning).
+    Q(
+      "q204_isotonic_calibration",
+      (s, dir) => {
+        val scored = qpos(s, dir)
+          .groupBy("vec_id", "label")
+          .agg(sum(col("qv") * scoreW).as("s"))
+        val ranked = Blocking.globalRank(scored, Seq(col("s"), col("vec_id")))
+        val tot = scored.agg(count(lit(1)).as("nn"))
+        val cal = Q.persistOnce(ranked.crossJoin(broadcast(tot))
+          .withColumn("bucket", expr("((rn - 1) * 10) div nn"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("label") >= 5, 1L).otherwise(0L)).as("n_pos")))
+        val w = graft.operators.BoundedWindow.orderBy(col("bucket"))
+        val cum = graft.operators.BoundedWindow
+          .aggregated(cal, "decile calibration buckets")
+          .select(col("bucket"), sum("n").over(w).as("cn"),
+            sum("n_pos").over(w).as("cp"))
+        // The minimax joins are pure range joins over frames bounded by
+        // |buckets| — attach a constant-VALUED (but non-foldable, same
+        // trick as BoundedWindow) equi key so they plan as hash joins,
+        // not CartesianProduct: the anti-cartesian sweep can't see
+        // construction-bounded cardinality, and a hash join on a
+        // constant key over <= 11 rows costs nothing.
+        val pre = cum
+          .select(col("bucket").as("lb"), col("cn").as("lcn"), col("cp").as("lcp"))
+          .unionByName(s.range(1)
+            .select(lit(-1L).as("lb"), lit(0L).as("lcn"), lit(0L).as("lcp")))
+          .withColumn("j", pmod(hash(col("lb")), lit(1)))
+        val seg = pre.join(cum.withColumn("j", pmod(hash(col("bucket")), lit(1))), Seq("j"))
+          .filter(col("lb") < col("bucket"))
+          .select(col("lb"), col("bucket").as("rb"),
+            (col("cp") - col("lcp")).as("p"), (col("cn") - col("lcn")).as("q"))
+          .select(col("lb"), col("rb"),
+            when(col("q") <= 1000000L, expr("(p * 1000000000000L) div q"))
+              .otherwise(raise_error(lit(
+                "[isotonic] calibration mass exceeds the exact fixed-point " +
+                  "bound (10^6 rows): pre-bin coarser")).cast(LongType))
+              .as("k"))
+        val iso = cal.select(col("bucket").as("i"))
+          .withColumn("j", pmod(hash(col("i")), lit(1)))
+          .join(seg.withColumn("j", pmod(hash(col("rb")), lit(1))), Seq("j"))
+          .filter(col("lb") < col("i") && col("rb") >= col("i"))
+          .groupBy("i", "lb").agg(min("k").as("mn"))
+          .groupBy("i").agg(max("mn").as("iso_e12"))
+        cal.join(iso, cal("bucket") === iso("i"))
+          .select(col("bucket"), col("n"), col("n_pos"), col("iso_e12"))
+          .orderBy("bucket")
+      },
+      Some(s"""
+        WITH $OQPOS,
+        sc AS (SELECT vec_id,
+                      CAST(SUM(qv * CASE WHEN i % 3 = 0 THEN 2
+                                         WHEN i % 3 = 1 THEN -1
+                                         ELSE 1 END) AS BIGINT) AS s
+               FROM qpos GROUP BY 1),
+        lab AS (SELECT sc.vec_id, s, emb.label >= 5 AS y
+                FROM sc JOIN embeddings emb ON emb.vec_id = sc.vec_id),
+        r AS (SELECT s, y,
+                     CAST(ROW_NUMBER() OVER (ORDER BY s, vec_id) AS BIGINT) AS rn
+              FROM lab),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM lab),
+        cal AS (SELECT CAST(((rn - 1) * 10) // nn AS BIGINT) AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+                FROM r, nr GROUP BY 1),
+        cum AS (SELECT bucket,
+                       CAST(SUM(n) OVER (ORDER BY bucket) AS BIGINT) AS cn,
+                       CAST(SUM(n_pos) OVER (ORDER BY bucket) AS BIGINT) AS cp
+                FROM cal),
+        pre AS (SELECT bucket AS lb, cn AS lcn, cp AS lcp FROM cum
+                UNION ALL SELECT -1, 0, 0),
+        seg AS (SELECT lb, c.bucket AS rb,
+                       ((c.cp - lcp) * 1000000000000) // (c.cn - lcn) AS k
+                FROM pre, cum c WHERE lb < c.bucket),
+        iso AS (SELECT i, CAST(MAX(mn) AS BIGINT) AS iso_e12 FROM (
+                  SELECT c.bucket AS i, s.lb AS lb, MIN(s.k) AS mn
+                  FROM cal c JOIN seg s ON s.lb < c.bucket AND s.rb >= c.bucket
+                  GROUP BY 1, 2) GROUP BY 1)
+        SELECT c.bucket, c.n, c.n_pos, iso_e12
+        FROM cal c JOIN iso ON iso.i = c.bucket
+        ORDER BY c.bucket""")),
+
+    // B100: split-conformal threshold per group — the finite-sample
+    // coverage guarantee quantile: the ceil((n+1)(1-alpha))-th smallest
+    // score (alpha = 1/10, so k = (9(n+1)+9) div 10, capped at n) over
+    // each group's nonconformity scores on the exact paise grid. One
+    // grouped (partition-parallel) row_number window picks the order
+    // statistic; the empirical coverage count rides back as the exact
+    // pair (cov_num, n) — cov_num >= k always, strict when ties straddle
+    // the threshold. Group-key joins are tiny (|event types| rows) and
+    // AQE-broadcast.
+    Q(
+      "q205_conformal_threshold",
+      (s, dir) => {
+        val vals = Tables.events(s, dir)
+          .select(col("event_type").as("g"),
+            floor(col("value") * 100).cast(LongType).as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy("v")
+        val ranked = vals.withColumn("rn", row_number().over(w).cast(LongType))
+        val ks = vals.groupBy("g").agg(count(lit(1)).as("n"))
+          .withColumn("k", least(col("n"), expr("(9 * (n + 1) + 9) div 10")))
+        val thr = ranked.join(ks, "g").filter(col("rn") === col("k"))
+          .select(col("g"), col("v").as("thr"))
+        val cov = vals.join(thr, "g")
+          .groupBy("g")
+          .agg(sum(when(col("v") <= col("thr"), 1L).otherwise(0L)).as("cov_num"))
+        ks.join(thr, "g").join(cov, "g")
+          .select(col("g"), col("n"), col("k"), col("thr"), col("cov_num"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH vals AS (SELECT event_type AS g,
+                             CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        ks AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST(least(COUNT(*), (9 * (COUNT(*) + 1) + 9) // 10) AS BIGINT) AS k
+               FROM vals GROUP BY 1),
+        ranked AS (SELECT g, v,
+                          CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rn
+                   FROM vals),
+        thr AS (SELECT r.g, r.v AS thr
+                FROM ranked r JOIN ks ON ks.g = r.g AND r.rn = ks.k),
+        cov AS (SELECT v.g,
+                       CAST(SUM(CASE WHEN v.v <= t.thr THEN 1 ELSE 0 END) AS BIGINT) AS cov_num
+                FROM vals v JOIN thr t ON t.g = v.g GROUP BY 1)
+        SELECT ks.g, n, k, thr, cov_num
+        FROM ks JOIN thr ON thr.g = ks.g JOIN cov ON cov.g = ks.g
+        ORDER BY ks.g""")),
+
+    // B106: Gini (Lorenz) coefficient of per-customer spend by nation —
+    // the INEQUALITY statistic (who holds the mass) beside B90's Gini
+    // IMPURITY (how mixed the categories are). Exact rational via the
+    // rank formula G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) with x ascending
+    // and ties rank-stable under the (x, custkey) total order (equal x
+    // swap freely without changing Σ i·x). The overflow guard rides the
+    // CONSUMED i·x column and is sufficient for every partial sum:
+    // Σ i·x <= n·Σx, so sx <= 2^62 div n bounds the whole aggregate
+    // before it starts.
+    Q(
+      "q211_gini_lorenz",
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_nationkey").as("nk"), col("o_custkey").as("ck"))
+          .agg(sum(floor(col("o_totalprice") * 100).cast(LongType)).as("x"))
+        val stats = spend.groupBy("nk").agg(count(lit(1)).as("n"), sum("x").as("sx"))
+        val k62 = Long.MaxValue / 2
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("nk").orderBy("x", "ck")
+        spend.withColumn("i", row_number().over(w).cast(LongType))
+          .join(stats, "nk")
+          .select(col("nk"), col("n"), col("sx"),
+            when(col("sx") <= expr(s"${k62}L div n"), col("i") * col("x"))
+              .otherwise(raise_error(concat(
+                lit("[gini] rank-sum overflow for nation "), col("nk"),
+                lit(": n * total spend must stay < 2^62 — rescale the unit")))
+                .cast(LongType))
+              .as("ix"))
+          .groupBy("nk", "n", "sx")
+          .agg(sum("ix").as("six"))
+          .select(col("nk"), col("n"),
+            (lit(2L) * col("six") - (col("n") + 1L) * col("sx")).as("g_num"),
+            (col("n") * col("sx")).as("g_den"))
+          .orderBy("nk")
+      },
+      Some("""
+        WITH spend AS (SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+                              CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x
+                       FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+                       GROUP BY 1, 2),
+        r AS (SELECT nk, x, CAST(ROW_NUMBER() OVER (PARTITION BY nk ORDER BY x, ck) AS BIGINT) AS i
+              FROM spend)
+        SELECT nk, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS BIGINT) AS g_num,
+               CAST(COUNT(*) * SUM(x) AS BIGINT) AS g_den
+        FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // B108: chi-square feature ranking — which categorical
+    // feature carries the most signal about a binary label (here:
+    // is this a high-value order), as B88's staged-integer chi-square
+    // PER FEATURE via EvalMetrics.chiSquareCountsPerGroup. The features
+    // unpivot through one stack() pass (one scan, no per-feature
+    // re-reads); every feature covers the same rows, so n1/n2/chi2_den
+    // are equal across groups and ranking by chi2_num is the exact
+    // chi-square order — no rational comparison, no floats.
+    Q(
+      "q213_chi2_feature_rank",
+      (s, dir) => {
+        val base = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .select(
+            (floor(col("o_totalprice") * 100).cast(LongType) >= 15000000L).as("y"),
+            expr("""stack(4,
+              'orderpriority', o_orderpriority,
+              'orderstatus', o_orderstatus,
+              'mktsegment', c_mktsegment,
+              'nation', cast(c_nationkey as string)) AS (g, v)"""))
+        val perV = base.groupBy("g", "v")
+          .agg(
+            sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+            sum(when(col("y"), 0L).otherwise(1L)).as("q"))
+        EvalMetrics.chiSquareCountsPerGroup(perV).orderBy("g")
+      },
+      Some("""
+        WITH base AS (SELECT o_orderpriority, o_orderstatus, c_mktsegment,
+                             CAST(c_nationkey AS VARCHAR) AS nation,
+                             CAST(floor(o_totalprice * 100) AS BIGINT) >= 15000000 AS y
+                      FROM orders JOIN customer ON c_custkey = o_custkey),
+        long AS (
+          SELECT 'orderpriority' AS g, o_orderpriority AS v, y FROM base
+          UNION ALL SELECT 'orderstatus', o_orderstatus, y FROM base
+          UNION ALL SELECT 'mktsegment', c_mktsegment, y FROM base
+          UNION ALL SELECT 'nation', nation, y FROM base),
+        pv AS (SELECT g, v, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM long GROUP BY 1, 2),
+        tot AS (SELECT g, CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2,
+                       CAST(COUNT(*) - 1 AS BIGINT) AS dof
+                FROM pv GROUP BY 1),
+        st AS (SELECT pv.g, p + q AS cc, abs(p * n2 - q * n1) AS d
+               FROM pv JOIN tot ON tot.g = pv.g),
+        t2 AS (SELECT g, d // cc AS qd, d % cc AS r, cc, d FROM st)
+        SELECT t.g, n1, n2, dof,
+               CAST(SUM(d * qd + (r * d) // cc) AS BIGINT) AS chi2_num,
+               CAST(n1 * n2 AS BIGINT) AS chi2_den
+        FROM t2 JOIN tot t ON t.g = t2.g
+        GROUP BY 1, 2, 3, 4 ORDER BY 1"""))
   )
 }

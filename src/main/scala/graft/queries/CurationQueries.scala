@@ -828,6 +828,84 @@ object CurationQueries {
         SELECT g, n, CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
                CAST(n * sx2 - sx * sx AS BIGINT) AS varx_num,
                CAST(n * sy2 - sy * sy AS BIGINT) AS vary_num
-        FROM p ORDER BY g"""))
+        FROM p ORDER BY g""")),
+
+    // B102: Benford first-digit audit — the classic fabricated-numbers
+    // screen: first significant digit counts vs Benford's log10(1+1/d)
+    // expectation, hardcoded as integer ppm constants (they sum to
+    // exactly 10^6) so the deviation stays exact: dev_num/dev_den =
+    // |observed_ppm - expected_ppm| with dev_num = |10^6*n_d - e_d*N|
+    // over den N. Digit extraction is string-first (leading char of the
+    // floored BIGINT) — both engines render positive integers
+    // identically, where a log10-based extraction would ride floats.
+    // One scan, one 9-row aggregate, one broadcast total attach.
+    Q(
+      "q207_benford_audit",
+      (s, dir) => {
+        val digits = Tables.orders(s, dir)
+          .select(substring(floor(col("o_totalprice")).cast(LongType)
+            .cast("string"), 1, 1).cast(LongType).as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = digits.agg(sum("n_obs").as("nn"))
+        val expected = expr(
+          "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 " +
+            "WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 " +
+            "WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END").cast(LongType)
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"), expected.as("expected_ppm"),
+            abs(lit(1000000L) * col("n_obs") - expected * col("nn")).as("dev_num"),
+            col("nn").as("dev_den"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   FROM orders),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM c),
+        e AS (SELECT digit, n_obs,
+                     CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                          WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+                          WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS expected_ppm
+              FROM c)
+        SELECT digit, n_obs, expected_ppm,
+               CAST(abs(1000000 * n_obs - expected_ppm * nn) AS BIGINT) AS dev_num,
+               nn AS dev_den
+        FROM e, t ORDER BY digit""")),
+
+    // B105: exact weighted median per group — the robust center B74's
+    // unweighted median can't give when rows carry mass (here: quantity-
+    // weighted median line price). Two-stage so the sort never sees raw
+    // rows: partial-agg'd (group, value) weight rollup FIRST (bounded by
+    // distinct paise per group), then a grouped cumulative window over
+    // that aggregate frame picks the smallest v with 2·cumw >= W. All
+    // integers — paise values, floored quantities.
+    Q(
+      "q210_weighted_median",
+      (s, dir) => {
+        val wv = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"),
+            floor(col("l_extendedprice") * 100).cast(LongType).as("v"))
+          .agg(sum(floor(col("l_quantity")).cast(LongType)).as("w"))
+        val tot = wv.groupBy("rf", "ls").agg(sum("w").as("tw"))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("rf", "ls").orderBy("v")
+        wv.withColumn("cw", sum("w").over(win))
+          .join(tot, Seq("rf", "ls"))
+          .groupBy(col("rf"), col("ls"), col("tw"))
+          .agg(min(when(col("cw") * 2 >= col("tw"), col("v"))).as("wmedian_paise"))
+          .orderBy("rf", "ls")
+      },
+      Some("""
+        WITH wv AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+                           CAST(floor(l_extendedprice * 100) AS BIGINT) AS v,
+                           CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS w
+                    FROM lineitem GROUP BY 1, 2, 3),
+        tot AS (SELECT rf, ls, CAST(SUM(w) AS BIGINT) AS tw FROM wv GROUP BY 1, 2),
+        cum AS (SELECT rf, ls, v, CAST(SUM(w) OVER (PARTITION BY rf, ls ORDER BY v) AS BIGINT) AS cw
+                FROM wv)
+        SELECT t.rf, t.ls, tw,
+               CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS wmedian_paise
+        FROM tot t JOIN cum c ON c.rf = t.rf AND c.ls = t.ls
+        GROUP BY 1, 2, 3 ORDER BY 1, 2"""))
   )
 }

@@ -653,6 +653,166 @@ object EventQueries {
         n AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1)
         SELECT g, n, s, CAST(n*(n-1)*(2*n+5) - tie_adj AS BIGINT) AS var18_num
         FROM s JOIN ties USING (g) JOIN n USING (g)
-        ORDER BY g"""))
+        ORDER BY g""")),
+
+    // B103: Theil–Sen robust trend slope per series — the median of all
+    // pairwise slopes, the estimator B98's Mann–Kendall test is usually
+    // paired with (50% breakdown point where B53's OLS slope is dragged
+    // by one outlier day). Slopes are rationals dx/dd; each is pushed
+    // through the order-embedding key = ((dx + 2^30·dd)·10^6) div dd:
+    // the 2^30 shift keeps the dividend positive, so Spark's
+    // truncate-toward-zero `div` and DuckDB's flooring `//` agree, and
+    // key − 2^30·10^6 IS floor(slope·10^6) exactly — negative slopes
+    // included. Median = the (m+1)/2-th key under a grouped
+    // (partition-parallel) row_number; the pair frame is the same
+    // broadcast self-equi-join as q203 and shares its scale posture.
+    Q(
+      "q208_theil_sen",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(sum(floor(col("value"))).as("x"))
+        val b = daily.select(col("g"), col("d").as("d2"), col("x").as("x2"))
+        val C = 1073741824L
+        val maxShift = Long.MaxValue / 1000000L
+        val pairs = daily.join(b, Seq("g")).filter(col("d2") > col("d"))
+          .select(col("g"),
+            (col("x2") - col("x")).as("dx"), (col("d2") - col("d")).as("dd"))
+          .select(col("g"),
+            when(abs(col("dx")) < lit(C) &&
+                lit(C) * col("dd") + abs(col("dx")) <= lit(maxShift),
+              expr(s"((dx + ${C}L * dd) * 1000000L) div dd"))
+              .otherwise(raise_error(concat(
+                lit("[theil-sen] slope key out of the exact fixed-point range for series "),
+                col("g"), lit(": rescale the value unit or shorten the window")))
+                .cast(LongType))
+              .as("key"))
+        val m = pairs.groupBy("g").agg(count(lit(1)).as("n_pairs"))
+          .withColumn("k", expr("(n_pairs + 1) div 2"))
+        val w = Window.partitionBy("g").orderBy("key")
+        pairs.withColumn("rn", row_number().over(w).cast(LongType))
+          .join(m, "g").filter(col("rn") === col("k"))
+          .select(col("g"), col("n_pairs"),
+            (col("key") - lit(C * 1000000L)).as("slope_e6"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        pairs AS (SELECT a.g,
+                         ((b.x - a.x) + CAST(1073741824 AS BIGINT) * (b.d - a.d)) * CAST(1000000 AS BIGINT) // (b.d - a.d) AS key
+                  FROM daily a JOIN daily b ON a.g = b.g AND b.d > a.d),
+        m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                     CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k
+              FROM pairs GROUP BY 1),
+        r AS (SELECT g, key, CAST(ROW_NUMBER() OVER (PARTITION BY g ORDER BY key) AS BIGINT) AS rn
+              FROM pairs)
+        SELECT m.g, n_pairs, CAST(r.key - CAST(1073741824 AS BIGINT) * 1000000 AS BIGINT) AS slope_e6
+        FROM m JOIN r ON r.g = m.g AND r.rn = m.k
+        ORDER BY m.g""")),
+
+    // B104: conversion-latency quartiles per signup cohort — how long
+    // from a user's first signup to their first subsequent purchase,
+    // summarized as exact type-1 quantiles (k_p = ceil(p·n)-th smallest,
+    // never interpolated — engine floats can't disagree about a value
+    // the data contains). Cohort = integer weeks since the corpus epoch
+    // (datediff div 7 — identical in both engines where week-of-year
+    // formatting is convention lore). One grouped row_number window;
+    // the three order statistics come back in a single conditional
+    // aggregate, not three joins.
+    Q(
+      "q209_conversion_latency",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val su = ev.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("sts"))
+        val pu = ev.filter(col("event_type") === "purchase")
+          .join(su, "user_id").filter(col("ts") >= col("sts"))
+          .groupBy("user_id").agg(min("ts").as("pts"))
+        val lat = su.join(pu, "user_id")
+          .select(
+            expr("datediff(to_date(sts), date'2024-01-01') div 7")
+              .cast(LongType).as("cohort_wk"),
+            (col("pts").cast(LongType) - col("sts").cast(LongType)).as("delta_s"))
+        val ks = lat.groupBy("cohort_wk").agg(count(lit(1)).as("n"))
+          .withColumn("k25", expr("(n + 3) div 4"))
+          .withColumn("k50", expr("(n + 1) div 2"))
+          .withColumn("k75", expr("(3 * n + 3) div 4"))
+        val w = Window.partitionBy("cohort_wk").orderBy("delta_s")
+        lat.withColumn("rn", row_number().over(w).cast(LongType))
+          .join(ks, "cohort_wk")
+          .groupBy(col("cohort_wk"), col("n"))
+          .agg(
+            min(when(col("rn") === col("k25"), col("delta_s"))).as("q25_s"),
+            min(when(col("rn") === col("k50"), col("delta_s"))).as("q50_s"),
+            min(when(col("rn") === col("k75"), col("delta_s"))).as("q75_s"))
+          .orderBy("cohort_wk")
+      },
+      Some("""
+        WITH su AS (SELECT user_id, min(ts) AS sts FROM events WHERE event_type = 'signup' GROUP BY 1),
+        pu AS (SELECT e.user_id, min(e.ts) AS pts
+               FROM events e JOIN su ON su.user_id = e.user_id AND e.ts >= su.sts
+               WHERE e.event_type = 'purchase' GROUP BY 1),
+        lat AS (SELECT su.user_id,
+                       CAST(datediff('day', DATE '2024-01-01', CAST(su.sts AS DATE)) // 7 AS BIGINT) AS cohort_wk,
+                       CAST(floor(epoch(pu.pts)) - floor(epoch(su.sts)) AS BIGINT) AS delta_s
+                FROM su JOIN pu ON pu.user_id = su.user_id),
+        ks AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST((COUNT(*) + 3) // 4 AS BIGINT) AS k25,
+                      CAST((COUNT(*) + 1) // 2 AS BIGINT) AS k50,
+                      CAST((3 * COUNT(*) + 3) // 4 AS BIGINT) AS k75
+               FROM lat GROUP BY 1),
+        r AS (SELECT cohort_wk, delta_s,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY cohort_wk ORDER BY delta_s) AS BIGINT) AS rn
+              FROM lat)
+        SELECT ks.cohort_wk, n,
+               CAST(MIN(CASE WHEN rn = k25 THEN delta_s END) AS BIGINT) AS q25_s,
+               CAST(MIN(CASE WHEN rn = k50 THEN delta_s END) AS BIGINT) AS q50_s,
+               CAST(MIN(CASE WHEN rn = k75 THEN delta_s END) AS BIGINT) AS q75_s
+        FROM ks JOIN r ON r.cohort_wk = ks.cohort_wk
+        GROUP BY 1, 2 ORDER BY 1""")),
+
+    // B107: adoption-order precedence matrix — for every ordered pair of
+    // event types, how many users FIRST touched a before b (first-
+    // occurrence ordering, not the consecutive-step q198 transition or a
+    // fixed-path funnel): the support/lift counts behind "which features
+    // get adopted first". One (user, type) min-ts aggregate, then a
+    // per-user self-equi-join bounded by |types|² rows per user, plus
+    // type marginals and the user total so lift = n_users·n_ab/(n_a·n_b)
+    // is the caller's exact rational. No windows, no unbounded joins.
+    Q(
+      "q212_adoption_precedence",
+      (s, dir) => {
+        val ut = Q.persistOnce(Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type").as("t"))
+          .agg(min("ts").as("f")))
+        val nu = Tables.events(s, dir)
+          .agg(countDistinct("user_id").as("n_users"))
+        val b = ut.select(col("user_id"), col("t").as("tb"), col("f").as("fb"))
+        val ab = ut.join(b, "user_id")
+          .filter(col("t") =!= col("tb") && col("f") < col("fb"))
+          .groupBy(col("t").as("a"), col("tb").as("b"))
+          .agg(count(lit(1)).as("n_ab"))
+        val m = ut.groupBy(col("t")).agg(count(lit(1)).as("n_t"))
+        ab.join(m.select(col("t").as("a"), col("n_t").as("n_a")), "a")
+          .join(m.select(col("t").as("b"), col("n_t").as("n_b")), "b")
+          .crossJoin(broadcast(nu))
+          .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+            col("n_users"))
+          .orderBy("a", "b")
+      },
+      Some("""
+        WITH ut AS (SELECT user_id, event_type AS t, min(ts) AS f FROM events GROUP BY 1, 2),
+        nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+        ab AS (SELECT a.t AS a, b.t AS b, CAST(COUNT(*) AS BIGINT) AS n_ab
+               FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.t <> b.t AND a.f < b.f
+               GROUP BY 1, 2),
+        m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1)
+        SELECT ab.a, ab.b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, n_users
+        FROM ab JOIN m ma ON ma.t = ab.a JOIN m mb ON mb.t = ab.b, nu
+        ORDER BY ab.a, ab.b"""))
   )
 }

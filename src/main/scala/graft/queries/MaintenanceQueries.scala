@@ -363,6 +363,52 @@ object MaintenanceQueries {
                CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
         FROM s a JOIN s b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 2
         WHERE levenshtein(a.p_name, b.p_name) <= 1
-        ORDER BY a_key, b_key"""))
+        ORDER BY a_key, b_key""")),
+
+    // B101: subject-erasure sweep — the right-to-be-forgotten audit that
+    // precedes B45's MERGE delete: given an erasure cohort (here
+    // c_custkey % 97 = 0, a deterministic stand-in for the request
+    // table), count every row each table must purge, direct (customer,
+    // orders by FK) and transitive (lineitem through its order), plus
+    // how many distinct subjects each count touches. The erased-order
+    // frame is built once and persistOnce'd for both its own count and
+    // the lineitem semi-sweep; joins are key-equi throughout (the cohort
+    // is ~1% of customers — AQE broadcasts it at test scale, and at
+    // 100 TB the sweep is the same shuffle a MERGE delete would pay
+    // anyway).
+    Q(
+      "q206_erasure_sweep",
+      (s, dir) => {
+        val subjects = Tables.customer(s, dir)
+          .filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey").as("k"))
+        val eo = Q.persistOnce(Tables.orders(s, dir)
+          .join(subjects, col("o_custkey") === col("k"))
+          .select(col("o_orderkey"), col("o_custkey")))
+        val cCust = subjects
+          .agg(count(lit(1)).as("purge_rows"), countDistinct("k").as("subjects"))
+          .select(lit("customer").as("entity"), col("purge_rows"), col("subjects"))
+        val cOrd = eo
+          .agg(count(lit(1)).as("purge_rows"),
+            countDistinct("o_custkey").as("subjects"))
+          .select(lit("orders").as("entity"), col("purge_rows"), col("subjects"))
+        val cLi = Tables.lineitem(s, dir)
+          .join(eo, col("l_orderkey") === col("o_orderkey"))
+          .agg(count(lit(1)).as("purge_rows"),
+            countDistinct("o_custkey").as("subjects"))
+          .select(lit("lineitem").as("entity"), col("purge_rows"), col("subjects"))
+        cCust.unionByName(cOrd).unionByName(cLi).orderBy("entity")
+      },
+      Some("""
+        WITH subj AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        eo AS (SELECT o_orderkey, o_custkey FROM orders JOIN subj ON o_custkey = k)
+        SELECT 'customer' AS entity, CAST(COUNT(*) AS BIGINT) AS purge_rows,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS subjects FROM subj
+        UNION ALL
+        SELECT 'orders', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM eo
+        UNION ALL
+        SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT eo.o_custkey) AS BIGINT)
+        FROM lineitem JOIN eo ON l_orderkey = o_orderkey
+        ORDER BY entity"""))
   )
 }

@@ -62,7 +62,17 @@ object ScaleBench {
     // and the per-series statistics (CUSUM / Spearman / Mann-Kendall —
     // daily-frame cost is fixed by |series|x|days|; probe confirms)
     "q198_transition_matrix", "q199_lag_autocorr", "q200_journey_trigrams",
-    "q201_cusum_changepoint", "q202_spearman_pairs", "q203_mann_kendall")
+    "q201_cusum_changepoint", "q202_spearman_pairs", "q203_mann_kendall",
+    // calibration/governance wing: the globalRank + minimax isotonic fit,
+    // the grouped conformal order statistic, and the erasure semi-sweep
+    "q204_isotonic_calibration", "q205_conformal_threshold",
+    "q206_erasure_sweep", "q207_benford_audit",
+    // robust statistics: the Theil-Sen pair join, the conversion-latency
+    // windows, the two-stage weighted median, and the Gini rank window
+    "q208_theil_sen", "q209_conversion_latency",
+    "q210_weighted_median", "q211_gini_lorenz",
+    // the per-user adoption self-join and the unpivoted chi-square scan
+    "q212_adoption_precedence", "q213_chi2_feature_rank")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -731,4 +731,116 @@ class AnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Int)].collect().head
     assert((c1._1, c1._2, c1._3, c1._4, 0) == c2)
   }
+
+  test("q204 isotonic fit equals sequential pool-adjacent-violators") {
+    // The query computes isotonic regression via the minimax formula
+    // iso(i) = max_{j<=i} min_{k>=i} avg[j..k], floored at 1e12. PAV is
+    // the textbook algorithm for the same fit; its pooled averages must
+    // match the relational minimax bucket for bucket. The output carries
+    // its own inputs (n, n_pos), so the reference recomputes from them
+    // with exact BigInt rationals.
+    val rows = QueryRegistry.byName("q204_isotonic_calibration")
+      .run(spark, "/root/testdata/sf0.001")
+      .select("bucket", "n", "n_pos", "iso_e12")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rows.length == 10)
+    // sequential PAV: pool while the previous block's average is >= the
+    // current one (pooling equal averages leaves fitted values unchanged)
+    val stack = scala.collection.mutable.ArrayBuffer[(BigInt, BigInt, Int)]()
+    for ((_, n, pos, _) <- rows) {
+      var (p, q, w) = (BigInt(pos), BigInt(n), 1)
+      while (stack.nonEmpty && stack.last._1 * q >= p * stack.last._2) {
+        val (pp, qq, ww) = stack.remove(stack.size - 1)
+        p += pp; q += qq; w += ww
+      }
+      stack += ((p, q, w))
+    }
+    val fitted = stack.toSeq.flatMap { case (p, q, w) =>
+      Seq.fill(w)(((p * BigInt(10).pow(12)) / q).toLong)
+    }
+    assert(rows.map(_._4).toSeq == fitted,
+      s"minimax ${rows.map(_._4).mkString(",")} != PAV ${fitted.mkString(",")}")
+    // and the fit is monotone non-decreasing by construction
+    assert(fitted == fitted.sorted)
+  }
+
+  test("q208 Theil-Sen equals the brute-force median of pairwise slopes") {
+    val dir = "/root/testdata/sf0.001"
+    val got = QueryRegistry.byName("q208_theil_sen").run(spark, dir)
+      .select("g", "n_pairs", "slope_e6")
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    // reference: collect daily sums, enumerate slopes, exact-rational sort
+    val daily = graft.Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("datediff(to_date(ts), date'2024-01-01')").cast("long"),
+        floor(col("value")).cast("long"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2)).map { case ((g, d), rs) => (g, d, rs.map(_._3).sum) }
+      .toSeq
+    val want = daily.groupBy(_._1).toSeq.map { case (g, rows0) =>
+      val pts = rows0.map(r => (r._2, r._3)).sortBy(_._1)
+      val slopes = for {
+        i <- pts.indices; jj <- (i + 1) until pts.size
+      } yield (pts(jj)._2 - pts(i)._2, pts(jj)._1 - pts(i)._1) // (dx, dd > 0)
+      val sorted = slopes.sortWith { case ((x1, d1), (x2, d2)) => x1 * d2 < x2 * d1 }
+      val (dx, dd) = sorted((sorted.size + 1) / 2 - 1)
+      (g, slopes.size.toLong, Math.floorDiv(dx * 1000000L, dd))
+    }.sortBy(_._1)
+    assert(got.toSeq == want, s"got ${got.mkString(";")} want ${want.mkString(";")}")
+  }
+
+  test("q210/q211: weighted median and Gini equal their brute-force references") {
+    val dir = "/root/testdata/sf0.001"
+    val wm = QueryRegistry.byName("q210_weighted_median").run(spark, dir)
+      .select("rf", "ls", "tw", "wmedian_paise")
+      .as[(String, String, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        floor(col("l_extendedprice") * 100).cast("long"),
+        floor(col("l_quantity")).cast("long"))
+      .as[(String, String, Long, Long)].collect()
+    val wmWant = li.groupBy(r => (r._1, r._2)).toSeq.map { case ((rf, ls), rs) =>
+      val byV = rs.groupBy(_._3).view.mapValues(_.map(_._4).sum).toSeq.sortBy(_._1)
+      val tw = byV.map(_._2).sum
+      var cum = 0L
+      val med = byV.collectFirst { case (v, w) if { cum += w; 2 * cum >= tw } => v }.get
+      (rf, ls, tw, med)
+    }.sortBy(r => (r._1, r._2))
+    assert(wm.toSeq == wmWant)
+
+    val gini = QueryRegistry.byName("q211_gini_lorenz").run(spark, dir)
+      .select("nk", "n", "g_num", "g_den")
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    val sp = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey"), col("o_custkey"))
+      .agg(sum(floor(col("o_totalprice") * 100).cast("long")).as("x"))
+      .as[(Int, Long, Long)].collect()
+    val gWant = sp.groupBy(_._1).toSeq.map { case (nk, rs) =>
+      val xs = rs.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = xs.size.toLong
+      val six = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      val sx = xs.sum
+      (nk, n, 2 * six - (n + 1) * sx, n * sx)
+    }.sortBy(_._1)
+    assert(gini.toSeq == gWant)
+  }
+
+  test("chiSquareCountsPerGroup equals chiSquareCounts run per group") {
+    val counts = (for {
+      g <- Seq("f1", "f2", "f3"); v <- 0 until (2 + rng.nextInt(5))
+    } yield (g, s"v$v", rng.nextInt(40).toLong + 1L, rng.nextInt(40).toLong + 1L))
+      .toDF("g", "v", "p", "q")
+    val got = EvalMetrics.chiSquareCountsPerGroup(counts)
+      .select("g", "n1", "n2", "dof", "chi2_num", "chi2_den")
+      .as[(String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val want = Seq("f1", "f2", "f3").map { g =>
+      val slice = counts.filter(col("g") === g).select("v", "p", "q")
+      val dof = slice.count() - 1
+      val r = EvalMetrics.chiSquareCounts(slice)
+        .as[(Long, Long, Long, Long)].collect().head
+      (g, r._1, r._2, dof, r._3, r._4)
+    }
+    assert(got.toSeq == want)
+  }
 }

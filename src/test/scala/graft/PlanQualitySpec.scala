@@ -259,6 +259,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(mk.contains("partial_sum"), s"sign sum not partial-agg'd:\n$mk")
   }
 
+  test("q204-q207: calibration/governance wing plan shapes") {
+    // Isotonic: every window is the BoundedWindow constant-key kind over
+    // the post-aggregate decile frame — the raw-row side contributes one
+    // range exchange (globalRank) and the decile aggregate; the minimax
+    // joins run over <= |buckets|^2 rows.
+    val is = plan("q204_isotonic_calibration")
+    assert(is.contains("partial_count") || is.contains("partial_sum"),
+      s"decile frame not partial-agg'd:\n$is")
+    // Conformal: the order statistic is a GROUPED row_number window.
+    val cf = plan("q205_conformal_threshold")
+    assert(cf.contains("hashpartitioning(g"), s"rank window not grouped:\n$cf")
+    assert(!cf.contains("CartesianProduct"), s"threshold join went cartesian:\n$cf")
+    // Erasure sweep: all key-equi joins, the erased-order frame cached.
+    val er = plan("q206_erasure_sweep")
+    assert(!er.contains("CartesianProduct") && !er.contains("NestedLoop"),
+      s"sweep join degraded:\n$er")
+    assert(er.contains("InMemoryTableScan"), s"erased-order frame not reused:\n$er")
+    // Benford: the digit grid is one partial-agg'd scan, total broadcast.
+    val bf = plan("q207_benford_audit")
+    assert(bf.contains("partial_count"), s"digit counts not partial-agg'd:\n$bf")
+    assert(bf.contains("BroadcastNestedLoopJoin") || bf.contains("BroadcastExchange"),
+      s"total attach not broadcast:\n$bf")
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
