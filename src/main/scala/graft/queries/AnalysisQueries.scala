@@ -1269,6 +1269,81 @@ object AnalysisQueries {
                CAST(SUM(d * qd + (r * d) // cc) AS BIGINT) AS chi2_num,
                CAST(n1 * n2 AS BIGINT) AS chi2_den
         FROM t2 JOIN tot t ON t.g = t2.g
-        GROUP BY 1, 2, 3, 4 ORDER BY 1"""))
+        GROUP BY 1, 2, 3, 4 ORDER BY 1""")),
+
+    // B109: k-core peel (3 rounds, k = 3) over the co-purchase graph —
+    // the dense-subgraph screen beside B80's triangles and B86's label
+    // propagation: which parts sit in a mutually-reinforcing cluster
+    // after iteratively shaving low-degree fringe. Fixed rounds keep the
+    // answer replayable (the oracle is the same three peels as nested
+    // CTEs); each round is one partial-agg'd degree count + two
+    // key-equi semi-joins, and the edge frame only shrinks.
+    Q(
+      "q215_kcore_peel",
+      (s, dir) => graft.operators.KCore
+        .peel(coPurchaseEdges(s, dir), 3L, 3)
+        .orderBy("node"), {
+        def rnd(i: Int) = {
+          val prev = s"sym${i - 1}"
+          s"""deg$i AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS c FROM $prev GROUP BY 1),
+             |keep$i AS (SELECT src AS node FROM deg$i WHERE c >= 3),
+             |sym$i AS (SELECT s.src, s.dst FROM $prev s
+             |          JOIN keep$i k1 ON s.src = k1.node
+             |          JOIN keep$i k2 ON s.dst = k2.node)""".stripMargin
+        }
+        Some(s"""
+        WITH $OEDGES,
+        sym0 AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+        ${rnd(1)},
+        ${rnd(2)},
+        ${rnd(3)}
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM sym3 GROUP BY 1 ORDER BY 1""")
+      }),
+
+    // B112: Cochran–Armitage trend test pieces — "does the label rate
+    // move MONOTONICALLY with an ordered category" (priority rank 1..5
+    // vs the high-value label), the ordered complement of B108's
+    // unordered chi-square. Exact integers: T = Σ i·(p_i·n2 − q_i·n1)
+    // plus the moment sums s1 = Σ i·c_i, s2 = Σ i²·c_i, from which
+    // Z² = N·T² / (n1·n2·(N·s2 − s1²)) is the caller's rational (the
+    // squares stay caller-side — squaring in-plan would need int128 at
+    // corpus scale). Guard 9·n1·n2 < 2^63 bounds |T| via Σp = n1.
+    Q(
+      "q218_trend_test",
+      (s, dir) => {
+        val b = Tables.orders(s, dir).select(
+          substring(col("o_orderpriority"), 1, 1).cast(LongType).as("i"),
+          (floor(col("o_totalprice") * 100).cast(LongType) >= 15000000L).as("y"))
+        val c = b.groupBy("i").agg(
+          sum(when(col("y"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("y"), 0L).otherwise(1L)).as("q"))
+        val t = c.agg(sum("p").as("n1"), sum("q").as("n2"))
+        c.crossJoin(broadcast(t))
+          .select(col("n1"), col("n2"),
+            when(col("n1") <= expr(s"${Long.MaxValue / 9}L div n2"),
+              col("i") * (col("p") * col("n2") - col("q") * col("n1")))
+              .otherwise(raise_error(lit(
+                "[trend-test] 9*n1*n2 must stay < 2^63: pre-bin or rescale"))
+                .cast(LongType))
+              .as("term"),
+            (col("i") * (col("p") + col("q"))).as("t1"),
+            (col("i") * col("i") * (col("p") + col("q"))).as("t2"))
+          .groupBy("n1", "n2")
+          .agg(sum("term").as("t_num"), sum("t1").as("s1"), sum("t2").as("s2"))
+      },
+      Some("""
+        WITH b AS (SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS i,
+                          CAST(floor(o_totalprice * 100) AS BIGINT) >= 15000000 AS y
+                   FROM orders),
+        c AS (SELECT i, CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                     CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+              FROM b GROUP BY 1),
+        t AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM c)
+        SELECT n1, n2,
+               CAST(SUM(i * (p * n2 - q * n1)) AS BIGINT) AS t_num,
+               CAST(SUM(i * (p + q)) AS BIGINT) AS s1,
+               CAST(SUM(i * i * (p + q)) AS BIGINT) AS s2
+        FROM c, t GROUP BY 1, 2"""))
   )
 }

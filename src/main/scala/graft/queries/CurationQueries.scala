@@ -906,6 +906,97 @@ object CurationQueries {
         SELECT t.rf, t.ls, tw,
                CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS wmedian_paise
         FROM tot t JOIN cum c ON c.rf = t.rf AND c.ls = t.ls
-        GROUP BY 1, 2, 3 ORDER BY 1, 2"""))
+        GROUP BY 1, 2, 3 ORDER BY 1, 2""")),
+
+    // B111: token-budget shard packing — the sequence-packing step every
+    // LLM training pipeline runs before writing shards: documents in a
+    // deterministic order, contiguous greedy packing into 4096-token
+    // shards, START-aligned (a doc belongs to the shard its first token
+    // falls in, so a shard can exceed budget by less than one doc — the
+    // documented semantic; the audit columns surface exactly that). The
+    // cumulative token count is PrefixSum's distributed range-exchange
+    // running sum — no single-partition window anywhere.
+    Q(
+      "q217_token_packing",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            // column API, not expr(): the regex reaches split() verbatim
+            // (an expr() string literal eats one backslash level)
+            coalesce(size(filter(split(trim(col("text")), "\\s+"),
+              t => t =!= lit(""))), lit(0)).cast(LongType).as("tok"))
+        val cum = graft.operators.PrefixSum.runningSums(toks, Seq(col("doc_id")), Seq("tok"))
+        cum.select(expr("(c_tok - tok) div 4096").as("shard"), col("tok"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
+          .select(col("shard"), col("n_docs"), col("tok_sum"),
+            (col("tok_sum") > 4096L).as("over_budget"),
+            expr("(1000000 * tok_sum) div 4096").as("utilization_ppm"))
+          .orderBy("shard")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id,
+                             CAST(COALESCE(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')), 0) AS BIGINT) AS tok
+                      FROM documents),
+        cum AS (SELECT doc_id, tok,
+                       CAST(SUM(tok) OVER (ORDER BY doc_id) AS BIGINT) AS c
+                FROM toks),
+        sh AS (SELECT (c - tok) // 4096 AS shard, tok FROM cum)
+        SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS tok_sum,
+               SUM(tok) > 4096 AS over_budget,
+               CAST((1000000 * SUM(tok)) // 4096 AS BIGINT) AS utilization_ppm
+        FROM sh GROUP BY 1 ORDER BY 1""")),
+
+    // B113: Horvitz–Thompson expansion from a deterministic stratified
+    // sample — the estimate-from-a-sample arithmetic that justifies the
+    // B50/B59 sampling wing: per stratum, expand the sampled balance sum
+    // by n/k (exact rational ht_num/ht_den), carry the TRUE total beside
+    // it, and report the exact floored-ppm relative error. The sample
+    // predicate (c_custkey % 7 = 0) is the deterministic stand-in for a
+    // stored sample table; the estimator algebra is what's under test.
+    // Guards bound |bal|·n products before any multiply.
+    Q(
+      "q219_ht_estimate",
+      (s, dir) => {
+        val strat = Tables.customer(s, dir)
+          .select(col("c_mktsegment").as("seg"), col("c_custkey"),
+            floor(col("c_acctbal") * 100).cast(LongType).as("bal"))
+        val tot = strat.groupBy("seg")
+          .agg(count(lit(1)).as("n_true"), sum("bal").as("bal_true"))
+        val samp = strat.filter(col("c_custkey") % 7 === 0)
+          .groupBy("seg").agg(count(lit(1)).as("k"), sum("bal").as("bal_s"))
+        val kb = Long.MaxValue / 4000000L
+        tot.join(samp, "seg")
+          .select(col("seg"), col("n_true"), col("k"),
+            when(
+              abs(col("bal_s")) <= expr(s"${kb}L div n_true") &&
+                abs(col("bal_true")) <= expr(s"${kb}L div k"),
+              col("bal_s") * col("n_true"))
+              .otherwise(raise_error(concat(
+                lit("[ht-estimate] balance*count product out of range for stratum "),
+                col("seg"), lit(": rescale the unit"))).cast(LongType))
+              .as("ht_num"),
+            col("k").as("ht_den"), col("bal_true"),
+            expr("""abs(1000000 * (bal_s * n_true - bal_true * k))
+                    div (CASE WHEN bal_true = 0 THEN 1 ELSE abs(bal_true) END * k)""")
+              .as("err_ppm"))
+          .orderBy("seg")
+      },
+      Some("""
+        WITH strat AS (SELECT c_mktsegment AS seg, c_custkey,
+                              CAST(floor(c_acctbal * 100) AS BIGINT) AS bal FROM customer),
+        tot AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_true,
+                       CAST(SUM(bal) AS BIGINT) AS bal_true
+                FROM strat GROUP BY 1),
+        samp AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS k,
+                        CAST(SUM(bal) AS BIGINT) AS bal_s
+                 FROM strat WHERE c_custkey % 7 = 0 GROUP BY 1)
+        SELECT t.seg, n_true, k,
+               CAST(bal_s * n_true AS BIGINT) AS ht_num,
+               k AS ht_den, bal_true,
+               CAST(abs(1000000 * (bal_s * n_true - bal_true * k)) // (CASE WHEN bal_true = 0 THEN 1 ELSE abs(bal_true) END * k) AS BIGINT) AS err_ppm
+        FROM tot t JOIN samp s ON s.seg = t.seg
+        ORDER BY t.seg"""))
   )
 }

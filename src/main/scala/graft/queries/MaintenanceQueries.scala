@@ -409,6 +409,47 @@ object MaintenanceQueries {
         UNION ALL
         SELECT 'lineitem', CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT eo.o_custkey) AS BIGINT)
         FROM lineitem JOIN eo ON l_orderkey = o_orderkey
-        ORDER BY entity"""))
+        ORDER BY entity""")),
+
+    // B110: functional-dependency audit — for each candidate FD X -> Y,
+    // how many X-groups map to MORE than one Y (the violation count the
+    // profiler needs before trusting a column as a lookup key or a
+    // denormalization as safe). Candidates unpivot through one stack()
+    // pass (one scan), then one (fd, lhs) count-distinct and one per-fd
+    // rollup; the violation rate is an exact floored ppm. lhs/rhs are
+    // cast to strings so one frame carries heterogeneous candidates.
+    Q(
+      "q216_fd_audit",
+      (s, dir) => {
+        val pairs = Tables.lineitem(s, dir)
+          .select(expr("""stack(3,
+            'part_unitprice', cast(l_partkey as string),
+              cast(cast(floor(l_extendedprice * 100) as bigint) div cast(floor(l_quantity) as bigint) as string),
+            'order_returnflag', cast(l_orderkey as string), l_returnflag,
+            'order_shipmonth', cast(l_orderkey as string),
+              cast(month(to_date(l_shipdate)) as string)) AS (fd, lhs, rhs)"""))
+        pairs.groupBy("fd", "lhs").agg(countDistinct("rhs").as("k"))
+          .groupBy("fd")
+          .agg(count(lit(1)).as("n_lhs"),
+            sum(when(col("k") > 1L, 1L).otherwise(0L)).as("n_violating"))
+          .select(col("fd"), col("n_lhs"), col("n_violating"),
+            expr("(1000000 * n_violating) div n_lhs").as("violation_ppm"))
+          .orderBy("fd")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT 'part_unitprice' AS fd, CAST(l_partkey AS VARCHAR) AS lhs,
+                 CAST(CAST(floor(l_extendedprice * 100) AS BIGINT) // CAST(floor(l_quantity) AS BIGINT) AS VARCHAR) AS rhs
+          FROM lineitem
+          UNION ALL
+          SELECT 'order_returnflag', CAST(l_orderkey AS VARCHAR), l_returnflag FROM lineitem
+          UNION ALL
+          SELECT 'order_shipmonth', CAST(l_orderkey AS VARCHAR),
+                 CAST(month(CAST(l_shipdate AS DATE)) AS VARCHAR) FROM lineitem),
+        g AS (SELECT fd, lhs, CAST(COUNT(DISTINCT rhs) AS BIGINT) AS k FROM pairs GROUP BY 1, 2)
+        SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+               CAST((1000000 * SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS violation_ppm
+        FROM g GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -345,7 +345,62 @@ object StreamTwinQueries {
                CAST(SUM(abs(p * n2 - q * n1)) AS BIGINT) AS tvd_num,
                CAST(2 * n1 * n2 AS BIGINT) AS tvd_den
         FROM pv, n
-        GROUP BY n1, n2"""))
+        GROUP BY n1, n2""")),
+
+    // B102 streamed twin: the Benford first-digit audit over a streamed
+    // digit histogram — the q207 statistic computed from counts that
+    // arrived as two replayed micro-batches through a Complete-mode
+    // streaming aggregate. Digit counts are associative, so the streamed
+    // histogram is bit-identical to the batch one and the SAME oracle
+    // hash-checks both; what this twin pins is the plumbing (file-source
+    // replay order, Complete-mode re-emission, memory-sink drain).
+    Q(
+      "q214_stream_benford",
+      (s, dir) => {
+        val ords = Tables.orders(s, dir).select(
+          substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+            .cast("long").as("digit"),
+          col("o_orderkey"))
+        val tmp = graft.Q.scratchDir("stream_benford")
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        writeReplayFile(ords.filter(col("o_orderkey") % 2 === 0), src, "half_a", 0)
+        writeReplayFile(ords.filter(col("o_orderkey") % 2 === 1), src, "half_b", 1)
+        val table = s"benford_hist_${benfordRuns.incrementAndGet()}"
+        withStreamPartitions(s, 2) {
+          val q = s.readStream.schema(ords.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+            .writeStream.format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Complete)
+            .start()
+          q.awaitTermination()
+        }
+        val digits = s.table(table)
+        val tot = digits.agg(sum("n_obs").as("nn"))
+        val expected = expr(
+          "CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939 " +
+            "WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 " +
+            "WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END").cast("long")
+        digits.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"), expected.as("expected_ppm"),
+            abs(lit(1000000L) * col("n_obs") - expected * col("nn")).as("dev_num"),
+            col("nn").as("dev_den"))
+          .orderBy("digit")
+      },
+      Some("""
+        WITH d AS (SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+                   FROM orders),
+        c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nn FROM c),
+        e AS (SELECT digit, n_obs,
+                     CAST(CASE digit WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+                          WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947 WHEN 7 THEN 57992
+                          WHEN 8 THEN 51153 ELSE 45757 END AS BIGINT) AS expected_ppm
+              FROM c)
+        SELECT digit, n_obs, expected_ppm,
+               CAST(abs(1000000 * n_obs - expected_ppm * nn) AS BIGINT) AS dev_num,
+               nn AS dev_den
+        FROM e, t ORDER BY digit"""))
   )
 
   /** Memory-sink table names must be unique per drain within a session
@@ -353,4 +408,5 @@ object StreamTwinQueries {
     * timestamp, so nothing data-affecting varies between runs. */
   private val driftHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val tvdHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val benfordRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }

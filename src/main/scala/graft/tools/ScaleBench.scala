@@ -72,7 +72,11 @@ object ScaleBench {
     "q208_theil_sen", "q209_conversion_latency",
     "q210_weighted_median", "q211_gini_lorenz",
     // the per-user adoption self-join and the unpivoted chi-square scan
-    "q212_adoption_precedence", "q213_chi2_feature_rank")
+    "q212_adoption_precedence", "q213_chi2_feature_rank",
+    // the iterative k-core semi-join peel and the stacked FD audit
+    "q215_kcore_peel", "q216_fd_audit",
+    // the PrefixSum shard packing and the HT sample expansion
+    "q217_token_packing", "q219_ht_estimate")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -826,6 +826,29 @@ class AnalysisSpec extends SparkSpec {
     assert(gini.toSeq == gWant)
   }
 
+  test("KCore.peel equals the brute-force fixed-round peel") {
+    for (trial <- 1 to 3) {
+      val n = 40
+      val edges = (1 to 160).map(_ => (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct
+      val got = graft.operators.KCore
+        .peel(edges.toDF("a", "b"), 3L, 3)
+        .as[(Long, Long)].collect().sortBy(_._1)
+      // reference: symmetrized adjacency, three peels
+      var sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
+      for (_ <- 1 to 3) {
+        val deg = sym.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= 3).keySet
+        sym = sym.filter { case (s, d) => keep(s) && keep(d) }
+      }
+      val want = sym.groupBy(_._1).toSeq
+        .map { case (node, es) => (node, es.size.toLong) }.sortBy(_._1)
+      assert(got.toSeq == want, s"trial $trial")
+    }
+  }
+
   test("chiSquareCountsPerGroup equals chiSquareCounts run per group") {
     val counts = (for {
       g <- Seq("f1", "f2", "f3"); v <- 0 until (2 + rng.nextInt(5))
