@@ -423,6 +423,80 @@ object EvalMetrics {
         (col("n1") * col("n2")).as("w1_den"))
   }
 
+  /** Two-sample Cramér–von Mises statistic between rows where `inFirst`
+    * is true (sample 1) and the rest (sample 2), over `value` — the
+    * WHOLE-CDF drift test beside [[ksTest]]'s sup: KS sees only the
+    * single largest CDF gap, CvM integrates the SQUARED gap over every
+    * pooled observation, so a distribution that drifts a little
+    * everywhere (tail thickening, variance creep) registers even when no
+    * single point gap is large. T = n1·n2/N² · Σ_k (F1(x_k) − F2(x_k))²
+    * over the N = n1+n2 pooled points with multiplicity; clearing
+    * denominators, T = Σ_v cc_v·d_v²/(n1·n2) / N² with cc_v the pooled
+    * count at v and d_v = |C1(v)·n2 − C2(v)·n1|. Emitted as
+    * cvm_num = Σ_v cc_v·(d_v² div (n1·n2)) and t_den = N², so
+    * T ≈ cvm_num/t_den with a documented flooring loss < 1 unit of
+    * d²/(n1·n2) per distinct value before the cc_v multiply — at most
+    * Σ cc = N units of 1/N², i.e. |T_exact − T| < 1/N (the same
+    * per-term floor the chi-square tier takes; both engines floor
+    * identically, so the oracle replays the statistic bit-for-bit).
+    * Output (one row): n1, n2, cvm_num, t_den.
+    */
+  def cvmTest(df: DataFrame, inFirst: Column, value: Column): DataFrame =
+    cvmCounts(df
+      .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
+
+  /** [[cvmTest]] from PRE-AGGREGATED per-value counts `(v, p, q)` — same
+    * scale shape as [[ksTestCounts]] (one [[PrefixSum.runningSums]] pass,
+    * broadcast totals) minus its top-1 sort: the statistic is one plain
+    * aggregate. The d² div (n1·n2) term never materializes d² (which
+    * alone would cap n1·n2 at 2^31.5): with d = q1·n1 + r1,
+    * floor(d²/n1) = d·q1 + (r1·d) div n1, and a second div by n2
+    * composes exactly (floor∘floor = floor of the product divisor).
+    * Guard: both samples non-empty and n1·n2·(n1+n2) < 2^63 — q1 ≤ n2
+    * bounds d·q1 ≤ n1·n2·n2 and r1·d < n1·n1·n2 (both under the bound),
+    * and Σ cc·t0 ≤ N·n1·n2 bounds the final aggregate. Beyond it,
+    * pre-aggregate and go through [[cvmCountsRescaled]].
+    */
+  def cvmCounts(perV: DataFrame): DataFrame = {
+    val cum = PrefixSum.runningSums(perV, Seq(col("v")), Seq("p", "q"))
+    val tot = cum.agg(sum("p").as("n1"), sum("q").as("n2"))
+      .select(
+        guard(
+          col("n1") > 0L && col("n2") > 0L &&
+            col("n1") <= expr(s"(${Long.MaxValue}L div n2) div (n1 + n2)"),
+          col("n1"),
+          concat(
+            lit("[eval-metrics] cvmTest needs both samples non-empty and "),
+            lit("n1*n2*(n1+n2) < 2^63 (n1="), coalesce(col("n1"), lit(0L)),
+            lit(", n2="), coalesce(col("n2"), lit(0L)),
+            lit("); pre-aggregate and rescale with cvmCountsRescaled beyond the bound"))).as("n1"),
+        col("n2"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("cc", col("p") + col("q"))
+      .withColumn("d", abs(col("c_p") * col("n2") - col("c_q") * col("n1")))
+      .withColumn("q1", expr("d div n1"))
+      .withColumn("r1", col("d") % col("n1"))
+      .withColumn("t0", expr("(d * q1 + (r1 * d) div n1) div n2"))
+      .groupBy("n1", "n2")
+      .agg(sum(col("cc") * col("t0")).as("cvm_num"))
+      .select(
+        col("n1"), col("n2"), col("cvm_num"),
+        ((col("n1") + col("n2")) * (col("n1") + col("n2"))).as("t_den"))
+  }
+
+  /** [[cvmCounts]] over counts downscaled to the same three-term budget
+    * as the chi-square tier (n1·n2·N < 2^63 — the cube-root shift) —
+    * valid at any corpus size. CvM is a probability functional (invariant
+    * under a uniform count rescale up to the flooring term), so unlike
+    * chi-square no shift column is needed: T ≈ cvm_num/t_den holds in
+    * the rescaled units directly. */
+  def cvmCountsRescaled(perV: DataFrame): DataFrame =
+    cvmCounts(rescaleCounts(perV, Seq("p", "q"), withSumTerm = true))
+
   /** Per-group category concentration: Gini impurity of `value`'s
     * distribution within each group, as the exact rational
     * gini = (n² − Σ_v c_v²) / n² ∈ [0, 1) — 0 = the group is pure (one

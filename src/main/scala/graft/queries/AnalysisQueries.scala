@@ -1344,6 +1344,196 @@ object AnalysisQueries {
                CAST(SUM(i * (p * n2 - q * n1)) AS BIGINT) AS t_num,
                CAST(SUM(i * (p + q)) AS BIGINT) AS s1,
                CAST(SUM(i * i * (p + q)) AS BIGINT) AS s2
-        FROM c, t GROUP BY 1, 2"""))
+        FROM c, t GROUP BY 1, 2""")),
+
+    // B114: Cramér–von Mises drift test between the click and view
+    // event-value distributions on the exact paise grid — the WHOLE-CDF
+    // complement of q174's KS sup: a distribution that drifts a little
+    // everywhere (variance creep, tail thickening) moves the integrated
+    // squared gap even when no single CDF point gap is large.
+    // cvm_num = Σ_v cc_v·(d_v² div (n1·n2)), T ≈ cvm_num/(n1+n2)²; the
+    // staged integer floor-division replays bit-identically in DuckDB.
+    Q(
+      "q220_cvm_drift",
+      (s, dir) => EvalMetrics.cvmTest(
+        Tables.events(s, dir).filter(col("event_type").isin("click", "view")),
+        col("event_type") === "click",
+        floor(col("value") * 100).cast(LongType)),
+      Some("""
+        WITH vals AS (SELECT CAST(floor(value*100) AS BIGINT) AS v,
+                             event_type = 'click' AS s1
+                      FROM events WHERE event_type IN ('click','view')),
+        pv AS (SELECT v, CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM vals GROUP BY 1),
+        cum AS (SELECT v, p, q,
+                       CAST(SUM(p) OVER (ORDER BY v) AS BIGINT) AS cp,
+                       CAST(SUM(q) OVER (ORDER BY v) AS BIGINT) AS cq
+                FROM pv),
+        tot AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv),
+        st AS (SELECT p + q AS cc, abs(cp*n2 - cq*n1) AS d, n1, n2,
+                      abs(cp*n2 - cq*n1) // n1 AS q1, abs(cp*n2 - cq*n1) % n1 AS r1
+               FROM cum, tot),
+        t2 AS (SELECT cc, n1, n2, (d*q1 + (r1*d) // n1) // n2 AS t0 FROM st)
+        SELECT n1, n2, CAST(SUM(cc * t0) AS BIGINT) AS cvm_num,
+               CAST((n1+n2)*(n1+n2) AS BIGINT) AS t_den
+        FROM t2 GROUP BY 1, 2""")),
+
+    // B118: Mantel–Haenszel pooled odds ratio across strata — "does the
+    // exposure-outcome association survive controlling for the stratum"
+    // (here: BUILDING-segment customers vs high-value orders, stratified
+    // by nation — the confounder-adjusted complement of q218's
+    // trend test). MH = Σ(a_i·d_i/n_i) / Σ(b_i·c_i/n_i); each stratum
+    // term lands on the e6 floored grid ((x·10^6) div n — engine-
+    // portable integer div; summing floors is deterministic both sides
+    // and loses < 1 ppm·strata of the ratio), so the pooled estimate is
+    // the exact pair (or_num_e6, or_den_e6). One partial-agg'd shuffle
+    // to 2×2 cells per stratum, one bounded rollup; guard per stratum
+    // a·d, b·c ≤ 2^63/10^6 rides the consumed terms.
+    Q(
+      "q224_mh_odds_ratio",
+      (s, dir) => {
+        val cap = Long.MaxValue / 1000000L
+        val base = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .select(col("c_nationkey").as("g"),
+            (col("c_mktsegment") === "BUILDING").as("e"),
+            (floor(col("o_totalprice") * 100).cast(LongType) >= 15000000L).as("y"))
+        base.groupBy("g")
+          .agg(
+            sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+            sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+            sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+            sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("d"))
+          .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+          .select(
+            when(
+              col("a") <= expr(s"${cap}L div greatest(d, 1L)") &&
+                col("b") <= expr(s"${cap}L div greatest(c, 1L)"),
+              expr("(a * d * 1000000L) div n"))
+              .otherwise(raise_error(concat(
+                lit("[mh-odds] stratum "), col("g"),
+                lit(" cell product exceeds 2^63/10^6: pre-aggregate or sample strata")))
+                .cast(LongType)).as("t_num"),
+            expr("(b * c * 1000000L) div n").as("t_den"))
+          .agg(count(lit(1)).as("n_strata"),
+            sum("t_num").as("or_num_e6"),
+            sum("t_den").as("or_den_e6"))
+      },
+      Some("""
+        WITH base AS (SELECT c.c_nationkey AS g,
+                             c.c_mktsegment = 'BUILDING' AS e,
+                             CAST(floor(o_totalprice * 100) AS BIGINT) >= 15000000 AS y
+                      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+        cells AS (SELECT g,
+                         CAST(SUM(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                         CAST(SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                         CAST(SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                         CAST(SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS BIGINT) AS d
+                  FROM base GROUP BY 1),
+        t AS (SELECT g, a, b, c, d, a + b + c + d AS n FROM cells)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM((a * d * 1000000) // n) AS BIGINT) AS or_num_e6,
+               CAST(SUM((b * c * 1000000) // n) AS BIGINT) AS or_den_e6
+        FROM t""")),
+
+    // B123: degree assortativity of the co-purchase graph — do hub parts
+    // co-purchase with other hubs (r > 0, "rich club") or with the
+    // periphery (r < 0)? Pearson correlation of endpoint degrees over
+    // the DIRECTED edge list (both orientations — the standard Newman
+    // formulation, which also makes Σx = Σy so two co-moments suffice).
+    // Exact integers end-to-end: one degree count, one two-hop join to
+    // attach endpoint degrees, one co-moment reduction (the q199/q202
+    // pattern) with its Cauchy–Schwarz guard.
+    Q(
+      "q229_assortativity",
+      (s, dir) => {
+        val k62 = Long.MaxValue / 2
+        val e = coPurchaseEdges(s, dir)
+        val sym = Q.persistOnce(
+          e.select(col("a").as("src"), col("b").as("dst"))
+            .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+        val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+        sym
+          .join(deg.select(col("n").as("src"), col("d").as("x")), "src")
+          .join(deg.select(col("n").as("dst"), col("d").as("y")), "dst")
+          .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sx2"))
+          .select(col("n"),
+            when(col("sx2") <= expr(s"${k62}L div n"),
+              col("n") * col("sxy") - col("sx") * col("sy"))
+              .otherwise(raise_error(lit(
+                "[assortativity] co-moment overflow: n * sum(d^2) must stay < 2^62 " +
+                  "— cap degrees or sample edges")).cast(LongType))
+              .as("cov_num"),
+            (col("n") * col("sx2") - col("sx") * col("sx")).as("var_num"))
+      },
+      Some(s"""
+        WITH $OEDGES,
+        sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+        deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        de AS (SELECT da.d AS x, db.d AS y
+               FROM sym JOIN deg da ON da.n = sym.src JOIN deg db ON db.n = sym.dst)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) * SUM(x*y) - SUM(x)*SUM(y) AS BIGINT) AS cov_num,
+               CAST(COUNT(*) * SUM(x*x) - SUM(x)*SUM(x) AS BIGINT) AS var_num
+        FROM de""")),
+
+    // B124: modularity of a labeled partition over the co-purchase graph
+    // — the clustering-QUALITY audit for any community assignment (here
+    // the catalog's p_brand labels; swap in q179's label-prop output or
+    // q133's dedup clusters the same way): Q = Σ_c e_c/m − (d_c/2m)²,
+    // cleared to the exact rational (4m·Σe_c − Σd_c²) / 4m². One degree
+    // count, one two-sided community join bounded by the edge list, two
+    // tiny rollups; guard d_c ≤ 2^31 and m ≤ 2^30 keep every square in
+    // a long.
+    Q(
+      "q230_modularity",
+      (s, dir) => {
+        val e = coPurchaseEdges(s, dir)
+        val m = e.agg(count(lit(1)).as("m"))
+        val sym = Q.persistOnce(
+          e.select(col("a").as("src"), col("b").as("dst"))
+            .unionByName(e.select(col("b").as("src"), col("a").as("dst"))))
+        val deg = sym.groupBy(col("src").as("n")).agg(count(lit(1)).as("d"))
+        val com = Tables.part(s, dir).select(col("p_partkey").as("n"), col("p_brand").as("c"))
+        val ec = e
+          .join(com.select(col("n").as("a"), col("c").as("ca")), "a")
+          .join(com.select(col("n").as("b"), col("c").as("cb")), "b")
+          .filter(col("ca") === col("cb"))
+          .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+        val dc = deg.join(com, "n").groupBy("c").agg(sum("d").as("d_tot"))
+        val agg = dc.join(ec, Seq("c"), "left")
+          .agg(coalesce(sum(coalesce(col("e_in"), lit(0L))), lit(0L)).as("se"),
+            sum(when(col("d_tot") <= 2147483647L, col("d_tot") * col("d_tot"))
+              .otherwise(raise_error(lit(
+                "[modularity] community degree total exceeds 2^31: d_c^2 would overflow"))
+                .cast(LongType))).as("sd2"))
+        agg.crossJoin(broadcast(m))
+          .select(col("m"),
+            when(col("m") <= 1073741824L,
+              lit(4L) * col("m") * col("se") - col("sd2"))
+              .otherwise(raise_error(lit(
+                "[modularity] edge count exceeds 2^30: 4m^2 would overflow"))
+                .cast(LongType)).as("q_num"),
+            (lit(4L) * col("m") * col("m")).as("q_den"))
+      },
+      Some(s"""
+        WITH $OEDGES,
+        m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+        deg AS (SELECT src AS n, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        com AS (SELECT p_partkey AS n, p_brand AS c FROM part),
+        ec AS (SELECT ca.c, CAST(COUNT(*) AS BIGINT) AS e_in
+               FROM edges JOIN com ca ON ca.n = edges.a JOIN com cb ON cb.n = edges.b AND ca.c = cb.c
+               GROUP BY 1),
+        dc AS (SELECT com.c, CAST(SUM(deg.d) AS BIGINT) AS d_tot
+               FROM deg JOIN com ON com.n = deg.n GROUP BY 1),
+        agg AS (SELECT CAST(SUM(COALESCE(e_in, 0)) AS BIGINT) AS se,
+                       CAST(SUM(d_tot*d_tot) AS BIGINT) AS sd2
+                FROM dc LEFT JOIN ec ON ec.c = dc.c)
+        SELECT m, CAST(4*m*se - sd2 AS BIGINT) AS q_num, CAST(4*m*m AS BIGINT) AS q_den
+        FROM agg, m"""))
   )
 }

@@ -997,6 +997,48 @@ object CurationQueries {
                k AS ht_den, bal_true,
                CAST(abs(1000000 * (bal_s * n_true - bal_true * k)) // (CASE WHEN bal_true = 0 THEN 1 ELSE abs(bal_true) END * k) AS BIGINT) AS err_ppm
         FROM tot t JOIN samp s ON s.seg = t.seg
-        ORDER BY t.seg"""))
+        ORDER BY t.seg""")),
+
+    // B120: greedy coverage-maximizing selection — after dedup the corpus
+    // is still REDUNDANT; with a K-document budget, marginal 3-shingle
+    // coverage (not a per-doc quality score) is what each pick should
+    // buy. Classic submodular greedy ((1−1/e) of optimal): 3 fixed
+    // rounds, each one partial-agg'd count + a top-1 TakeOrdered + one
+    // anti-join on the covered set; ties break to the smallest doc_id so
+    // the oracle replays the same picks as nested CTEs.
+    Q(
+      "q226_coverage_select",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.operators.TextAnalysis
+              .shinglesFromTokens(graft.functions.GraftFunctions.tokens(col("text")), 3)))
+              .as("sh"))
+        graft.operators.Coverage.greedySelect(sh, "doc_id", "sh", 3)
+          .select(col("round"), col("id").as("doc_id"), col("gain"), col("covered_total"))
+          .orderBy("round")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts FROM documents),
+        sh AS (SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+            FROM toks)),
+        c1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM sh GROUP BY 1),
+        p1 AS (SELECT doc_id, g FROM c1 ORDER BY g DESC, doc_id LIMIT 1),
+        cov1 AS (SELECT DISTINCT s.sh FROM sh s JOIN p1 ON s.doc_id = p1.doc_id),
+        u2 AS (SELECT s.doc_id, s.sh FROM sh s LEFT JOIN cov1 v ON s.sh = v.sh WHERE v.sh IS NULL),
+        c2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM u2 GROUP BY 1),
+        p2 AS (SELECT doc_id, g FROM c2 ORDER BY g DESC, doc_id LIMIT 1),
+        cov2 AS (SELECT sh FROM cov1 UNION SELECT DISTINCT s.sh FROM u2 s JOIN p2 ON s.doc_id = p2.doc_id),
+        u3 AS (SELECT s.doc_id, s.sh FROM sh s LEFT JOIN cov2 v ON s.sh = v.sh WHERE v.sh IS NULL),
+        c3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM u3 GROUP BY 1),
+        p3 AS (SELECT doc_id, g FROM c3 ORDER BY g DESC, doc_id LIMIT 1),
+        sel AS (SELECT CAST(1 AS BIGINT) AS round, doc_id, g AS gain FROM p1
+                UNION ALL SELECT CAST(2 AS BIGINT), doc_id, g FROM p2
+                UNION ALL SELECT CAST(3 AS BIGINT), doc_id, g FROM p3)
+        SELECT round, doc_id, gain,
+               CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+        FROM sel ORDER BY round"""))
   )
 }

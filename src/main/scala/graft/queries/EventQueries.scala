@@ -813,6 +813,170 @@ object EventQueries {
         m AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1)
         SELECT ab.a, ab.b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, n_users
         FROM ab JOIN m ma ON ma.t = ab.a JOIN m mb ON mb.t = ab.b, nu
-        ORDER BY ab.a, ab.b"""))
+        ORDER BY ab.a, ab.b""")),
+
+    // B115: Wald–Wolfowitz runs test per series — the RANDOMNESS screen
+    // the trend wing (q203 Mann–Kendall, q201 CUSUM) assumes but never
+    // checks: dichotomize each series' daily values at its own lower
+    // median (above = 1, at-or-below = 0 — no rows dropped, so the split
+    // is total and deterministic), count runs of equal sign, and emit the
+    // exact pieces (n_above, n_below, runs); too FEW runs = clumping /
+    // regime persistence, too MANY = oscillation, with
+    // E[R] = 2·n1·n2/N + 1 the caller's rational. Shapes: one grouped
+    // median order statistic, a key-equi join of the per-series median
+    // back (dictionary-sized, AQE-broadcast), one grouped lag window —
+    // all partition-parallel by series.
+    Q(
+      "q221_runs_test",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(sum(floor(col("value"))).as("x"))
+        val wm = Window.partitionBy("g").orderBy("x")
+        val med = daily
+          .withColumn("rn", row_number().over(wm).cast(LongType))
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("g"), col("x").as("med"))
+        val wd = Window.partitionBy("g").orderBy("d")
+        daily.join(med, "g")
+          .select(col("g"), col("d"),
+            when(col("x") > col("med"), 1L).otherwise(0L).as("sgn"))
+          .withColumn("pl", lag("sgn", 1).over(wd))
+          .groupBy("g")
+          .agg(
+            sum(col("sgn")).as("n_above"),
+            sum(lit(1L) - col("sgn")).as("n_below"),
+            sum(when(col("pl").isNull || col("pl") =!= col("sgn"), 1L)
+              .otherwise(0L)).as("runs"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        med AS (SELECT g, x AS med FROM (
+                  SELECT g, x, ROW_NUMBER() OVER (PARTITION BY g ORDER BY x) AS rn,
+                         COUNT(*) OVER (PARTITION BY g) AS cnt
+                  FROM daily) WHERE rn = (cnt + 1) // 2),
+        signed AS (SELECT d.g, d.d, CASE WHEN d.x > m.med THEN 1 ELSE 0 END AS s
+                   FROM daily d JOIN med m ON m.g = d.g),
+        r AS (SELECT g, s, lag(s) OVER (PARTITION BY g ORDER BY d) AS pl FROM signed)
+        SELECT g,
+               CAST(SUM(s) AS BIGINT) AS n_above,
+               CAST(SUM(1 - s) AS BIGINT) AS n_below,
+               CAST(SUM(CASE WHEN pl IS NULL OR pl <> s THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM r GROUP BY 1 ORDER BY 1""")),
+
+    // B116: Kendall tau-b between every pair of series — the
+    // concordance-counting rank correlation beside q202's Spearman:
+    // tau-b's pieces are PURE integers by construction (concordant minus
+    // discordant pair signs, tie-corrected denominators
+    // n0 − tx, n0 − ty with n0 = n(n−1)/2), so unlike Spearman no
+    // rank-doubling trick is needed and tau_b = cd_num/sqrt(denx·deny)
+    // is the caller's one-liner. The day-pair self-join is bounded by
+    // days²/2 per series pair over the q202 day-aligned frame (persisted
+    // once: it feeds the pair join twice plus three marginal aggregates);
+    // the q203 pre-guard posture applies — at > 65536 aligned days,
+    // pre-bin to weeks before squaring.
+    Q(
+      "q222_kendall_pairs",
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(sum(floor(col("value"))).as("x"))
+        val b = daily.select(col("g").as("gb"), col("d"), col("x").as("xb"))
+        val pairs = Q.persistOnce(daily.join(b, "d")
+          .filter(col("g") < col("gb"))
+          .select(col("g").as("ga"), col("gb"), col("d"),
+            col("x").as("xa"), col("xb")))
+        val p2 = pairs.select(col("ga"), col("gb"), col("d").as("d2"),
+          col("xa").as("xa2"), col("xb").as("xb2"))
+        val cd = pairs.join(p2, Seq("ga", "gb")).filter(col("d2") > col("d"))
+          .groupBy("ga", "gb")
+          .agg(sum(
+            signum(col("xa2") - col("xa")).cast(LongType) *
+              signum(col("xb2") - col("xb")).cast(LongType)).as("cd_num"))
+        val n = pairs.groupBy("ga", "gb").agg(count(lit(1)).as("n"))
+        val tx = pairs.groupBy("ga", "gb", "xa").agg(count(lit(1)).as("t"))
+          .groupBy("ga", "gb").agg(sum(expr("t * (t - 1) div 2")).as("tie_x"))
+        val ty = pairs.groupBy("ga", "gb", "xb").agg(count(lit(1)).as("t"))
+          .groupBy("ga", "gb").agg(sum(expr("t * (t - 1) div 2")).as("tie_y"))
+        n.join(cd, Seq("ga", "gb")).join(tx, Seq("ga", "gb")).join(ty, Seq("ga", "gb"))
+          .select(col("ga"), col("gb"), col("n"), col("cd_num"),
+            (expr("n * (n - 1) div 2") - col("tie_x")).as("denx_num"),
+            (expr("n * (n - 1) div 2") - col("tie_y")).as("deny_num"))
+          .orderBy("ga", "gb")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS x
+                       FROM events GROUP BY 1, 2),
+        pairs AS (SELECT a.g AS ga, b.g AS gb, a.d AS d, a.x AS xa, b.x AS xb
+                  FROM daily a JOIN daily b ON a.d = b.d AND a.g < b.g),
+        cd AS (SELECT f1.ga, f1.gb,
+                      CAST(SUM(CAST(sign(f2.xa - f1.xa) AS BIGINT) *
+                               CAST(sign(f2.xb - f1.xb) AS BIGINT)) AS BIGINT) AS cd_num
+               FROM pairs f1 JOIN pairs f2
+                 ON f1.ga = f2.ga AND f1.gb = f2.gb AND f2.d > f1.d
+               GROUP BY 1, 2),
+        n AS (SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1, 2),
+        tx AS (SELECT ga, gb, CAST(SUM(t*(t-1)//2) AS BIGINT) AS tie_x FROM
+                 (SELECT ga, gb, xa, COUNT(*) AS t FROM pairs GROUP BY 1,2,3) GROUP BY 1,2),
+        ty AS (SELECT ga, gb, CAST(SUM(t*(t-1)//2) AS BIGINT) AS tie_y FROM
+                 (SELECT ga, gb, xb, COUNT(*) AS t FROM pairs GROUP BY 1,2,3) GROUP BY 1,2)
+        SELECT n.ga, n.gb, n, cd_num,
+               CAST(n*(n-1)//2 - tie_x AS BIGINT) AS denx_num,
+               CAST(n*(n-1)//2 - tie_y AS BIGINT) AS deny_num
+        FROM n JOIN cd ON cd.ga = n.ga AND cd.gb = n.gb
+               JOIN tx ON tx.ga = n.ga AND tx.gb = n.gb
+               JOIN ty ON ty.ga = n.ga AND ty.gb = n.gb
+        ORDER BY 1, 2""")),
+
+    // B119: Fano factor (variance-to-mean of daily arrival counts) per
+    // event series — the burstiness/overdispersion screen: F ≈ 1 is
+    // Poisson-consistent arrival, F >> 1 is bursty (bot storms, batch
+    // replays), F << 1 is suspiciously regular (synthetic traffic).
+    // Exact rational via scale-cleared co-moments over COUNTS (not value
+    // sums — this is the arrival-process statistic):
+    // F = f_num/f_den = (n·Σc² − (Σc)²) / ((n−1)·Σc). Two partial-agg'd
+    // shuffles, no joins; guard Σc² ≤ 2^62/n rides the consumed f_num.
+    Q(
+      "q225_fano_burstiness",
+      (s, dir) => {
+        val k62 = Long.MaxValue / 2
+        Tables.events(s, dir)
+          .groupBy(col("event_type").as("g"),
+            expr("datediff(to_date(ts), date'2024-01-01')").cast(LongType).as("d"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy("g")
+          .agg(count(lit(1)).as("n"), sum("c").as("sc"),
+            sum(col("c") * col("c")).as("sc2"))
+          .select(col("g"), col("n"),
+            when(col("sc2") <= expr(s"${k62}L div n"),
+              col("n") * col("sc2") - col("sc") * col("sc"))
+              .otherwise(raise_error(concat(
+                lit("[fano] co-moment overflow for series "), col("g"),
+                lit(": n * sum(c^2) must stay < 2^62 — pre-bin to coarser intervals")))
+                .cast(LongType))
+              .as("f_num"),
+            ((col("n") - 1L) * col("sc")).as("f_den"))
+          .orderBy("g")
+      },
+      Some("""
+        WITH daily AS (SELECT event_type AS g,
+                              CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS d,
+                              CAST(COUNT(*) AS BIGINT) AS c
+                       FROM events GROUP BY 1, 2),
+        m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+                     CAST(SUM(c*c) AS BIGINT) AS sc2
+              FROM daily GROUP BY 1)
+        SELECT g, n, CAST(n*sc2 - sc*sc AS BIGINT) AS f_num,
+               CAST((n-1)*sc AS BIGINT) AS f_den
+        FROM m ORDER BY g"""))
   )
 }

@@ -450,6 +450,96 @@ object MaintenanceQueries {
         SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_lhs,
                CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
                CAST((1000000 * SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS violation_ppm
-        FROM g GROUP BY 1 ORDER BY 1"""))
+        FROM g GROUP BY 1 ORDER BY 1""")),
+
+    // B117: declarative data-quality expectations — the release gate
+    // beside q216's FD audit and q79/q160's profiler: a rule LIST
+    // (not-null, range, regex shape, accepted set, key uniqueness,
+    // referential integrity) evaluated in the minimum number of passes
+    // (all row-local rules fold into ONE scan; each uniqueness rule is
+    // one partial-agg'd shuffle; the FK rule one left equi-join), one
+    // verdict row per rule. Thresholds are set so BOTH branches show:
+    // the range and uniqueness rules genuinely fail on this corpus.
+    Q(
+      "q223_expectations",
+      (s, dir) => graft.operators.Expectations.check(
+        Tables.orders(s, dir),
+        Seq(
+          graft.operators.Expectations.NotNull("o_custkey"),
+          graft.operators.Expectations.InRange("o_totalprice", 0.0, 450000.0),
+          graft.operators.Expectations.Matches("o_orderpriority", "^[1-5]-"),
+          graft.operators.Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
+          graft.operators.Expectations.Unique(Seq("o_orderkey")),
+          graft.operators.Expectations.Unique(Seq("o_custkey")),
+          graft.operators.Expectations.RefIntegrity(
+            "o_custkey", Tables.customer(s, dir), "c_custkey"))),
+      Some("""
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+        SELECT rule, n, violations, violations = 0 AS pass FROM (
+        SELECT 'not_null(o_custkey)' AS rule, n.n AS n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS violations FROM n
+        UNION ALL SELECT 'in_range(o_totalprice,0.0,450000.0)', n.n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE NOT COALESCE(o_totalprice >= 0 AND o_totalprice <= 450000, FALSE)) FROM n
+        UNION ALL SELECT 'matches(o_orderpriority)', n.n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) FROM n
+        UNION ALL SELECT 'in_set(o_orderstatus)', n.n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                WHERE NOT COALESCE(o_orderstatus IN ('F','O','P'), FALSE)) FROM n
+        UNION ALL SELECT 'unique(o_orderkey)', n.n,
+               n.n - (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT o_orderkey FROM orders)) FROM n
+        UNION ALL SELECT 'unique(o_custkey)', n.n,
+               n.n - (SELECT CAST(COUNT(*) AS BIGINT) FROM (SELECT DISTINCT o_custkey FROM orders)) FROM n
+        UNION ALL SELECT 'ref_integrity(o_custkey->c_custkey)', n.n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
+                WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) FROM n
+        ) ORDER BY rule""")),
+
+    // B121: order-independent table content digest — the anti-entropy
+    // check between replicas/snapshots: same row multiset ⇒ identical
+    // (xor_digest, modsum_digest) regardless of partitioning, sort, or
+    // engine (hash60 is md5-based, so DuckDB reproduces it bit-for-bit).
+    // The demo digests the orders slice twice: verbatim, and with a
+    // planted status flip on o_orderkey % 1000 = 7 — both reducers move,
+    // n_rows doesn't (exactly the diff an anti-entropy sweep must catch).
+    Q(
+      "q227_table_digest",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("od"))
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "od")
+        graft.operators.TableDigest.digest(base, cols, "replica_a")
+          .unionByName(graft.operators.TableDigest.digest(
+            base.withColumn("o_orderstatus",
+              when(col("o_orderkey") % 1000 === 7, lit("X"))
+                .otherwise(col("o_orderstatus"))),
+            cols, "replica_b"))
+          .orderBy("label")
+      },
+      Some("""
+        WITH canon AS (SELECT CAST(('0x' || substring(md5(
+                         coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(o_orderstatus, chr(1)) || chr(2) ||
+                         coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1))
+                       ), 1, 15)) AS BIGINT) AS h FROM orders),
+        tamper AS (SELECT CAST(('0x' || substring(md5(
+                         coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(CASE WHEN o_orderkey % 1000 = 7 THEN 'X' ELSE o_orderstatus END, chr(1)) || chr(2) ||
+                         coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1))
+                       ), 1, 15)) AS BIGINT) AS h FROM orders)
+        SELECT 'replica_a' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+               CAST(SUM(h % 1000003) AS BIGINT) AS modsum_digest
+        FROM canon
+        UNION ALL
+        SELECT 'replica_b', CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+               CAST(SUM(h % 1000003) AS BIGINT)
+        FROM tamper
+        ORDER BY label"""))
   )
 }

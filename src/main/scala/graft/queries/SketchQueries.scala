@@ -273,6 +273,58 @@ object SketchQueries {
         SELECT a, b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
         FROM cand
         WHERE bit_count(xor(ha, hb)) <= 4
-        ORDER BY a, b"""))
+        ORDER BY a, b""")),
+
+    // B125: AMS sign-sketch join-size estimate — the cardinality-planner
+    // sketch that completes the family (HLL distinct, KMV Jaccard, Bloom
+    // membership, space-saving heavy hitters, t-digest quantiles):
+    // E[s_j(A)·s_j(B)] = |A ⋈ B| from ONE pass per side, sketches
+    // mergeable by addition. 64 estimators, median of 8 group means
+    // (integer floor-div means, order-statistic median), so estimate AND
+    // measured error are exact integers the oracle replays — the
+    // accuracy claim itself is oracle-checked, not asserted. Demo:
+    // |lineitem ⋈ 1995-shipped lineitem on partkey| — est within a few
+    // percent of exact, at sketch cost instead of a join.
+    Q(
+      "q231_ams_joinsize", {
+        (s, dir) => {
+          val li = Tables.lineitem(s, dir)
+          val a = li.groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+          val b = li.filter(year(to_date(col("l_shipdate"))) === 1995)
+            .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("c"))
+          val est = graft.operators.AmsSketch.joinSizeEstimate(
+            graft.operators.AmsSketch.sketch(a, "k", "c", 64),
+            graft.operators.AmsSketch.sketch(b, "k", "c", 64), 64, 8)
+          val exact = a.join(b.withColumnRenamed("c", "cb"), "k")
+            .agg(sum(col("c") * col("cb")).as("exact_sz"))
+          est.crossJoin(broadcast(exact))
+            .select(col("n_a"), col("n_b"), col("exact_sz"), col("est"),
+              expr("abs(1000000 * (est - exact_sz)) div exact_sz").as("err_ppm"))
+        }
+      }, {
+        val terms = (0 until 64).map(i =>
+          s"CAST(SUM(c * (1 - 2*(CAST(('0x' || substring(md5('ams$i:' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT) % 2))) AS BIGINT) AS s$i")
+          .mkString(",\n               ")
+        val means = (0 until 8).map(grp =>
+          "(" + (grp * 8 until (grp + 1) * 8).map(i => s"sa.s$i * sb.s$i").mkString(" + ") + ") // 8")
+          .mkString(",\n               ")
+        Some(s"""
+        WITH a AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        b AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem
+              WHERE year(CAST(l_shipdate AS DATE)) = 1995 GROUP BY 1),
+        sa AS (SELECT CAST(SUM(c) AS BIGINT) AS n_a,
+               $terms FROM a),
+        sb AS (SELECT CAST(SUM(c) AS BIGINT) AS n_b,
+               $terms FROM b),
+        est AS (SELECT n_a, n_b, unnest([
+               $means]) AS e FROM sa, sb),
+        med AS (SELECT n_a, n_b, e AS est FROM
+                  (SELECT n_a, n_b, e, ROW_NUMBER() OVER (ORDER BY e) AS rn FROM est)
+                WHERE rn = 4),
+        exact AS (SELECT CAST(SUM(a.c * b.c) AS BIGINT) AS exact_sz FROM a JOIN b ON a.k = b.k)
+        SELECT n_a, n_b, exact_sz, CAST(est AS BIGINT) AS est,
+               CAST(abs(1000000 * (est - exact_sz)) // exact_sz AS BIGINT) AS err_ppm
+        FROM med, exact""")
+      })
   )
 }

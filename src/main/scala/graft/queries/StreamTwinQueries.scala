@@ -400,7 +400,55 @@ object StreamTwinQueries {
         SELECT digit, n_obs, expected_ppm,
                CAST(abs(1000000 * n_obs - expected_ppm * nn) AS BIGINT) AS dev_num,
                nn AS dev_den
-        FROM e, t ORDER BY digit"""))
+        FROM e, t ORDER BY digit""")),
+
+    // B121 streamed twin: the anti-entropy table digest over a STREAM —
+    // bit_xor and the mod-sum are associative AND commutative (the
+    // textbook streaming reducers), so a Complete-mode streamed
+    // aggregate over the replayed row hashes is bit-identical to q227's
+    // batch replica_a digest, whatever the micro-batch boundaries. The
+    // same oracle fragment hash-checks both; what the twin pins is the
+    // plumbing — and that the digest genuinely needs NO order or
+    // partitioning guarantees from its transport.
+    Q(
+      "q232_stream_digest",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("od"))
+        val hashed = graft.operators.TableDigest.rowHashes(
+          base, Seq("o_orderkey", "o_custkey", "o_orderstatus", "od"))
+          .select(col("h"), col("o_orderkey"))
+        val tmp = graft.Q.scratchDir("stream_digest")
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        writeReplayFile(hashed.filter(col("o_orderkey") % 2 === 0), src, "half_a", 0)
+        writeReplayFile(hashed.filter(col("o_orderkey") % 2 === 1), src, "half_b", 1)
+        val table = s"digest_stream_${digestRuns.incrementAndGet()}"
+        withStreamPartitions(s, 2) {
+          val q = s.readStream.schema(hashed.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .agg(count(lit(1)).as("n_rows"),
+              expr("bit_xor(h)").as("xor_digest"),
+              sum(col("h") % 1000003L).as("modsum_digest"))
+            .writeStream.format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Complete)
+            .start()
+          q.awaitTermination()
+        }
+        s.table(table).select(lit("replica_a").as("label"), col("n_rows"),
+          col("xor_digest"), col("modsum_digest"))
+      },
+      Some("""
+        WITH canon AS (SELECT CAST(('0x' || substring(md5(
+                         coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(o_orderstatus, chr(1)) || chr(2) ||
+                         coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1))
+                       ), 1, 15)) AS BIGINT) AS h FROM orders)
+        SELECT 'replica_a' AS label, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+               CAST(SUM(h % 1000003) AS BIGINT) AS modsum_digest
+        FROM canon"""))
   )
 
   /** Memory-sink table names must be unique per drain within a session
@@ -409,4 +457,5 @@ object StreamTwinQueries {
   private val driftHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val tvdHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val benfordRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val digestRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }

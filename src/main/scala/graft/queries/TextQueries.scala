@@ -1171,7 +1171,45 @@ object TextQueries {
             count(lit(1)).as("n_words"))
           .orderBy("doc_id")
       },
-      Some(bpeEncodeOracle(6)))
+      Some(bpeEncodeOracle(6))),
+
+    // B122: winnowing (MOSS) fingerprint overlap — the guaranteed-recall
+    // substring-overlap sketch beside the probabilistic minhash/simhash
+    // tiers: any shared run of >= w+k-1 = 6 tokens yields an identical
+    // selected fingerprint in both documents (Schleimer et al. 2003),
+    // at ~2/(w+1) of the gram storage. Selection is one GROUPED sliding
+    // MIN over the order-embedding key h40·2^20 + (2^20 − pos) (min key
+    // = min hash, rightmost tie — engine-portable); the pair join is
+    // bucket-bounded with a doc-frequency cap of 50 (the LSH band-join
+    // posture). Top-12 pairs under a total order -> TakeOrdered.
+    Q(
+      "q228_winnow_overlap",
+      (s, dir) => {
+        val fps = graft.operators.Winnowing.fingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+        graft.operators.Winnowing.overlapPairs(fps, maxDocFreq = 50)
+          .orderBy(col("shared_fps").desc, col("id_a"), col("id_b"))
+          .limit(12)
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts FROM documents),
+        grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                         CAST(('0x' || substring(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT) % 1099511627776 AS h40
+                  FROM toks, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS u(i)),
+        keyed AS (SELECT doc_id, pos, h40 * 1048576 + (1048576 - pos) AS key FROM grams),
+        mk AS (SELECT doc_id, pos,
+                      MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mkey
+               FROM keyed),
+        fps AS (SELECT DISTINCT doc_id AS id,
+                       CAST(mkey // 1048576 AS BIGINT) AS fp_hash
+                FROM mk WHERE pos >= 4),
+        dfreq AS (SELECT fp_hash FROM fps GROUP BY 1 HAVING COUNT(*) <= 50),
+        kept AS (SELECT b.id, b.fp_hash FROM fps b JOIN dfreq d ON d.fp_hash = b.fp_hash)
+        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+        FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.id < b.id
+        GROUP BY 1, 2
+        ORDER BY shared_fps DESC, id_a, id_b
+        LIMIT 12"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

@@ -76,7 +76,16 @@ object ScaleBench {
     // the iterative k-core semi-join peel and the stacked FD audit
     "q215_kcore_peel", "q216_fd_audit",
     // the PrefixSum shard packing and the HT sample expansion
-    "q217_token_packing", "q219_ht_estimate")
+    "q217_token_packing", "q219_ht_estimate",
+    // second round-10 wing: the CvM PrefixSum shape, the Kendall day-pair
+    // self-join, the expectations multi-pass, the greedy coverage rounds,
+    // the winnowing grouped window + df-capped bucket join, the digest
+    // scan, the assortativity two-hop degree join, the modularity
+    // community join, and the 64-estimator AMS sketch pass
+    "q220_cvm_drift", "q221_runs_test", "q222_kendall_pairs",
+    "q223_expectations", "q226_coverage_select", "q227_table_digest",
+    "q228_winnow_overlap", "q229_assortativity", "q230_modularity",
+    "q231_ams_joinsize")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

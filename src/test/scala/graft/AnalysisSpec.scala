@@ -99,6 +99,48 @@ class AnalysisSpec extends SparkSpec {
     }
   }
 
+  test("cvmTest equals the BigInt floored reference") {
+    for (trial <- 1 to 5) {
+      val s1 = Seq.fill(60 + trial)(rng.nextInt(25).toLong)
+      val s2 = Seq.fill(80 - trial)(rng.nextInt(25).toLong + trial)
+      val df = (s1.map((_, true)) ++ s2.map((_, false))).toDF("v", "s1")
+      val got = EvalMetrics.cvmTest(df, col("s1"), col("v"))
+        .as[(Long, Long, Long, Long)].collect().head
+      val (n1, n2) = (s1.size.toLong, s2.size.toLong)
+      val nn = BigInt(n1) * n2
+      val num = (s1 ++ s2).distinct.sorted.map { v =>
+        val c1 = s1.count(_ <= v).toLong
+        val c2 = s2.count(_ <= v).toLong
+        val cc = (s1.count(_ == v) + s2.count(_ == v)).toLong
+        val d = (BigInt(c1) * n2 - BigInt(c2) * n1).abs
+        (BigInt(cc) * (d * d / nn)).toLong
+      }.sum
+      val bigN = n1 + n2
+      assert(got == ((n1, n2, num, bigN * bigN)), s"trial $trial")
+      // the floored statistic approximates the float T from below, within
+      // one d²/(n1·n2) unit per distinct value
+      val tFloat = (s1 ++ s2).map { v =>
+        val f1 = s1.count(_ <= v).toDouble / n1
+        val f2 = s2.count(_ <= v).toDouble / n2
+        (f1 - f2) * (f1 - f2)
+      }.sum * n1 * n2 / (bigN.toDouble * bigN)
+      val tInt = num.toDouble / (bigN * bigN)
+      assert(tInt <= tFloat + 1e-12, s"trial $trial: floored above float")
+      // flooring loses < 1 unit of d²/(n1·n2) per distinct value BEFORE
+      // the cc multiply, so the total loss is < Σ cc = N units of 1/N²
+      assert(tFloat - tInt <= 1.0 / bigN,
+        s"trial $trial: flooring loss above the documented bound")
+    }
+  }
+
+  test("cvmTest fails fast on an empty sample") {
+    val oneSided = Seq((1L, true), (2L, true), (3L, true)).toDF("v", "s1")
+    val e = intercept[Exception] {
+      EvalMetrics.cvmTest(oneSided, col("s1"), col("v")).collect()
+    }
+    assert(causeChain(e).contains("[eval-metrics] cvmTest needs both samples non-empty"))
+  }
+
   test("rocAuc equals quadratic pair counting (ties at half credit)") {
     for (trial <- 1 to 5) {
       val pos = Seq.fill(40)(rng.nextInt(15).toLong)

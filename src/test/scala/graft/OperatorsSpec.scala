@@ -391,4 +391,116 @@ class OperatorsSpec extends SparkSpec {
     assert(vals.forall(_ >= 0L))
     assert(vals(0) === vals(2))
   }
+
+  test("TableDigest: order/partitioning-independent, tamper-sensitive, refuses floats") {
+    import graft.operators.TableDigest
+    val df = Seq((1L, "a", true), (2L, "b", false), (3L, null: String, true))
+      .toDF("k", "s", "f")
+    val a = TableDigest.digest(df, Seq("k", "s", "f"), "x").collect().head
+    // same multiset, different order and partitioning -> identical digest
+    val b = TableDigest.digest(
+      df.orderBy(col("k").desc).repartition(7), Seq("k", "s", "f"), "x").collect().head
+    assert(a == b)
+    // one flipped cell moves BOTH reducers, not the row count
+    val t = TableDigest.digest(
+      df.withColumn("s", when(col("k") === 2L, "B").otherwise(col("s"))),
+      Seq("k", "s", "f"), "x").collect().head
+    assert(t.getLong(1) == a.getLong(1))
+    assert(t.getLong(2) != a.getLong(2) && t.getLong(3) != a.getLong(3))
+    // NULL is distinct from the empty string
+    val e = TableDigest.digest(
+      df.withColumn("s", when(col("k") === 3L, "").otherwise(col("s"))),
+      Seq("k", "s", "f"), "x").collect().head
+    assert(e.getLong(2) != a.getLong(2))
+    // non-portable types refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      TableDigest.digest(df.withColumn("d", lit(1.5)), Seq("k", "d"), "x")
+    }
+    assert(err.getMessage.contains("non-portable type"))
+  }
+
+  test("Winnowing: shared >= w+k-1 token run guarantees a shared fingerprint; density ~ 2/(w+1)") {
+    import graft.operators.Winnowing
+    val rnd = new Random(7)
+    def randTokens(n: Int) = Seq.fill(n)("t" + rnd.nextInt(100000)).mkString(" ")
+    val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1 with k=3, w=4
+    val docs = Seq(
+      (1L, randTokens(40) + " " + shared + " " + randTokens(40)),
+      (2L, randTokens(35) + " " + shared + " " + randTokens(45)),
+      (3L, randTokens(80)),
+      (4L, "tiny doc") // < k tokens -> zero grams, zero fingerprints
+    ).toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty, "guaranteed shared fingerprint missing")
+    assert(!byDoc.contains(4L), "sub-k doc must produce no fingerprints")
+    // density: selected distinct positions per doc ~ 2/(w+1) of grams (loose band)
+    val posCount = Winnowing.fingerprints(docs, "doc_id", "text", 3, 4)
+      .filter(col("id") === 3L).count().toDouble
+    val grams = 80 - 2
+    assert(posCount > grams * 0.2 && posCount < grams * 0.65, s"density $posCount/$grams")
+    // overlapPairs finds exactly the planted pair at dfCap high enough
+    val pairs = Winnowing.overlapPairs(
+      Winnowing.fingerprints(docs, "doc_id", "text", 3, 4), 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("Coverage.greedySelect equals the in-memory greedy (ties to smallest id, early exhaustion)") {
+    val pairs = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "c"), // duplicate pair must not double-count
+      (2L, "c"), (2L, "d"), (2L, "e"),
+      (3L, "a"), (3L, "b"), // strict subset of 1's picks -> never selected
+      (4L, "f")
+    ).toDF("id", "el")
+    val got = graft.operators.Coverage.greedySelect(pairs, "id", "el", 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // r1: ids 1 and 2 both gain 3 -> tie to id 1; r2: id 2 gains d,e;
+    // r3: id 4 gains f; then nothing uncovered remains -> 3 rows, not 4
+    assert(got == Seq((1L, 1L, 3L, 3L), (2L, 2L, 2L, 5L), (3L, 4L, 1L, 6L)))
+  }
+
+  test("Expectations: null semantics, unique collisions, FK orphans, minimal passes") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations._
+    val df = Seq(
+      (Some(1L), Some(5.0), Some("1-URGENT"), Some("F")),
+      (Some(2L), None, Some("9-BOGUS"), Some("X")),
+      (Some(2L), Some(50.0), None, Some("O")),
+      (None, Some(999.0), Some("2-HIGH"), None)
+    ).toDF("k", "v", "pri", "st")
+    val dim = Seq(1L, 3L).toDF("dk")
+    val got = Expectations.check(df, Seq(
+      NotNull("k"),
+      InRange("v", 0.0, 100.0),
+      Matches("pri", "^[1-5]-"),
+      InSet("st", Seq("F", "O", "P")),
+      Unique(Seq("k")),
+      RefIntegrity("k", dim, "dk")
+    )).as[(String, Long, Long, Boolean)].collect()
+      .map { case (r, n, v, p) => r -> ((n, v, p)) }.toMap
+    // one NULL k
+    assert(got("not_null(k)") == ((4L, 1L, false)))
+    // NULL v violates; 999 out of range -> 2
+    assert(got("in_range(v,0.0,100.0)") == ((4L, 2L, false)))
+    // NULL pri violates; 9-BOGUS fails the anchor -> 2
+    assert(got("matches(pri)") == ((4L, 2L, false)))
+    // NULL st violates; X not in set -> 2
+    assert(got("in_set(st)") == ((4L, 2L, false)))
+    // k = 2 twice -> 1 colliding extra row (NULL keys form their own group of 1)
+    assert(got("unique(k)") == ((4L, 1L, false)))
+    // k = 2 twice are orphans (dim has 1, 3); NULL child key passes
+    assert(got("ref_integrity(k->dk)") == ((4L, 2L, false)))
+    // an all-green frame reports pass = true everywhere
+    val clean = Seq((1L, "F"), (2L, "O")).toDF("k", "st")
+    val ok = Expectations.check(clean, Seq(NotNull("k"), InSet("st", Seq("F", "O")),
+      Unique(Seq("k", "st")))).as[(String, Long, Long, Boolean)].collect()
+    assert(ok.forall(_._4), ok.mkString(","))
+    // duplicate rule names and empty rule lists refuse loudly
+    intercept[IllegalArgumentException] {
+      Expectations.check(clean, Seq(NotNull("k"), NotNull("k")))
+    }
+    intercept[IllegalArgumentException] { Expectations.check(clean, Seq.empty) }
+  }
 }

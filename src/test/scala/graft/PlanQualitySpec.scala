@@ -283,6 +283,42 @@ class PlanQualitySpec extends SparkSpec {
       s"total attach not broadcast:\n$bf")
   }
 
+  test("q220-q231 second round-10 wing: grouped windows only, no cartesians, partial aggs") {
+    // CvM rides the PrefixSum contract exactly like KS: no window sort,
+    // no cartesian (the 1-row totals attach by broadcast).
+    val cvm = plan("q220_cvm_drift")
+    assert(!cvm.contains("Window"), s"q220 fell back to a window sort:\n$cvm")
+    assert(!cvm.contains("CartesianProduct"), s"q220 went cartesian:\n$cvm")
+    // Runs test / Kendall / winnowing: their windows must stay GROUPED
+    // (sort rides a hash exchange on the series/doc key, never a global
+    // single-partition sort), joins equi, grids partial-agg'd.
+    for ((n, key) <- Seq(
+      "q221_runs_test" -> "hashpartitioning(g",
+      "q222_kendall_pairs" -> "hashpartitioning(d",
+      "q228_winnow_overlap" -> "hashpartitioning(id")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+      assert(p.contains(key) || p.contains("partial_"), s"$n lost its grouped exchange:\n$p")
+    }
+    // Expectations: the row-local rules are ONE scan -> ONE partial-agg'd
+    // reduction; uniqueness/FK add their own passes but nothing windows
+    // and nothing goes cartesian.
+    val ex = plan("q223_expectations")
+    assert(!ex.contains("Window"), s"q223 grew a window:\n$ex")
+    assert(!ex.contains("CartesianProduct"), s"q223 went cartesian:\n$ex")
+    assert(ex.contains("partial_count") || ex.contains("partial_sum"),
+      s"q223 row rules not partial-agg'd:\n$ex")
+    // Pure-aggregate statistics: no windows, no cartesians, partial aggs.
+    for (n <- Seq("q224_mh_odds_ratio", "q225_fano_burstiness",
+      "q227_table_digest", "q229_assortativity", "q230_modularity",
+      "q231_ams_joinsize")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n grew a window it does not need:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+      assert(p.contains("partial_"), s"$n is not partial-agg'd:\n$p")
+    }
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
