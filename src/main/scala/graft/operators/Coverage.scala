@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -17,14 +17,33 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * published formulation (submodular maximization; Nemhauser et al. 1978
   * gives the (1 − 1/e) bound).
   *
+  * Two tiers:
+  *  - [[greedySelect]] — the EXACT greedy: every round aggregates gains
+  *    over every remaining candidate. (1 − 1/e) of optimal; K <= 64.
+  *  - [[greedySelectStochastic]] — the stochastic-greedy tier
+  *    (Mirzasoleiman et al. 2015, "Lazier Than Lazy Greedy"): each round
+  *    evaluates gains only over a HASH-SAMPLED candidate subset
+  *    (`samplePpm` of the ids, deterministic per (id, round) so any SQL
+  *    engine replays the same sample), achieving (1 − 1/e − ε) in
+  *    expectation with sampling rate ~ln(1/ε)/K. The per-round gain
+  *    aggregate shrinks by the sampling rate — the scan/shuffle saving
+  *    that makes budget-K selection with K in the hundreds viable; the
+  *    round cap relaxes to 1024. If a round's sample holds no remaining
+  *    candidate, the pick falls back to the exact argmax (deterministic:
+  *    "best sampled if any, else best overall"), so the operator never
+  *    stalls early and samplePpm=0 degenerates to the exact greedy —
+  *    the two ends the property spec pins.
+  *
   * Scale shape per round: one partial-agg'd count by id over the
-  * remaining pairs, a top-1 TakeOrdered (never a global sort), and one
-  * anti-join that removes the newly-covered elements — the frame
-  * shrinks-or-holds monotonically, persistOnce keeps lineage flat
-  * (the KCore.peel posture). The per-round driver touchpoint is a
-  * SINGLE row (the argmax), same bounded-collect posture as
-  * PageRank/BPE's driver tiers. Rounds are FIXED (caller-chosen K), so
-  * run time never becomes data-dependent.
+  * remaining (sampled) pairs, a top-1 TakeOrdered (never a global sort),
+  * and one anti-join that removes the newly-covered elements — the frame
+  * shrinks-or-holds monotonically. Per-round state is cut with EAGER
+  * localCheckpoint (the LabelProp/KCore contract) so superseded rounds'
+  * blocks are GC-swept instead of accumulating in the shared-session
+  * CacheManager. The per-round driver touchpoint is a SINGLE row (the
+  * argmax), same bounded-collect posture as PageRank/BPE's driver tiers.
+  * Rounds are FIXED (caller-chosen K), so run time never becomes
+  * data-dependent.
   *
   * Returns `(round, id, gain, covered_total)` — one row per pick, fewer
   * than `rounds` rows iff coverage is exhausted early.
@@ -32,18 +51,50 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
 object Coverage {
   def greedySelect(pairs: DataFrame, idCol: String, elemCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"Coverage.greedySelect wants 1..64 rounds, got $rounds")
+    run(pairs, idCol, elemCol, rounds, None)
+  }
+
+  /** The sampled tier — see object doc. `samplePpm` is the per-round
+    * candidate sampling rate in parts-per-million (0..10^6; 10^6 keeps
+    * every candidate and is plan-identical to the exact tier). */
+  def greedySelectStochastic(pairs: DataFrame, idCol: String, elemCol: String,
+      rounds: Int, samplePpm: Long): DataFrame = {
+    require(rounds >= 1 && rounds <= 1024,
+      s"Coverage.greedySelectStochastic wants 1..1024 rounds, got $rounds")
+    require(samplePpm >= 0L && samplePpm <= 1000000L,
+      s"Coverage.greedySelectStochastic wants samplePpm in [0, 10^6], got $samplePpm")
+    run(pairs, idCol, elemCol, rounds, Some(samplePpm).filter(_ < 1000000L))
+  }
+
+  /** Deterministic per-(id, round) membership in the round's candidate
+    * sample: hash60("covsample:" + id + ":" + round) mod 10^6 < ppm —
+    * replayable in any engine with md5. */
+  private def inSample(id: Column, round: Int, ppm: Long): Column =
+    graft.functions.GraftFunctions.hash60(
+      "covsample", concat(id.cast("string"), lit(":" + round))) % 1000000L < ppm
+
+  private def run(pairs: DataFrame, idCol: String, elemCol: String,
+      rounds: Int, samplePpm: Option[Long]): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema(idCol).dataType
-    var uncovered = graft.Q.persistOnce(
-      pairs.select(col(idCol).as("id"), col(elemCol).as("elem")).distinct())
+    var uncovered = pairs.select(col(idCol).as("id"), col(elemCol).as("elem"))
+      .distinct().localCheckpoint(true)
     val picks = scala.collection.mutable.ArrayBuffer.empty[Row]
     var total = 0L
     var exhausted = false
     for (r <- 1 to rounds if !exhausted) {
       // top-1 argmax: plans as TakeOrderedAndProject over the aggregated
       // per-id counts — one bounded row crosses to the driver
-      val top = uncovered.groupBy("id").agg(count(lit(1)).as("g"))
+      def top1(cand: DataFrame): Array[Row] = cand
+        .groupBy("id").agg(count(lit(1)).as("g"))
         .orderBy(col("g").desc, col("id")).limit(1).collect()
+      val sampledTop = top1(samplePpm match {
+        case Some(p) => uncovered.filter(inSample(col("id"), r, p))
+        case None => uncovered
+      })
+      // empty sample != exhausted coverage: fall back to the exact argmax
+      // before declaring the ground set spent
+      val top = if (sampledTop.isEmpty && samplePpm.isDefined) top1(uncovered) else sampledTop
       if (top.isEmpty) exhausted = true
       else {
         val id = top.head.get(0)
@@ -51,8 +102,8 @@ object Coverage {
         total += g
         picks += Row(r.toLong, id, g, total)
         val covered = uncovered.filter(col("id") === lit(id)).select("elem")
-        uncovered = graft.Q.persistOnce(
-          uncovered.join(covered, Seq("elem"), "left_anti"))
+        uncovered = uncovered.join(covered, Seq("elem"), "left_anti")
+          .localCheckpoint(true)
       }
     }
     spark.createDataFrame(

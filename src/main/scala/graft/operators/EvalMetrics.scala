@@ -396,11 +396,18 @@ object EvalMetrics {
         guard(
           col("n1") > 0L && col("n2") > 0L && col("n1") <= expr(s"${k61}L div n2"),
           guard(
-            col("vmax") - col("vmin") <= expr(s"${k61}L div (n1 * n2)"),
+            // sign precheck FIRST: vmax - vmin itself wraps negative when
+            // the value domain spans more than 2^63 (vmin << 0 < vmax),
+            // and a wrapped (negative) range would sail under the bound —
+            // Long.MaxValue + vmin is wrap-free for vmin < 0, so the
+            // comparison detects exactly the overflowing case
+            (col("vmin") >= 0L || col("vmax") <= lit(Long.MaxValue) + col("vmin")) &&
+              col("vmax") - col("vmin") <= expr(s"${k61}L div (n1 * n2)"),
             col("n1"),
             concat(
-              lit("[eval-metrics] wasserstein1 needs (v_max-v_min)*n1*n2 < 2^61 (range="),
-              col("vmax") - col("vmin"), lit(", n1="), col("n1"), lit(", n2="), col("n2"),
+              lit("[eval-metrics] wasserstein1 needs (v_max-v_min)*n1*n2 < 2^61 (vmin="),
+              col("vmin"), lit(", vmax="), col("vmax"),
+              lit(", n1="), col("n1"), lit(", n2="), col("n2"),
               lit("); coarsen the value grid (value div 2^m) to shrink the range"))),
           concat(
             lit("[eval-metrics] wasserstein1 needs both samples non-empty and "),

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join via prefix filtering (Chaudhuri, Ganti &
+  * Kaushik ICDE 2006; Bayardo, Ma & Srikant WWW 2007's all-pairs;
+  * Xiao et al.'s PPJoin family): all pairs of sets whose Jaccard
+  * similarity reaches a threshold t, with NO false negatives — the
+  * deterministic complement of the minhash-LSH tier (q57), the same
+  * relationship q228's winnowing has to simhash. Where LSH trades recall
+  * for speed probabilistically, the prefix filter prunes EXACTLY: order
+  * every element by global rarity (document frequency asc, element asc —
+  * one canonical total order), keep each set's first
+  * p = |x| − ⌈t·|x|⌉ + 1 elements as its prefix, and only pairs whose
+  * PREFIXES share an element can reach J ≥ t (pigeonhole: J(x,y) ≥ t
+  * forces |x∩y| ≥ ⌈t·|x|⌉, which cannot hide entirely in the ⌈t·|x|⌉−1
+  * elements past the prefix of either side). Candidates additionally
+  * pass the length filter t·|x| ≤ |y| ≤ |x|/t before exact verification.
+  *
+  * Rarity ordering is what makes the prefixes selective: the prefix
+  * holds each set's RAREST elements, so candidate buckets are the small
+  * df ones — the frequent-element buckets that would explode a naive
+  * element join never enter a prefix (they sort last).
+  *
+  * Scale shape: one partial-agg'd df count, one GROUPED (per-set,
+  * partition-parallel) row_number to find prefixes, one equi-join of
+  * prefixes on element (bucket-bounded by prefix df), and one
+  * verification join that counts exact intersections only for surviving
+  * candidates. All exact-integer arithmetic: the threshold compare is
+  * the cross-multiply 10^6·inter ≥ tPpm·union, never a float.
+  *
+  * Returns `(id_a, id_b, inter, union_sz, jaccard_ppm)` for all pairs
+  * with id_a < id_b and J ≥ tPpm/10^6, jaccard_ppm floored.
+  */
+object PrefixFilterJoin {
+  def jaccardJoin(items: DataFrame, idCol: String, elemCol: String, tPpm: Long): DataFrame = {
+    require(tPpm >= 1L && tPpm <= 1000000L,
+      s"PrefixFilterJoin wants tPpm in [1, 10^6], got $tPpm")
+    val it = graft.Q.persistOnce(
+      items.select(col(idCol).as("id"), col(elemCol).as("elem")).distinct())
+    val sizes = it.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = it.groupBy("elem").agg(count(lit(1)).as("df"))
+    // per-set rank under the canonical global order (rarest first); the
+    // window is GROUPED by set id — partition-parallel, bounded frames
+    val ranked = it.join(dfreq, "elem")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("elem"))))
+      .join(sizes, "id")
+    // prefix length p = sz − ⌈t·sz⌉ + 1, ceil as (tPpm·sz + 10^6 − 1) div 10^6
+    val pref = ranked.filter(
+      col("pos") <= col("sz") - expr(s"($tPpm * sz + 999999) div 1000000") + 1L)
+      .select(col("elem"), col("id"), col("sz"))
+    val b = pref.select(col("elem"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val cand = pref.join(b, "elem").filter(col("id") < col("id_b"))
+      .filter(lit(1000000L) * least(col("sz"), col("sz_b")) >=
+        lit(tPpm) * greatest(col("sz"), col("sz_b")))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    // exact verification: count the true intersection of each candidate
+    val inter = cand
+      .join(it.select(col("id").as("id_a"), col("elem")), "id_a")
+      .join(it.select(col("id").as("id_b"), col("elem")), Seq("id_b", "elem"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sza") + col("szb") - col("inter")).as("union_sz"),
+        expr("(1000000 * inter) div (sza + szb - inter)").as("jaccard_ppm"))
+      .filter(lit(1000000L) * col("inter") >=
+        lit(tPpm) * col("union_sz"))
+  }
+}

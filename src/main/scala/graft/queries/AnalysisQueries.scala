@@ -1277,7 +1277,10 @@ object AnalysisQueries {
     // after iteratively shaving low-degree fringe. Fixed rounds keep the
     // answer replayable (the oracle is the same three peels as nested
     // CTEs); each round is one partial-agg'd degree count + two
-    // key-equi semi-joins, and the edge frame only shrinks.
+    // key-equi semi-joins, and the edge frame only shrinks. The
+    // `converged` column is the in-band fixpoint witness (min surviving
+    // degree >= k <=> one more peel would be a no-op) — one extra
+    // aggregate, no extra peel.
     Q(
       "q215_kcore_peel",
       (s, dir) => graft.operators.KCore
@@ -1296,9 +1299,10 @@ object AnalysisQueries {
         sym0 AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
         ${rnd(1)},
         ${rnd(2)},
-        ${rnd(3)}
-        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
-        FROM sym3 GROUP BY 1 ORDER BY 1""")
+        ${rnd(3)},
+        degs AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym3 GROUP BY 1)
+        SELECT node, deg, (MIN(deg) OVER ()) >= 3 AS converged
+        FROM degs ORDER BY node""")
       }),
 
     // B112: Cochran–Armitage trend test pieces — "does the label rate
@@ -1534,6 +1538,144 @@ object AnalysisQueries {
                        CAST(SUM(d_tot*d_tot) AS BIGINT) AS sd2
                 FROM dc LEFT JOIN ec ON ec.c = dc.c)
         SELECT m, CAST(4*m*se - sd2 AS BIGINT) AS q_num, CAST(4*m*m AS BIGINT) AS q_den
-        FROM agg, m"""))
+        FROM agg, m""")),
+
+    // B128: McNemar's paired test — "did heuristic B change verdicts
+    // relative to heuristic A on the SAME rows": only the DISCORDANT
+    // counts matter (b = A-only flags, c = B-only), χ² = (b−c)²/(b+c).
+    // The paired complement of the two-sample drift tiers: comparing two
+    // quality gates by their marginal rates ignores that they judge the
+    // same documents. One scan, one partial-agg'd reduction; the
+    // statistic lands as x2_milli = floor(1000·(b−c)²/(b+c)) via the
+    // staged floor-div (q220's trick — d² never materializes), with the
+    // (b+c)·d < 2^63 domain enforced in-plan.
+    Q(
+      "q236_mcnemar",
+      (s, dir) => {
+        val t = Tables.documents(s, dir).select(
+          (size(tokens(col("text"))) >= 60).as("a"),
+          (col("n_chars") >= 350L).as("b"))
+        t.agg(
+            count(lit(1)).as("n"),
+            sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("b_cnt"),
+            sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("c_cnt"))
+          .select(col("n"), col("b_cnt"), col("c_cnt"),
+            when(col("b_cnt") + col("c_cnt") === 0L, 0L)
+              .when(col("b_cnt") + col("c_cnt") > 3000000000L,
+                raise_error(lit("[mcnemar] b+c exceeds 3e9: the staged floor-div " +
+                  "intermediate (r·d) would overflow — rescale the pair counts"))
+                  .cast(LongType))
+              .otherwise(
+                abs(col("b_cnt") - col("c_cnt")) *
+                  expr("(1000 * abs(b_cnt - c_cnt)) div (b_cnt + c_cnt)") +
+                expr("((1000 * abs(b_cnt - c_cnt)) % (b_cnt + c_cnt)) * abs(b_cnt - c_cnt) div (b_cnt + c_cnt)"))
+              .as("x2_milli"))
+      },
+      Some("""
+        WITH t AS (SELECT len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) >= 60 AS a,
+                          n_chars >= 350 AS b
+                   FROM documents),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS b_cnt,
+                     CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS c_cnt
+              FROM t)
+        SELECT n, b_cnt, c_cnt,
+               CAST(CASE WHEN b_cnt + c_cnt = 0 THEN 0
+                    ELSE abs(b_cnt - c_cnt) * ((1000 * abs(b_cnt - c_cnt)) // (b_cnt + c_cnt)) +
+                         ((1000 * abs(b_cnt - c_cnt)) % (b_cnt + c_cnt)) * abs(b_cnt - c_cnt) // (b_cnt + c_cnt)
+                    END AS BIGINT) AS x2_milli
+        FROM c""")),
+
+    // B129: cumulative gains / lift table — the decile-ranked "is the
+    // score any good" diagnostic beside exact AUC (q175): rank by score
+    // desc (price as urgency propensity), cut into 10 equal-depth bins,
+    // and report each prefix's capture rate (gain_ppm = share of all
+    // positives reached) and precision (rate_ppm). Ranking is
+    // Blocking.globalRank (range-repartition + per-partition index —
+    // never a single-partition window); deciles are exact-integer
+    // ((rn−1)·10) div n; the cumulative pass runs over the 10-row
+    // aggregate, not the corpus.
+    Q(
+      "q237_lift_gains",
+      (s, dir) => {
+        val scored = Tables.orders(s, dir).select(
+          floor(col("o_totalprice") * 100).cast(LongType).as("sc"),
+          col("o_orderkey"),
+          when(col("o_orderpriority").startsWith("1-"), 1L).otherwise(0L).as("y"))
+        val ranked = Blocking.globalRank(scored, Seq(col("sc").desc, col("o_orderkey")))
+        val tot = ranked.agg(count(lit(1)).as("n"), sum("y").as("tot_pos"))
+        val byDec = ranked.crossJoin(broadcast(tot))
+          .select(expr("((rn - 1) * 10) div n + 1").as("decile"), col("y"), col("tot_pos"))
+          .groupBy("decile", "tot_pos")
+          .agg(count(lit(1)).as("n_d"), sum("y").as("pos_d"))
+        val w = graft.operators.BoundedWindow.orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        graft.operators.BoundedWindow.aggregated(byDec, "10 deciles")
+          .withColumn("cum_n", sum("n_d").over(w))
+          .withColumn("cum_pos", sum("pos_d").over(w))
+          .select(col("decile"), col("n_d"), col("pos_d"), col("cum_n"), col("cum_pos"),
+            expr("(1000000 * cum_pos) div tot_pos").as("gain_ppm"),
+            expr("(1000000 * cum_pos) div cum_n").as("rate_ppm"))
+          .orderBy("decile")
+      },
+      Some("""
+        WITH s AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS sc, o_orderkey,
+                          CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS y
+                   FROM orders),
+        r AS (SELECT y, row_number() OVER (ORDER BY sc DESC, o_orderkey) AS rn,
+                     COUNT(*) OVER () AS n, SUM(y) OVER () AS tot_pos
+              FROM s),
+        d AS (SELECT ((rn - 1) * 10) // n + 1 AS decile, y, tot_pos FROM r),
+        a AS (SELECT decile, CAST(MAX(tot_pos) AS BIGINT) AS tot_pos,
+                     CAST(COUNT(*) AS BIGINT) AS n_d, CAST(SUM(y) AS BIGINT) AS pos_d
+              FROM d GROUP BY 1),
+        c AS (SELECT decile, n_d, pos_d,
+                     CAST(SUM(n_d) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+                     CAST(SUM(pos_d) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+                     tot_pos
+              FROM a)
+        SELECT decile, n_d, pos_d, cum_n, cum_pos,
+               (1000000 * cum_pos) // tot_pos AS gain_ppm,
+               (1000000 * cum_pos) // cum_n AS rate_ppm
+        FROM c ORDER BY decile""")),
+
+    // B131: HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    // supplier→part graph — the directed complement of PageRank (q137):
+    // on a bipartite graph the two sides get their own rankings (hub =
+    // supplies many well-sourced parts; authority = sourced by strong
+    // hubs). Two synchronous rounds, all integer: scores on a 10^6 grid,
+    // each half-round one equi-join + one partial-agg'd sum + a FLOORED
+    // L∞ normalization (exactly replayable where the textbook L2 sqrt is
+    // not; same fixpoint direction). Top-20 under a total order.
+    Q(
+      "q239_hits",
+      (s, dir) => {
+        val edges = Tables.lineitem(s, dir)
+          .select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        graft.operators.Hits.run(edges, 2)
+          .orderBy(col("auth_em").desc, col("hub_em").desc, col("node"))
+          .limit(20)
+      }, {
+        def half(i: Int, from: String, joinEdge: String, groupAs: String) = s"""
+          ${groupAs}${i}r AS (SELECT $joinEdge AS node, CAST(SUM(s) AS BIGINT) AS raw
+                     FROM e JOIN $from f ON f.node = e.${if (joinEdge == "dst") "src" else "dst"} GROUP BY 1),
+          ${groupAs}$i AS (SELECT node, (1000000 * raw) // (SELECT MAX(raw) FROM ${groupAs}${i}r) AS s FROM ${groupAs}${i}r)"""
+        Some(s"""
+        WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS s FROM nodes),
+        ${half(1, "h0", "dst", "a")},
+        ${half(1, "a1", "src", "h")},
+        ${half(2, "h1", "dst", "a")},
+        ${half(2, "a2", "src", "h")}
+        SELECT n.node, CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub_em,
+               CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth_em
+        FROM nodes n
+        LEFT JOIN h2 ON h2.node = n.node
+        LEFT JOIN a2 ON a2.node = n.node
+        ORDER BY auth_em DESC, hub_em DESC, n.node
+        LIMIT 20""")
+      })
   )
 }

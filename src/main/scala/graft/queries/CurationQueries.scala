@@ -1039,6 +1039,56 @@ object CurationQueries {
                 UNION ALL SELECT CAST(3 AS BIGINT), doc_id, g FROM p3)
         SELECT round, doc_id, gain,
                CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
-        FROM sel ORDER BY round"""))
+        FROM sel ORDER BY round""")),
+
+    // B120 (stochastic tier): the same budget-K coverage selection with
+    // per-round HASH-SAMPLED candidates (Mirzasoleiman et al. 2015's
+    // stochastic greedy, (1 − 1/e − ε) in expectation) — each round's
+    // gain aggregate runs over ~60% of the candidates (samplePpm =
+    // 600000), deterministically per (id, round) so the oracle replays
+    // the exact sample; a round whose sample holds no remaining
+    // candidate falls back to the exact argmax ("best sampled if any,
+    // else best overall" — one total order, never an early stall).
+    Q(
+      "q233_coverage_stochastic",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.operators.TextAnalysis
+              .shinglesFromTokens(graft.functions.GraftFunctions.tokens(col("text")), 3)))
+              .as("sh"))
+        graft.operators.Coverage.greedySelectStochastic(sh, "doc_id", "sh", 3, 600000L)
+          .select(col("round"), col("id").as("doc_id"), col("gain"), col("covered_total"))
+          .orderBy("round")
+      }, {
+        def pick(i: Int, c: String) = s"""
+          p$i AS (SELECT doc_id, g FROM (
+                  SELECT doc_id, g,
+                         CASE WHEN CAST(('0x' || substring(md5('covsample:' || CAST(doc_id AS VARCHAR) || ':$i'), 1, 15)) AS BIGINT) % 1000000 < 600000
+                              THEN 1 ELSE 0 END AS pri
+                  FROM $c) ORDER BY pri DESC, g DESC, doc_id LIMIT 1)"""
+        Some(s"""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS ts FROM documents),
+        sh AS (SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                  i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+            FROM toks)),
+        c1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM sh GROUP BY 1),
+        ${pick(1, "c1")},
+        cov1 AS (SELECT DISTINCT s.sh FROM sh s JOIN p1 ON s.doc_id = p1.doc_id),
+        u2 AS (SELECT s.doc_id, s.sh FROM sh s LEFT JOIN cov1 v ON s.sh = v.sh WHERE v.sh IS NULL),
+        c2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM u2 GROUP BY 1),
+        ${pick(2, "c2")},
+        cov2 AS (SELECT sh FROM cov1 UNION SELECT DISTINCT s.sh FROM u2 s JOIN p2 ON s.doc_id = p2.doc_id),
+        u3 AS (SELECT s.doc_id, s.sh FROM sh s LEFT JOIN cov2 v ON s.sh = v.sh WHERE v.sh IS NULL),
+        c3 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS g FROM u3 GROUP BY 1),
+        ${pick(3, "c3")},
+        sel AS (SELECT CAST(1 AS BIGINT) AS round, doc_id, g AS gain FROM p1
+                UNION ALL SELECT CAST(2 AS BIGINT), doc_id, g FROM p2
+                UNION ALL SELECT CAST(3 AS BIGINT), doc_id, g FROM p3)
+        SELECT round, doc_id, gain,
+               CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+        FROM sel ORDER BY round""")
+      })
   )
 }

@@ -455,26 +455,51 @@ object MaintenanceQueries {
     // B117: declarative data-quality expectations — the release gate
     // beside q216's FD audit and q79/q160's profiler: a rule LIST
     // (not-null, range, regex shape, accepted set, key uniqueness,
-    // referential integrity) evaluated in the minimum number of passes
-    // (all row-local rules fold into ONE scan; each uniqueness rule is
-    // one partial-agg'd shuffle; the FK rule one left equi-join), one
-    // verdict row per rule. Thresholds are set so BOTH branches show:
-    // the range and uniqueness rules genuinely fail on this corpus.
+    // referential integrity, max-staleness freshness, TVD drift)
+    // evaluated in the minimum number of passes (all row-local rules
+    // AND the freshness max fold into ONE scan; each uniqueness rule is
+    // one partial-agg'd shuffle; the FK rule one left equi-join; each
+    // drift rule one category-count shuffle over frame ∪ reference),
+    // one verdict row per rule. Thresholds are set so BOTH branches
+    // show at every SF: range/uniqueness/30-day-freshness/100-ppm-drift
+    // genuinely fail on this corpus; the rest pass. Freshness clock is
+    // supplied (2001-12-31 UTC = 1009756800 — max o_orderdate is
+    // 2001-08-01, inside 365 days, outside 30); drift compares
+    // o_orderpriority's mix against the pre-2000 slice (measured
+    // 1630–8125 ppm across SFs, between the 100 / 500000 thresholds).
     Q(
       "q223_expectations",
-      (s, dir) => graft.operators.Expectations.check(
-        Tables.orders(s, dir),
-        Seq(
-          graft.operators.Expectations.NotNull("o_custkey"),
-          graft.operators.Expectations.InRange("o_totalprice", 0.0, 450000.0),
-          graft.operators.Expectations.Matches("o_orderpriority", "^[1-5]-"),
-          graft.operators.Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
-          graft.operators.Expectations.Unique(Seq("o_orderkey")),
-          graft.operators.Expectations.Unique(Seq("o_custkey")),
-          graft.operators.Expectations.RefIntegrity(
-            "o_custkey", Tables.customer(s, dir), "c_custkey"))),
+      (s, dir) => {
+        val pre2000 = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        graft.operators.Expectations.check(
+          Tables.orders(s, dir),
+          Seq(
+            graft.operators.Expectations.NotNull("o_custkey"),
+            graft.operators.Expectations.InRange("o_totalprice", 0.0, 450000.0),
+            graft.operators.Expectations.Matches("o_orderpriority", "^[1-5]-"),
+            graft.operators.Expectations.InSet("o_orderstatus", Seq("F", "O", "P")),
+            graft.operators.Expectations.Unique(Seq("o_orderkey")),
+            graft.operators.Expectations.Unique(Seq("o_custkey")),
+            graft.operators.Expectations.RefIntegrity(
+              "o_custkey", Tables.customer(s, dir), "c_custkey"),
+            graft.operators.Expectations.Fresh("o_orderdate", 1009756800L, 31536000L),
+            graft.operators.Expectations.Fresh("o_orderdate", 1009756800L, 2592000L),
+            graft.operators.Expectations.Drift("o_orderpriority", pre2000, "o_orderpriority", 100L),
+            graft.operators.Expectations.Drift("o_orderpriority", pre2000, "o_orderpriority", 500000L)))
+      },
       Some("""
-        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+        WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+        mx AS (SELECT CAST(epoch(max(o_orderdate)) AS BIGINT) AS mts FROM orders),
+        dt AS (SELECT o_orderpriority AS v, TRUE AS s1 FROM orders
+               UNION ALL
+               SELECT o_orderpriority, FALSE FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+        pv AS (SELECT v, CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM dt GROUP BY v),
+        dn AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv),
+        dv AS (SELECT n1, n2, CAST(SUM(abs(p * n2 - q * n1)) AS HUGEINT) AS tvd_num
+               FROM pv, dn GROUP BY n1, n2)
         SELECT rule, n, violations, violations = 0 AS pass FROM (
         SELECT 'not_null(o_custkey)' AS rule, n.n AS n,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_custkey IS NULL) AS violations FROM n
@@ -495,6 +520,18 @@ object MaintenanceQueries {
                (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
                 LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON o.o_custkey = c.c_custkey
                 WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) FROM n
+        UNION ALL SELECT 'fresh(o_orderdate,1009756800,31536000)', n.n,
+               (SELECT CAST(CASE WHEN COALESCE(mts >= 1009756800 - 31536000, FALSE) THEN 0 ELSE 1 END AS BIGINT) FROM mx) FROM n
+        UNION ALL SELECT 'fresh(o_orderdate,1009756800,2592000)', n.n,
+               (SELECT CAST(CASE WHEN COALESCE(mts >= 1009756800 - 2592000, FALSE) THEN 0 ELSE 1 END AS BIGINT) FROM mx) FROM n
+        UNION ALL SELECT 'drift(o_orderpriority,100)', n.n,
+               (SELECT CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1
+                                 WHEN tvd_num * 1000000 > 100 * CAST(2 * n1 * n2 AS HUGEINT) THEN 1
+                                 ELSE 0 END AS BIGINT) FROM dv) FROM n
+        UNION ALL SELECT 'drift(o_orderpriority,500000)', n.n,
+               (SELECT CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1
+                                 WHEN tvd_num * 1000000 > 500000 * CAST(2 * n1 * n2 AS HUGEINT) THEN 1
+                                 ELSE 0 END AS BIGINT) FROM dv) FROM n
         ) ORDER BY rule""")),
 
     // B121: order-independent table content digest — the anti-entropy
@@ -541,5 +578,54 @@ object MaintenanceQueries {
                CAST(SUM(h % 1000003) AS BIGINT)
         FROM tamper
         ORDER BY label"""))
+  ) ++ Seq(
+
+    // B130: per-slice digest drilldown — the SECOND step of the
+    // anti-entropy protocol q227 starts: once the whole-table digests
+    // disagree, digesting each o_orderstatus slice localizes WHICH
+    // slices moved without shipping a row (compare two bounded digest
+    // frames), so only mismatched slices pay a row-level diff — standard
+    // divide-and-sync narrowing. Same planted flip as q227: the F/O/P
+    // slices lose their %1000=7 rows to a new 'X' slice in replica_b —
+    // visible per slice where q227 could only say "something changed".
+    // One scan per replica, one partial-agg'd shuffle on the slice key.
+    Q(
+      "q238_digest_drilldown",
+      (s, dir) => {
+        val base = Tables.orders(s, dir).select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          to_date(col("o_orderdate")).as("od"))
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "od")
+        graft.operators.TableDigest.digestBy(base, cols, "o_orderstatus", "replica_a")
+          .unionByName(graft.operators.TableDigest.digestBy(
+            base.withColumn("o_orderstatus",
+              when(col("o_orderkey") % 1000 === 7, lit("X"))
+                .otherwise(col("o_orderstatus"))),
+            cols, "o_orderstatus", "replica_b"))
+          .orderBy("label", "g")
+      },
+      Some("""
+        WITH canon AS (SELECT o_orderstatus AS g0, CAST(('0x' || substring(md5(
+                         coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(o_orderstatus, chr(1)) || chr(2) ||
+                         coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1))
+                       ), 1, 15)) AS BIGINT) AS h FROM orders),
+        tamper AS (SELECT CASE WHEN o_orderkey % 1000 = 7 THEN 'X' ELSE o_orderstatus END AS g0,
+                       CAST(('0x' || substring(md5(
+                         coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(CAST(o_custkey AS VARCHAR), chr(1)) || chr(2) ||
+                         coalesce(CASE WHEN o_orderkey % 1000 = 7 THEN 'X' ELSE o_orderstatus END, chr(1)) || chr(2) ||
+                         coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), chr(1))
+                       ), 1, 15)) AS BIGINT) AS h FROM orders)
+        SELECT 'replica_a' AS label, g0 AS g, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS xor_digest,
+               CAST(SUM(h % 1000003) AS BIGINT) AS modsum_digest
+        FROM canon GROUP BY g0
+        UNION ALL
+        SELECT 'replica_b', g0, CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
+               CAST(SUM(h % 1000003) AS BIGINT)
+        FROM tamper GROUP BY g0
+        ORDER BY label, g"""))
   )
 }

@@ -325,6 +325,47 @@ object SketchQueries {
         SELECT n_a, n_b, exact_sz, CAST(est AS BIGINT) AS est,
                CAST(abs(1000000 * (est - exact_sz)) // exact_sz AS BIGINT) AS err_ppm
         FROM med, exact""")
-      })
+      }),
+
+    // B127: count-min sketch — the fixed-memory FREQUENCY summary
+    // completing the sketch family (HLL counts distinct, KMV does set
+    // algebra, AMS sizes joins, Bloom answers membership, SpaceSaving
+    // tracks the top-k; count-min answers "how often does THIS key
+    // occur" for any key, one-sided): depth 4 × width 512 counters over
+    // the document token stream, point-queried for the 8 most frequent
+    // tokens. Estimates never undercount (each counter sums a superset)
+    // — the demo emits est − exact so the one-sided guarantee is VISIBLE
+    // in the oracle-checked output. Build = one scan exploded ×4 + one
+    // partial-agg'd shuffle to ≤ 2048 rows; the probe join is bounded.
+    Q(
+      "q235_countmin_freq",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("t"))
+        val sketch = graft.operators.CountMin.build(tok, "t", 4, 512)
+        val probes = tok.groupBy("t").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("t")).limit(8)
+        probes
+          .join(graft.operators.CountMin.estimate(sketch, probes, "t", 4, 512),
+            col("t") === col("key"))
+          .select(col("t").as("token"), col("exact_n"), col("est"),
+            (col("est") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("token"))
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS t FROM documents),
+        cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY 1),
+        probes AS (SELECT t, exact_n FROM cnt ORDER BY exact_n DESC, t LIMIT 8),
+        sk AS (SELECT j, CAST(('0x' || substring(md5('cm' || j || ':' || t), 1, 15)) AS BIGINT) % 512 AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM tok, unnest([0, 1, 2, 3]) AS u(j) GROUP BY 1, 2),
+        pc AS (SELECT t, j, CAST(('0x' || substring(md5('cm' || j || ':' || t), 1, 15)) AS BIGINT) % 512 AS bucket
+               FROM probes, unnest([0, 1, 2, 3]) AS u(j)),
+        est AS (SELECT pc.t, MIN(COALESCE(sk.c, 0)) AS est
+                FROM pc LEFT JOIN sk ON sk.j = pc.j AND sk.bucket = pc.bucket
+                GROUP BY 1)
+        SELECT p.t AS token, p.exact_n, e.est, e.est - p.exact_n AS overcount
+        FROM probes p JOIN est e ON e.t = p.t
+        ORDER BY p.exact_n DESC, token"""))
   )
 }

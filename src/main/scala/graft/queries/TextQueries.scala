@@ -1175,18 +1175,24 @@ object TextQueries {
 
     // B122: winnowing (MOSS) fingerprint overlap — the guaranteed-recall
     // substring-overlap sketch beside the probabilistic minhash/simhash
-    // tiers: any shared run of >= w+k-1 = 6 tokens yields an identical
+    // tiers: any shared run of >= w+k-1 = 20 tokens yields an identical
     // selected fingerprint in both documents (Schleimer et al. 2003),
-    // at ~2/(w+1) of the gram storage. Selection is one GROUPED sliding
-    // MIN over the order-embedding key h40·2^20 + (2^20 − pos) (min key
-    // = min hash, rightmost tie — engine-portable); the pair join is
-    // bucket-bounded with a doc-frequency cap of 50 (the LSH band-join
-    // posture). Top-12 pairs under a total order -> TakeOrdered.
+    // at ~2/(w+1) of the gram storage (w=16 measures ~10% fingerprint
+    // density on this corpus; the r10 demo ran w=4 at ~40% density,
+    // which defeated the storage claim and made this the slowest bench
+    // entry — the operator was fine, the parameters weren't). Selection
+    // is one GROUPED sliding MIN over the order-embedding key
+    // h40·2^20 + (2^20 − pos) (min key = min hash, rightmost tie —
+    // engine-portable); the pair join is bucket-bounded with a
+    // doc-frequency cap of 50 (the LSH band-join posture). Each pair
+    // carries the exact-rational containment score (shared div
+    // min(|FP_a|, |FP_b|), floored ppm) so thresholds are comparable
+    // across document lengths. Top-12 under a total order -> TakeOrdered.
     Q(
       "q228_winnow_overlap",
       (s, dir) => {
         val fps = graft.operators.Winnowing.fingerprints(
-          Tables.documents(s, dir), "doc_id", "text", k = 3, w = 4)
+          Tables.documents(s, dir), "doc_id", "text", k = 5, w = 16)
         graft.operators.Winnowing.overlapPairs(fps, maxDocFreq = 50)
           .orderBy(col("shared_fps").desc, col("id_a"), col("id_b"))
           .limit(12)
@@ -1194,22 +1200,65 @@ object TextQueries {
       Some("""
         WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts FROM documents),
         grams AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                         CAST(('0x' || substring(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]), 1, 15)) AS BIGINT) % 1099511627776 AS h40
-                  FROM toks, unnest(range(1, greatest(len(ts) - 2, 0) + 1)) AS u(i)),
+                         CAST(('0x' || substring(md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4]), 1, 15)) AS BIGINT) % 1099511627776 AS h40
+                  FROM toks, unnest(range(1, greatest(len(ts) - 4, 0) + 1)) AS u(i)),
         keyed AS (SELECT doc_id, pos, h40 * 1048576 + (1048576 - pos) AS key FROM grams),
         mk AS (SELECT doc_id, pos,
-                      MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mkey
+                      MIN(key) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS mkey
                FROM keyed),
         fps AS (SELECT DISTINCT doc_id AS id,
                        CAST(mkey // 1048576 AS BIGINT) AS fp_hash
-                FROM mk WHERE pos >= 4),
+                FROM mk WHERE pos >= 16),
         dfreq AS (SELECT fp_hash FROM fps GROUP BY 1 HAVING COUNT(*) <= 50),
-        kept AS (SELECT b.id, b.fp_hash FROM fps b JOIN dfreq d ON d.fp_hash = b.fp_hash)
-        SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
-        FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.id < b.id
-        GROUP BY 1, 2
+        kept AS (SELECT b.id, b.fp_hash FROM fps b JOIN dfreq d ON d.fp_hash = b.fp_hash),
+        per_doc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_fps FROM kept GROUP BY 1),
+        pairs AS (SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS shared_fps
+                  FROM kept a JOIN kept b ON a.fp_hash = b.fp_hash AND a.id < b.id
+                  GROUP BY 1, 2)
+        SELECT p.id_a, p.id_b, p.shared_fps,
+               least(da.n_fps, db.n_fps) AS min_fps,
+               (1000000 * p.shared_fps) // least(da.n_fps, db.n_fps) AS containment_ppm
+        FROM pairs p
+        JOIN per_doc da ON da.id = p.id_a
+        JOIN per_doc db ON db.id = p.id_b
         ORDER BY shared_fps DESC, id_a, id_b
-        LIMIT 12"""))
+        LIMIT 12""")),
+
+    // B126: EXACT set-similarity join via prefix filtering (Chaudhuri
+    // 2006 / Bayardo all-pairs 2007 / PPJoin) — the zero-false-negative
+    // tier of the near-dup family: where minhash-LSH (q57) trades recall
+    // probabilistically, the prefix filter prunes exactly (sets are
+    // ordered rarest-element-first; J >= t forces the prefixes to share
+    // an element, pigeonhole). Candidates pass a length filter, then
+    // exact intersection counts verify. The oracle is the brute-force
+    // all-pairs Jaccard — equality IS the losslessness proof on this
+    // corpus. 3-shingle sets at t = 0.4 (the planted near-dup band:
+    // ~25 pairs per SF where all-pairs would be ~12M at sf0.1).
+    Q(
+      "q234_ppjoin_exact",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(array_distinct(graft.operators.TextAnalysis
+              .shinglesFromTokens(graft.functions.GraftFunctions.tokens(col("text")), 3)))
+              .as("sh"))
+        graft.operators.PrefixFilterJoin.jaccardJoin(sh, "doc_id", "sh", 400000L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts FROM documents),
+        sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS ss FROM toks),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(len(list_intersect(a.ss, b.ss)) AS BIGINT) AS inter,
+                         CAST(len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss)) AS BIGINT) AS union_sz
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE len(a.ss) > 0 AND len(b.ss) > 0)
+        SELECT id_a, id_b, inter, union_sz,
+               (1000000 * inter) // union_sz AS jaccard_ppm
+        FROM pairs
+        WHERE 1000000 * inter >= 400000 * union_sz
+        ORDER BY id_a, id_b"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

@@ -85,7 +85,14 @@ object ScaleBench {
     "q220_cvm_drift", "q221_runs_test", "q222_kendall_pairs",
     "q223_expectations", "q226_coverage_select", "q227_table_digest",
     "q228_winnow_overlap", "q229_assortativity", "q230_modularity",
-    "q231_ams_joinsize")
+    "q231_ams_joinsize",
+    // the two streamed twins of the wing (state-store fixed overhead,
+    // e ≈ 0 expected like q170-q172/q185) and the r11 stochastic
+    // coverage tier (sampled gain aggregate — the scale path of q226)
+    "q214_stream_benford", "q232_stream_digest", "q233_coverage_stochastic",
+    // the r11 wing's join shapes: the lossless prefix-filter similarity
+    // join and the two-round HITS edge/score joins
+    "q234_ppjoin_exact", "q239_hits")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -36,8 +36,14 @@ import org.apache.spark.sql.functions._
   *  q130's prefix key strips [^a-z ] — numeric substitutes would
   *  collapse every mutated prefix to "x x x" and manufacture the exact
   *  quadratic blowup the mutation removes. The substitute space is
-  *  BOUNDED (65536 slots), so corpus tokens still scale ×factor while
-  *  the vocabulary saturates — the Heaps-law regime the BPE claim needs.
+  *  BOUNDED (2^24 slots — widened from 2^16 in r11: at a V-token
+  *  vocabulary the rename merges ~V²/2^25 distinct-token pairs per
+  *  replica, i.e. ~75 merges at V = 50k and a per-token collision rate
+  *  of V/2^24 ≈ 0.3% — negligible shingle/pair inflation, where the
+  *  16-bit space merged ~19k pairs and biased the probe exponents the
+  *  mutation exists to keep honest). Corpus tokens still scale ×factor
+  *  against a bounded space, preserving the Heaps-law saturation
+  *  direction the BPE claim needs, just with collision bias removed.
   *  n_chars is recomputed for mutated rows (renamed text has new
   *  lengths); lang/source/doc_id semantics are untouched, and doc_id
   *  PARITY is preserved by the even key stride (q111's corpus halves
@@ -63,11 +69,13 @@ object ScaleGen {
 
   /** The per-replica document mutation (see object doc): replica 0 keeps
     * its text verbatim; every other replica renames each whitespace
-    * token through `translate(xxhash64(token, __rep) % 65536 → letters)`
-    * and recomputes `n_chars`. Factored out of [[main]] so
-    * ScaleGenSpec can pin the invariants the probe's honesty rests on
-    * (intra-replica token-identity preservation, cross-replica
-    * disjointness, rep-0 verbatim). Expects the `__rep` column. */
+    * token through `translate(xxhash64(token, __rep) % 2^24 → letters)`
+    * (decimal rendering digit→letter is injective, so the substitute
+    * space is exactly the 2^24 hash slots) and recomputes `n_chars`.
+    * Factored out of [[main]] so ScaleGenSpec can pin the invariants the
+    * probe's honesty rests on (intra-replica token-identity
+    * preservation, cross-replica disjointness, rep-0 verbatim). Expects
+    * the `__rep` column. */
   def mutateDocuments(docs: DataFrame): DataFrame =
     docs
       .withColumn("text",
@@ -76,7 +84,7 @@ object ScaleGen {
             transform(
               filter(split(trim(col("text")), "\\s+"), tk => length(tk) > lit(0)),
               tk => translate(
-                pmod(xxhash64(tk, col("__rep")), lit(65536L)).cast("string"),
+                pmod(xxhash64(tk, col("__rep")), lit(16777216L)).cast("string"),
                 "0123456789", "abcdefghij")))))
       .withColumn("n_chars",
         when(col("__rep") === 0, col("n_chars"))

@@ -686,6 +686,19 @@ class AnalysisSpec extends SparkSpec {
       EvalMetrics.wasserstein1(wide, col("s1"), col("v")).collect()
     }
     assert(chain(e2).contains("coarsen the value grid"))
+    // domain spanning more than 2^63: vmax - vmin wraps NEGATIVE in long
+    // arithmetic, which sailed under the range bound before the r11 sign
+    // precheck — must refuse loudly, not silently corrupt the statistic
+    val wrap = Seq((true, Long.MinValue + 10L), (false, Long.MaxValue - 10L)).toDF("s1", "v")
+    val e2b = intercept[Exception] {
+      EvalMetrics.wasserstein1(wrap, col("s1"), col("v")).collect()
+    }
+    assert(chain(e2b).contains("coarsen the value grid"))
+    // ...but a huge-magnitude SAME-SIGN domain with a tiny range stays valid
+    val hi = Seq((true, Long.MaxValue - 3L), (false, Long.MaxValue - 1L)).toDF("s1", "v")
+    val ok = EvalMetrics.wasserstein1(hi, col("s1"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(ok == ((1L, 1L, 2L, 1L)), s"hi-domain W1 $ok")
     // non-long value type refuses at plan time
     val e3 = intercept[IllegalArgumentException] {
       EvalMetrics.wasserstein1(
@@ -875,9 +888,10 @@ class AnalysisSpec extends SparkSpec {
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
         .distinct
-      val got = graft.operators.KCore
+      val rows = graft.operators.KCore
         .peel(edges.toDF("a", "b"), 3L, 3)
-        .as[(Long, Long)].collect().sortBy(_._1)
+        .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+      val got = rows.map { case (n, d, _) => (n, d) }
       // reference: symmetrized adjacency, three peels
       var sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toSet
       for (_ <- 1 to 3) {
@@ -888,7 +902,19 @@ class AnalysisSpec extends SparkSpec {
       val want = sym.groupBy(_._1).toSeq
         .map { case (node, es) => (node, es.size.toLong) }.sortBy(_._1)
       assert(got.toSeq == want, s"trial $trial")
+      // fixpoint witness: converged iff one MORE peel would be a no-op,
+      // i.e. every surviving degree is already >= k
+      val wantConv = want.forall(_._2 >= 3L)
+      assert(rows.forall(_._3 == wantConv), s"trial $trial converged flag")
     }
+    // explicit non-converged witness: one k=2 peel of a 7-path drops the
+    // endpoints but leaves new degree-1 fringe -> converged must be false
+    val path = (1L to 6L).map(i => (i, i + 1)).toDF("a", "b")
+    val oneRound = graft.operators.KCore.peel(path, 2L, 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(oneRound.nonEmpty && oneRound.forall(!_._3), "7-path 1-round peel must not report convergence")
+    // ...and the empty-survivor case converges trivially (empty output)
+    assert(graft.operators.KCore.peel(Seq((1L, 2L)).toDF("a", "b"), 5L, 2).count() == 0L)
   }
 
   test("chiSquareCountsPerGroup equals chiSquareCounts run per group") {

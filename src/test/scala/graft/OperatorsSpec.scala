@@ -424,11 +424,14 @@ class OperatorsSpec extends SparkSpec {
     val rnd = new Random(7)
     def randTokens(n: Int) = Seq.fill(n)("t" + rnd.nextInt(100000)).mkString(" ")
     val shared = "alpha beta gamma delta epsilon zeta" // 6 tokens = w+k-1 with k=3, w=4
+    val twin = randTokens(50) // identical twins -> identical fingerprint sets
     val docs = Seq(
       (1L, randTokens(40) + " " + shared + " " + randTokens(40)),
       (2L, randTokens(35) + " " + shared + " " + randTokens(45)),
       (3L, randTokens(80)),
-      (4L, "tiny doc") // < k tokens -> zero grams, zero fingerprints
+      (4L, "tiny doc"), // < k tokens -> zero grams, zero fingerprints
+      (5L, twin),
+      (6L, twin)
     ).toDF("doc_id", "text")
     val fps = Winnowing.fingerprints(docs, "doc_id", "text", k = 3, w = 4)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
@@ -440,11 +443,118 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("id") === 3L).count().toDouble
     val grams = 80 - 2
     assert(posCount > grams * 0.2 && posCount < grams * 0.65, s"density $posCount/$grams")
-    // overlapPairs finds exactly the planted pair at dfCap high enough
-    val pairs = Winnowing.overlapPairs(
-      Winnowing.fingerprints(docs, "doc_id", "text", 3, 4), 50)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(pairs.toSeq == Seq((1L, 2L)))
+    // overlapPairs finds exactly the planted pairs at dfCap high enough
+    val pairRows = Winnowing.overlapPairs(
+      Winnowing.fingerprints(docs, "doc_id", "text", 3, 4), 50).collect()
+    val pairs = pairRows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (5L, 6L)))
+    // planted-containment pin: identical twins have identical fingerprint
+    // sets, so shared == min_fps and containment_ppm is exactly 10^6;
+    // the partial-overlap pair scores strictly below full containment
+    val twins = pairRows.find(r => r.getLong(0) == 5L).get
+    assert(twins.getLong(2) == twins.getLong(3), "twin shared != min_fps")
+    assert(twins.getLong(4) == 1000000L, s"twin containment ${twins.getLong(4)}")
+    val partial = pairRows.find(r => r.getLong(0) == 1L).get
+    assert(partial.getLong(4) > 0L && partial.getLong(4) < 1000000L,
+      s"partial-overlap containment ${partial.getLong(4)} not in (0, 10^6)")
+  }
+
+  test("PrefixFilterJoin.jaccardJoin equals the brute-force all-pairs join (lossless prefix filter)") {
+    import graft.operators.PrefixFilterJoin
+    val rnd = new Random(11)
+    for (trial <- 1 to 3; tPpm <- Seq(300000L, 500000L, 800000L)) {
+      // clustered universes so real near-dup pairs exist at every threshold
+      val sets = (1L to 30L).map { id =>
+        val base = (id % 5) * 20
+        id -> (0 until (3 + rnd.nextInt(12))).map(_ => s"e${base + rnd.nextInt(25)}").toSet
+      }
+      val items = sets.flatMap { case (id, es) => es.map(e => (id, e)) }.toDF("id", "el")
+      val got = PrefixFilterJoin.jaccardJoin(items, "id", "el", tPpm)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa intersect sb).size.toLong
+        uni = (sa union sb).size.toLong
+        if 1000000L * inter >= tPpm * uni
+      } yield (a, b, inter, uni, 1000000L * inter / uni)).toSet
+      assert(got == want, s"trial $trial t=$tPpm: got ${got.size} want ${want.size}")
+    }
+  }
+
+  test("CountMin never undercounts, matches exact within the 2N/width bound, and merges by sum") {
+    import graft.operators.CountMin
+    val rnd = new Random(23)
+    val keys = (1 to 2000).map(_ => s"k${(rnd.nextGaussian().abs * 60).toInt}")
+    val df = keys.toDF("k")
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketch = CountMin.build(df, "k", 4, 256)
+    assert(sketch.count() <= 4L * 256L)
+    val probes = exact.keys.toSeq.toDF("k")
+    val est = CountMin.estimate(sketch, probes, "k", 4, 256)
+      .as[(String, Long)].collect().toMap
+    val bound = 2L * keys.size / 256 + 1
+    for ((k, e) <- exact) {
+      assert(est(k) >= e, s"$k undercounted: ${est(k)} < $e")
+      assert(est(k) <= e + bound * 8, s"$k grossly overcounted: ${est(k)} vs $e")
+    }
+    // a never-seen key estimates >= 0 (may collide, never negative)
+    val miss = CountMin.estimate(sketch, Seq("never_seen_zz").toDF("k"), "k", 4, 256)
+      .as[(String, Long)].collect().head
+    assert(miss._2 >= 0L)
+    // linearity: sketch(a ++ b) == cellwise sum of the two half sketches
+    val (h1, h2) = keys.splitAt(900)
+    val summed = CountMin.build(h1.toDF("k"), "k", 4, 256)
+      .unionByName(CountMin.build(h2.toDF("k"), "k", 4, 256))
+      .groupBy("j", "bucket").agg(sum("c").as("c"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = sketch.as[(Int, Long, Long)].collect().toSet
+    assert(summed == whole, "count-min linearity (mergeability) broken")
+  }
+
+  test("Hits equals the in-memory integer HITS replay; bipartite sides separate") {
+    import graft.operators.Hits
+    val rnd = new Random(31)
+    val edges = (1 to 60).map(_ => (rnd.nextInt(8).toLong, 100L + rnd.nextInt(12))).distinct
+    val got = Hits.run(edges.toDF("src", "dst"), 2)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // reference: same fixed rounds, same floored L∞ normalization
+    var hub = (edges.map(_._1) ++ edges.map(_._2)).distinct.map(_ -> 1000000L).toMap
+    var auth = hub
+    for (_ <- 1 to 2) {
+      val aRaw = edges.groupBy(_._2).view.mapValues(_.map(e => hub(e._1)).sum).toMap
+      val aMax = aRaw.values.max
+      auth = aRaw.view.mapValues(v => 1000000L * v / aMax).toMap
+      val hRaw = edges.groupBy(_._1).view.mapValues(_.map(e => auth(e._2)).sum).toMap
+      val hMax = hRaw.values.max
+      hub = hRaw.view.mapValues(v => 1000000L * v / hMax).toMap
+    }
+    for ((n, (h, a)) <- got) {
+      assert(h == hub.getOrElse(n, 0L), s"hub($n): $h != ${hub.getOrElse(n, 0L)}")
+      assert(a == auth.getOrElse(n, 0L), s"auth($n): $a != ${auth.getOrElse(n, 0L)}")
+    }
+    // bipartite: sources have auth 0, sinks have hub 0
+    assert(edges.map(_._1).distinct.forall(n => got(n)._2 == 0L))
+    assert(edges.map(_._2).distinct.forall(n => got(n)._1 == 0L))
+  }
+
+  test("TableDigest.digestBy localizes a tamper to its slice; slice rows sum to the total") {
+    import graft.operators.TableDigest
+    val df = (1L to 300L).map(i => (i, s"g${i % 3}", s"v$i")).toDF("k", "g", "s")
+    val a = TableDigest.digestBy(df, Seq("k", "g", "s"), "g", "x")
+      .as[(String, String, Long, Long, Long)].collect().map(r => r._2 -> r).toMap
+    assert(a.values.map(_._3).sum == 300L)
+    // tamper ONE row in g1: only g1's digests move
+    val t = df.withColumn("s", when(col("k") === 7L, "TAMPERED").otherwise(col("s")))
+    val b = TableDigest.digestBy(t, Seq("k", "g", "s"), "g", "x")
+      .as[(String, String, Long, Long, Long)].collect().map(r => r._2 -> r).toMap
+    assert(a("g0") == b("g0") && a("g2") == b("g2"), "untouched slices must digest equal")
+    assert(a("g1")._4 != b("g1")._4 || a("g1")._5 != b("g1")._5, "tampered slice must move")
+    assert(a("g1")._3 == b("g1")._3, "tamper moved a row count")
+    // non-portable group column refuses loudly
+    val err = intercept[IllegalArgumentException] {
+      TableDigest.digestBy(df.withColumn("d", lit(1.5)), Seq("k"), "d", "x")
+    }
+    assert(err.getMessage.contains("non-portable"))
   }
 
   test("Coverage.greedySelect equals the in-memory greedy (ties to smallest id, early exhaustion)") {
@@ -459,6 +569,38 @@ class OperatorsSpec extends SparkSpec {
     // r1: ids 1 and 2 both gain 3 -> tie to id 1; r2: id 2 gains d,e;
     // r3: id 4 gains f; then nothing uncovered remains -> 3 rows, not 4
     assert(got == Seq((1L, 1L, 3L, 3L), (2L, 2L, 2L, 5L), (3L, 4L, 1L, 6L)))
+  }
+
+  test("Coverage.greedySelectStochastic: both epsilon ends equal exact; sampling is honored") {
+    import graft.operators.Coverage
+    val pairs = (1L to 12L).flatMap(i => (0 until (13 - i).toInt).map(j => (i, s"e${i}_$j")))
+      .toDF("id", "el")
+    val exact = Coverage.greedySelect(pairs, "id", "el", 5)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // samplePpm = 10^6 keeps every candidate (plan-identical);
+    // samplePpm = 0 empties every sample so EVERY round takes the exact
+    // fallback — the two ends must both reproduce the exact greedy
+    for (ppm <- Seq(1000000L, 0L)) {
+      val got = Coverage.greedySelectStochastic(pairs, "id", "el", 5, ppm)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got == exact, s"ppm=$ppm diverged from exact")
+    }
+    // sampling honored: find an id OUT of round 1's 50% sample and give
+    // it the largest gain — the stochastic pick must be the best SAMPLED
+    // id instead (replaying the same hash the operator uses)
+    val flags = spark.range(1, 13)
+      .select(col("id"), (graft.functions.GraftFunctions.hash60(
+        "covsample", concat(col("id").cast("string"), lit(":1"))) % 1000000L < 500000L).as("in1"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags.values.exists(identity) && flags.values.exists(!_), "need a mixed round-1 sample")
+    val outId = (1L to 12L).find(!flags(_)).get
+    val inIds = (1L to 12L).filter(flags(_))
+    val data = ((0 until 50).map(j => (outId, s"big$j")) ++
+      inIds.flatMap(i => (0 until 3).map(j => (i, s"s${i}_$j")))).toDF("id", "el")
+    val pick1 = Coverage.greedySelectStochastic(data, "id", "el", 1, 500000L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(pick1._2 == inIds.min && pick1._3 == 3L,
+      s"round 1 must pick the best sampled id, got $pick1 (outId=$outId)")
   }
 
   test("Expectations: null semantics, unique collisions, FK orphans, minimal passes") {
@@ -502,5 +644,52 @@ class OperatorsSpec extends SparkSpec {
       Expectations.check(clean, Seq(NotNull("k"), NotNull("k")))
     }
     intercept[IllegalArgumentException] { Expectations.check(clean, Seq.empty) }
+  }
+
+  test("Expectations: empty-frame verdicts, freshness clock, drift thresholds") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations._
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Boolean)].collect()
+        .map { case (r, n, v, p) => r -> ((n, v, p)) }.toMap
+    // EMPTY frame: row-local rules verdict 0 violations / pass (vacuous
+    // truth, never a NULL); Fresh is stale (nothing proves recency);
+    // Drift with an empty current side violates. (the r10 ADVICE item:
+    // sum over zero rows is NULL without the coalesce)
+    val empty = Seq.empty[(Option[Long], Option[String], Option[java.sql.Timestamp])]
+      .toDF("k", "st", "ts")
+    val ref = Seq("a", "a", "b").toDF("v")
+    val e = asMap(Expectations.check(empty, Seq(
+      NotNull("k"), InRange("k", 0.0, 9.0), Matches("st", "^x"), InSet("st", Seq("x")),
+      Unique(Seq("k")), Fresh("ts", 1000000L, 500L), Drift("st", ref, "v", 900000L))))
+    assert(e("not_null(k)") == ((0L, 0L, true)))
+    assert(e("in_range(k,0.0,9.0)") == ((0L, 0L, true)))
+    assert(e("matches(st)") == ((0L, 0L, true)))
+    assert(e("in_set(st)") == ((0L, 0L, true)))
+    assert(e("unique(k)") == ((0L, 0L, true)))
+    assert(e("fresh(ts,1000000,500)") == ((0L, 1L, false)))
+    assert(e("drift(st,900000)") == ((0L, 1L, false)))
+    // Fresh: newest row inside the lag passes, outside fails; all-null
+    // timestamp column is stale
+    val ts = Seq(
+      new java.sql.Timestamp(900000L * 1000L),
+      new java.sql.Timestamp(999000L * 1000L)).map(Tuple1(_)).toDF("ts")
+    val f = asMap(Expectations.check(ts, Seq(
+      Fresh("ts", 1000000L, 2000L), Fresh("ts", 1000000L, 500L))))
+    assert(f("fresh(ts,1000000,2000)") == ((2L, 0L, true)), f.toString)
+    assert(f("fresh(ts,1000000,500)") == ((2L, 1L, false)))
+    val nullTs = Seq.fill(3)(Tuple1(null: java.sql.Timestamp)).toDF("ts")
+    assert(asMap(Expectations.check(nullTs, Seq(Fresh("ts", 10L, 10L))))
+      .apply("fresh(ts,10,10)") == ((3L, 1L, false)))
+    // Drift: cur 3:1 vs ref 1:1 over {a,b} -> TVD = 1/4 = 250000 ppm;
+    // threshold above passes, below fails, empty reference fails
+    val cur = Seq("a", "a", "a", "b").toDF("c")
+    val rf = Seq("a", "b").toDF("v")
+    val d = asMap(Expectations.check(cur, Seq(
+      Drift("c", rf, "v", 250000L), Drift("c", rf, "v", 249999L),
+      Drift("c", rf.filter(col("v") === "zzz"), "v", 999999L))))
+    assert(d("drift(c,250000)") == ((4L, 0L, true)), d.toString)   // 250000 <= threshold
+    assert(d("drift(c,249999)") == ((4L, 1L, false)))
+    assert(d("drift(c,999999)") == ((4L, 1L, false)))              // empty reference
   }
 }
