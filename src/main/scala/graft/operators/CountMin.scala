@@ -30,18 +30,27 @@ object CountMin {
   private def bucket(key: org.apache.spark.sql.Column, j: Int, width: Int) =
     graft.functions.GraftFunctions.hash60(s"cm$j", key) % width
 
-  /** Build the sketch: `(j, bucket, c)` rows, one per NON-EMPTY counter
-    * (absent coordinates are zero — [[estimate]] coalesces). */
-  def build(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
+  /** A key's `depth` (j, bucket) coordinates as an array column —
+    * exposed (not just inside [[build]]) so a STREAMING job can build
+    * the IDENTICAL sketch: the reducer is a plain count, associative
+    * and commutative, so a Complete-mode streamed aggregate over these
+    * exploded coordinates is bit-identical to the batch build whatever
+    * the micro-batch boundaries (the TableDigest.rowHashes posture). */
+  def coordArray(key: org.apache.spark.sql.Column, depth: Int, width: Int)
+      : org.apache.spark.sql.Column = {
     require(depth >= 1 && depth <= 16, s"CountMin wants depth 1..16, got $depth")
     require(width >= 2 && width <= (1 << 20), s"CountMin wants width 2..2^20, got $width")
-    df.select(col(keyCol).cast("string").as("k"))
-      .select(explode(array((0 until depth).map { j =>
-        struct(lit(j).as("j"), bucket(col("k"), j, width).as("bucket"))
-      }: _*)).as("e"))
+    array((0 until depth).map { j =>
+      struct(lit(j).as("j"), bucket(key.cast("string"), j, width).as("bucket"))
+    }: _*)
+  }
+
+  /** Build the sketch: `(j, bucket, c)` rows, one per NON-EMPTY counter
+    * (absent coordinates are zero — [[estimate]] coalesces). */
+  def build(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame =
+    df.select(explode(coordArray(col(keyCol), depth, width)).as("e"))
       .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** Point-query `probes`' `keyCol` against a [[build]] sketch (same
     * depth/width — caller-owned contract): returns `(key, est)` with
@@ -49,9 +58,7 @@ object CountMin {
   def estimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
     val coords = probes.select(col(keyCol).cast("string").as("key")).distinct()
-      .select(col("key"), explode(array((0 until depth).map { j =>
-        struct(lit(j).as("j"), bucket(col("key"), j, width).as("bucket"))
-      }: _*)).as("e"))
+      .select(col("key"), explode(coordArray(col("key"), depth, width)).as("e"))
       .select(col("key"), col("e.j").as("j"), col("e.bucket").as("bucket"))
     coords.join(sketch, Seq("j", "bucket"), "left")
       .groupBy("key")

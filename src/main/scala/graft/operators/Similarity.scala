@@ -109,7 +109,13 @@ object Similarity {
     greatest(array_max(transform(v, x => abs(x))), lit(1e-12)) / lit(127.0)
 
   private def quantize(v: Column, scale: Column): Column =
-    transform(v, x => round(x / scale).cast("byte"))
+    // bind scale ONCE per row (the shinglesFromTokens array-wrap idiom):
+    // call sites pass scale = qscale(v) — an O(d) aggregate — and
+    // project-collapsing inlines it into the per-element lambda, turning
+    // quantization O(d²) per row. Binding it as a lambda variable keeps
+    // the pass O(d).
+    flatten(transform(array(struct(v.as("v"), scale.as("s"))), p =>
+      transform(p.getField("v"), x => round(x / p.getField("s")).cast("byte"))))
 
   /** Scalar-quantized (int8) top-k with exact rerank — the
     * memory-bandwidth scale path of [[topKCosine]].

@@ -449,6 +449,62 @@ object StreamTwinQueries {
                CAST(bit_xor(h) AS BIGINT) AS xor_digest,
                CAST(SUM(h % 1000003) AS BIGINT) AS modsum_digest
         FROM canon"""))
+    ,
+
+    // B127 streamed twin: count-min counters are plain sums (linear,
+    // associative, commutative), so a Complete-mode streamed aggregate
+    // over the exploded (j, bucket) coordinates builds a sketch
+    // BIT-IDENTICAL to q235's batch build whatever the micro-batch
+    // boundaries — the streaming half of "sketch the firehose, query the
+    // bounded summary". The token corpus replays in two doc-parity
+    // halves; estimates for the same top-8 probes then read the streamed
+    // sketch, and the q235 oracle hash-checks the whole chain.
+    Q(
+      "q240_stream_countmin",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.functions.GraftFunctions.tokens(col("text"))).as("t"))
+        val tmp = graft.Q.scratchDir("stream_countmin")
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        writeReplayFile(tok.filter(col("doc_id") % 2 === 0).select("t"), src, "half_a", 0)
+        writeReplayFile(tok.filter(col("doc_id") % 2 === 1).select("t"), src, "half_b", 1)
+        val table = s"countmin_stream_${countMinRuns.incrementAndGet()}"
+        withStreamPartitions(s, 2) {
+          val q = s.readStream.schema(tok.select("t").schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .select(explode(graft.operators.CountMin.coordArray(col("t"), 4, 512)).as("e"))
+            .groupBy(col("e.j").as("j"), col("e.bucket").as("bucket"))
+            .agg(count(lit(1)).as("c"))
+            .writeStream.format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Complete)
+            .start()
+          q.awaitTermination()
+        }
+        val probes = tok.groupBy("t").agg(count(lit(1)).as("exact_n"))
+          .orderBy(col("exact_n").desc, col("t")).limit(8)
+        probes
+          .join(graft.operators.CountMin.estimate(s.table(table), probes, "t", 4, 512),
+            col("t") === col("key"))
+          .select(col("t").as("token"), col("exact_n"), col("est"),
+            (col("est") - col("exact_n")).as("overcount"))
+          .orderBy(col("exact_n").desc, col("token"))
+      },
+      Some("""
+        WITH tok AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '')) AS t FROM documents),
+        cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_n FROM tok GROUP BY 1),
+        probes AS (SELECT t, exact_n FROM cnt ORDER BY exact_n DESC, t LIMIT 8),
+        sk AS (SELECT j, CAST(('0x' || substring(md5('cm' || j || ':' || t), 1, 15)) AS BIGINT) % 512 AS bucket,
+                      CAST(COUNT(*) AS BIGINT) AS c
+               FROM tok, unnest([0, 1, 2, 3]) AS u(j) GROUP BY 1, 2),
+        pc AS (SELECT t, j, CAST(('0x' || substring(md5('cm' || j || ':' || t), 1, 15)) AS BIGINT) % 512 AS bucket
+               FROM probes, unnest([0, 1, 2, 3]) AS u(j)),
+        est AS (SELECT pc.t, MIN(COALESCE(sk.c, 0)) AS est
+                FROM pc LEFT JOIN sk ON sk.j = pc.j AND sk.bucket = pc.bucket
+                GROUP BY 1)
+        SELECT p.t AS token, p.exact_n, e.est, e.est - p.exact_n AS overcount
+        FROM probes p JOIN est e ON e.t = p.t
+        ORDER BY p.exact_n DESC, token"""))
   )
 
   /** Memory-sink table names must be unique per drain within a session
@@ -458,4 +514,5 @@ object StreamTwinQueries {
   private val tvdHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val benfordRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val digestRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val countMinRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }

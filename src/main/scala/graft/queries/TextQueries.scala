@@ -1232,8 +1232,11 @@ object TextQueries {
     // an element, pigeonhole). Candidates pass a length filter, then
     // exact intersection counts verify. The oracle is the brute-force
     // all-pairs Jaccard — equality IS the losslessness proof on this
-    // corpus. 3-shingle sets at t = 0.4 (the planted near-dup band:
-    // ~25 pairs per SF where all-pairs would be ~12M at sf0.1).
+    // corpus. 3-shingle sets at t = 0.7 (the planted near-dup band —
+    // the same ~25 pairs per SF survive at any t in [0.3, 0.7], and the
+    // higher threshold keeps prefixes at ~30% of each set, an ~10×
+    // smaller candidate join than t = 0.4 measured on this corpus;
+    // all-pairs would be ~12M at sf0.1).
     Q(
       "q234_ppjoin_exact",
       (s, dir) => {
@@ -1242,7 +1245,7 @@ object TextQueries {
             explode(array_distinct(graft.operators.TextAnalysis
               .shinglesFromTokens(graft.functions.GraftFunctions.tokens(col("text")), 3)))
               .as("sh"))
-        graft.operators.PrefixFilterJoin.jaccardJoin(sh, "doc_id", "sh", 400000L)
+        graft.operators.PrefixFilterJoin.jaccardJoin(sh, "doc_id", "sh", 700000L)
           .orderBy("id_a", "id_b")
       },
       Some("""
@@ -1257,7 +1260,7 @@ object TextQueries {
         SELECT id_a, id_b, inter, union_sz,
                (1000000 * inter) // union_sz AS jaccard_ppm
         FROM pairs
-        WHERE 1000000 * inter >= 400000 * union_sz
+        WHERE 1000000 * inter >= 700000 * union_sz
         ORDER BY id_a, id_b"""))
   )
 

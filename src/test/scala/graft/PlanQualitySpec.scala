@@ -319,6 +319,43 @@ class PlanQualitySpec extends SparkSpec {
     }
   }
 
+  test("r11 wing: prefix-filter join stays equi+grouped, sketches partial-agg, HITS equi-joins") {
+    // q234: the prefix row_number window must ride a GROUPED exchange on
+    // the set id (never a global sort), every join equi, no cartesian.
+    val pp = plan("q234_ppjoin_exact")
+    assert(!pp.contains("CartesianProduct"), s"q234 went cartesian:\n$pp")
+    assert(pp.contains("hashpartitioning(id"), s"q234 prefix window lost its grouped exchange:\n$pp")
+    // q235/q238: sketch build and sliced digests are one partial-agg'd
+    // reduction each — no window, no cartesian.
+    for (n <- Seq("q235_countmin_freq", "q236_mcnemar", "q238_digest_drilldown")) {
+      val p = plan(n)
+      assert(!p.contains("Window"), s"$n grew a window:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n went cartesian:\n$p")
+      assert(p.contains("partial_"), s"$n is not partial-agg'd:\n$p")
+    }
+    // q237: the ranking must be the distributed globalRank (range
+    // exchange), not a single-partition window over raw rows; the only
+    // Window sits over the 10-row decile aggregate.
+    val lg = plan("q237_lift_gains")
+    assert(lg.contains("rangepartitioning"), s"q237 lost its range-exchange rank:\n$lg")
+    assert(!lg.contains("CartesianProduct"), s"q237 went cartesian:\n$lg")
+    // q239: the half-rounds execute inside eager localCheckpoints (the
+    // LabelProp lineage contract), so the FINAL plan only shows the
+    // score attach joins and the top-k — pin those (no cartesian, a real
+    // top-k), and pin the half-round shape on the operator directly: one
+    // round over an un-checkpointed edge frame must plan its score sum
+    // as a partial aggregate with the 1-row max attached by broadcast.
+    val h = plan("q239_hits")
+    assert(!h.contains("CartesianProduct"), s"q239 went cartesian:\n$h")
+    assert(h.contains("TakeOrderedAndProject"), s"q239 top-20 not TakeOrdered:\n$h")
+    val edges = spark.range(200).selectExpr("id % 20 as src", "100 + id % 13 as dst")
+    val hub = edges.selectExpr("src", "cast(1000000 as bigint) as s").distinct()
+    val round = edges.join(hub, "src")
+      .groupBy("dst").agg(org.apache.spark.sql.functions.sum("s").as("raw"))
+    val rp = round.queryExecution.executedPlan.toString
+    assert(rp.contains("partial_sum"), s"HITS half-round sum not partial-agg'd:\n$rp")
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
