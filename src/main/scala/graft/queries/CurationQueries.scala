@@ -1089,6 +1089,96 @@ object CurationQueries {
         SELECT round, doc_id, gain,
                CAST(SUM(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
         FROM sel ORDER BY round""")
-      })
+      }),
+
+    // B132: leave-one-source-out ablation panel — for each source, the
+    // corpus mean of chars / tokens / en-fraction with that source
+    // DROPPED, via the complement identity (S − S_g)/(n − n_g): the
+    // "which source moves the needle" read a curation pipeline takes
+    // before cutting a source, in ONE partial-agg'd pass + a 1-row
+    // totals broadcast (never G rescans). ×1000-floored means; a group
+    // that is the whole corpus gets NULL loo/delta.
+    Q(
+      "q241_loo_ablation",
+      (s, dir) => graft.operators.Ablation.leaveOneOut(
+          Tables.documents(s, dir),
+          col("source"),
+          Seq(
+            "chars" -> col("n_chars"),
+            "toks" -> size(graft.functions.GraftFunctions.tokens(col("text"))).cast(LongType),
+            "en" -> when(col("lang") === "en", 1L).otherwise(0L)))
+        .orderBy("g"),
+      Some("""
+        WITH g AS (SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n_g,
+                          CAST(SUM(n_chars) AS BIGINT) AS s_chars,
+                          CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))) AS BIGINT) AS s_toks,
+                          CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s_en
+                   FROM documents GROUP BY 1),
+        t AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_chars) AS BIGINT) AS t_chars,
+                     CAST(SUM(s_toks) AS BIGINT) AS t_toks, CAST(SUM(s_en) AS BIGINT) AS t_en
+              FROM g)
+        SELECT g, n_g,
+               (1000 * t_chars) // n AS full_chars_milli,
+               CASE WHEN n > n_g THEN (1000 * (t_chars - s_chars)) // (n - n_g) END AS loo_chars_milli,
+               CASE WHEN n > n_g THEN (1000 * (t_chars - s_chars)) // (n - n_g) - (1000 * t_chars) // n END AS delta_chars_milli,
+               (1000 * t_toks) // n AS full_toks_milli,
+               CASE WHEN n > n_g THEN (1000 * (t_toks - s_toks)) // (n - n_g) END AS loo_toks_milli,
+               CASE WHEN n > n_g THEN (1000 * (t_toks - s_toks)) // (n - n_g) - (1000 * t_toks) // n END AS delta_toks_milli,
+               (1000 * t_en) // n AS full_en_milli,
+               CASE WHEN n > n_g THEN (1000 * (t_en - s_en)) // (n - n_g) END AS loo_en_milli,
+               CASE WHEN n > n_g THEN (1000 * (t_en - s_en)) // (n - n_g) - (1000 * t_en) // n END AS delta_en_milli
+        FROM g, t ORDER BY g""")),
+
+    // B133: Neyman-allocated stratified sampling — the sample-DESIGN
+    // half of the sampling family: a 1000-row budget split across order
+    // priorities proportionally to N_h·S_h (big AND volatile strata get
+    // the draws), then the sample itself materialized by deterministic
+    // hash rank. Two-pass integer variance about the floored mean, exact
+    // isqrt (floor(sqrt) corrected ±1 by squaring), largest-remainder
+    // apportionment (the q166 pattern), per-stratum GROUPED rank
+    // membership. y is floor(o_totalprice) — non-negative, so Spark's
+    // truncating div and DuckDB's flooring // agree everywhere.
+    Q(
+      "q242_neyman_stratified",
+      (s, dir) => graft.operators.Stratified.neymanSample(
+          Tables.orders(s, dir),
+          col("o_orderpriority"),
+          floor(col("o_totalprice")).cast(LongType),
+          col("o_orderkey"),
+          budget = 1000)
+        .orderBy("stratum"),
+      Some("""
+        WITH s0 AS (SELECT o_orderpriority AS st, o_orderkey AS k,
+                           CAST(floor(o_totalprice) AS BIGINT) AS y FROM orders),
+        m AS (SELECT st, CAST(COUNT(*) AS BIGINT) AS n_h, CAST(SUM(y) AS BIGINT) AS sy FROM s0 GROUP BY 1),
+        m2 AS (SELECT st, n_h, sy, sy // n_h AS mu FROM m),
+        ss AS (SELECT s0.st, CAST(SUM((y - mu) * (y - mu)) AS BIGINT) AS ssq
+               FROM s0 JOIN m2 ON m2.st = s0.st GROUP BY 1),
+        v AS (SELECT m2.st, n_h, sy, CASE WHEN n_h > 1 THEN ssq // (n_h - 1) ELSE 0 END AS variance
+              FROM m2 JOIN ss ON ss.st = m2.st),
+        sd0 AS (SELECT *, CAST(floor(sqrt(CAST(variance AS DOUBLE))) AS BIGINT) AS r0 FROM v),
+        sd AS (SELECT st, n_h, sy, variance,
+                      CASE WHEN (r0 + 1) * (r0 + 1) <= variance THEN r0 + 1
+                           WHEN r0 * r0 > variance THEN r0 - 1
+                           ELSE r0 END AS sd
+               FROM sd0),
+        w AS (SELECT *, n_h * sd AS w FROM sd),
+        tw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+        b AS (SELECT w.*, (1000 * w) // tw AS base, (1000 * w) % tw AS rem FROM w, tw),
+        u AS (SELECT CAST(SUM(base) AS BIGINT) AS allocated FROM b),
+        r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, st) AS rk FROM b),
+        al AS (SELECT st, n_h, sd, sy,
+                      CAST(least(base + CASE WHEN rk <= 1000 - allocated THEN 1 ELSE 0 END, n_h) AS BIGINT) AS alloc
+               FROM r, u),
+        rnk AS (SELECT st, y, row_number() OVER (PARTITION BY st ORDER BY
+                         CAST(('0x' || substring(md5('strat:' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT), k) AS hrk
+                FROM s0),
+        samp AS (SELECT rnk.st, CAST(SUM(y) AS BIGINT) AS ssum, CAST(COUNT(*) AS BIGINT) AS scnt
+                 FROM rnk JOIN al ON al.st = rnk.st AND rnk.hrk <= al.alloc GROUP BY 1)
+        SELECT al.st AS stratum, al.n_h, al.sd, al.alloc,
+               sy // n_h AS full_mean,
+               CASE WHEN scnt > 0 THEN ssum // scnt END AS samp_mean
+        FROM al LEFT JOIN samp ON samp.st = al.st
+        ORDER BY stratum"""))
   )
 }

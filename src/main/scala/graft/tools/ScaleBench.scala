@@ -91,8 +91,9 @@ object ScaleBench {
     // coverage tier (sampled gain aggregate — the scale path of q226)
     "q214_stream_benford", "q232_stream_digest", "q233_coverage_stochastic",
     // the r11 wing's join shapes: the lossless prefix-filter similarity
-    // join and the two-round HITS edge/score joins
-    "q234_ppjoin_exact", "q239_hits")
+    // join, the two-round HITS edge/score joins, and the Neyman design's
+    // two-pass moments + grouped membership rank
+    "q234_ppjoin_exact", "q239_hits", "q242_neyman_stratified")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -603,6 +603,77 @@ class OperatorsSpec extends SparkSpec {
       s"round 1 must pick the best sampled id, got $pick1 (outId=$outId)")
   }
 
+  test("Ablation.leaveOneOut: complement identity, whole-corpus group, negative refusal") {
+    import graft.operators.Ablation
+    val df = Seq(
+      ("a", 10L, 1L), ("a", 20L, 0L), ("a", 30L, 1L),
+      ("b", 100L, 1L), ("b", 200L, 1L),
+      ("c", 6L, 0L)
+    ).toDF("src", "v", "flag")
+    val got = Ablation.leaveOneOut(df, col("src"), Seq("v" -> col("v"), "flag" -> col("flag")))
+      .as[(String, Long, Long, Option[Long], Option[Long], Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // corpus: n=6, Σv=366, Σflag=4 -> full_v_milli = 61000
+    assert(got("a")._3 == 61000L)
+    // drop a: (366-60)/3 = 102 -> 102000; delta 41000
+    assert(got("a")._4.contains(102000L) && got("a")._5.contains(41000L))
+    // drop b: (366-300)/4 = 16.5 -> 16500
+    assert(got("b")._4.contains(16500L))
+    // flag loo for c: 4/5 -> 800
+    assert(got("c")._7.contains(800L))
+    // a group that IS the corpus -> NULL loo/delta
+    val solo = Ablation.leaveOneOut(df.filter(col("src") === "a"), col("src"),
+      Seq("v" -> col("v"))).as[(String, Long, Long, Option[Long], Option[Long])].collect().head
+    assert(solo._4.isEmpty && solo._5.isEmpty)
+    // negative metric values refuse loudly (div/floor cross-engine trap)
+    val err = intercept[Exception] {
+      Ablation.leaveOneOut(df.withColumn("v", -col("v")), col("src"),
+        Seq("v" -> col("v"))).collect()
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage).getOrElse(""))
+      .contains("non-negative"))
+  }
+
+  test("Stratified.neymanSample: allocation totals, saturation cap, exact isqrt, zero-spread refusal") {
+    import graft.operators.Stratified
+    val rnd = new Random(47)
+    // three strata with very different spreads; Neyman must favour the
+    // volatile one
+    val rows =
+      (1L to 300L).map(i => ("calm", 500L + (i % 3), i)) ++
+      (301L to 600L).map(i => ("wild", rnd.nextInt(100000).toLong, i)) ++
+      (601L to 620L).map(i => ("tiny", rnd.nextInt(100000).toLong, i))
+    val df = rows.toDF("st", "y", "k")
+    val got = Stratified.neymanSample(df, col("st"), col("y"), col("k"), budget = 100)
+      .as[(String, Long, Long, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    // exact isqrt: sd^2 <= variance < (sd+1)^2 replayed from the data
+    for ((st, r) <- got) {
+      val ys = rows.filter(_._1 == st).map(_._2)
+      val mu = ys.sum / ys.size
+      val ssq = ys.map(v => (v - mu) * (v - mu)).sum
+      val variance = if (ys.size > 1) ssq / (ys.size - 1) else 0L
+      assert(r._3 * r._3 <= variance && (r._3 + 1) * (r._3 + 1) > variance,
+        s"$st sd ${r._3} not the isqrt of $variance")
+      assert(r._4 <= r._2, s"$st allocated past its population")
+      // the sampled mean exists whenever the stratum got draws
+      assert(r._6.isDefined == (r._4 > 0L), s"$st samp_mean presence")
+    }
+    // budget honored: allocations sum to 100 unless a stratum saturated
+    val totalAlloc = got.values.map(_._4).sum
+    val saturated = got.values.exists(r => r._4 == r._2)
+    assert(totalAlloc == 100L || (saturated && totalAlloc <= 100L), s"alloc sum $totalAlloc")
+    // the wild stratum out-draws the calm one (same size, ~1000x spread)
+    assert(got("wild")._4 > got("calm")._4)
+    // all-constant strata -> zero Neyman weights everywhere -> loud refusal
+    val flat = Seq(("a", 5L, 1L), ("a", 5L, 2L), ("b", 7L, 3L), ("b", 7L, 4L)).toDF("st", "y", "k")
+    val err = intercept[Exception] {
+      Stratified.neymanSample(flat, col("st"), col("y"), col("k"), 10).collect()
+    }
+    def chain(t: Throwable): String = if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(err).contains("zero spread"))
+  }
+
   test("Expectations: null semantics, unique collisions, FK orphans, minimal passes") {
     import graft.operators.Expectations
     import graft.operators.Expectations._
