@@ -71,6 +71,19 @@ class ScaleGenSpec extends SparkSpec {
     }
   }
 
+  test("substitute space is 2^24 slots (the r11 collision-bias fix), decimal-letter injective") {
+    // decode each substitute back through the inverse letter->digit map:
+    // values must span past the old 2^16 ceiling (the 16-bit space merged
+    // ~19k token pairs per 50k-token replica and biased probe exponents)
+    // and stay under 2^24
+    val subs = replicas(2).filter(col("__rep") === 1)
+      .select("text").as[String].collect().flatMap(toks).distinct
+    val vals = subs.map(t => t.map(c => ('0' + (c - 'a')).toChar).mkString.toLong)
+    assert(vals.forall(v => v >= 0L && v < 16777216L), s"substitute out of 2^24: ${vals.max}")
+    assert(vals.exists(_ >= 65536L),
+      "no substitute past 2^16 - the widened hash space is not in effect")
+  }
+
   test("n_chars matches the mutated text") {
     val bad = replicas(3).filter(col("n_chars") =!= length(col("text")).cast("long")).count()
     assert(bad == 0L)
