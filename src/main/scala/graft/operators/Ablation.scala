@@ -25,7 +25,7 @@ import org.apache.spark.sql.types.LongType
   */
 object Ablation {
   private def guard(ok: Column, pass: Column, msg: Column): Column =
-    when(ok, pass).otherwise(raise_error(msg).cast("long"))
+    Guards(ok, pass, msg)
 
   def leaveOneOut(df: DataFrame, group: Column, metrics: Seq[(String, Column)]): DataFrame = {
     require(metrics.nonEmpty, "[ablation] no metrics given")

@@ -17,7 +17,7 @@ object Encoding {
   /** In-plan refuse-loudly guard (the EvalMetrics idiom): rides a
     * consumed column so Catalyst cannot prune it. */
   private def guard(ok: Column, pass: Column, msg: Column): Column =
-    when(ok, pass).otherwise(raise_error(msg).cast("long"))
+    Guards(ok, pass, msg)
 
   /** Append exact-rational leave-one-out encoding columns
     * (`loo_num`, `loo_den`; the feature is their quotient) for `target`

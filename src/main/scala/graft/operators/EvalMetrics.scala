@@ -45,7 +45,7 @@ object EvalMetrics {
     * consumed output column — a standalone guard column would be pruned
     * away by Catalyst and never evaluate. */
   private def guard(ok: Column, pass: Column, msg: Column): Column =
-    when(ok, pass).otherwise(raise_error(msg).cast("long"))
+    Guards(ok, pass, msg)
 
   /** Two-sample KS distance between rows where `inFirst` is true (sample
     * 1) and the rest (sample 2), over `value`. Output (one row):

@@ -49,7 +49,7 @@ object Expectations {
     * `ok` holds (NULL counts as failed), raises `msg` otherwise. Rides
     * INSIDE a consumed output column so Catalyst can't prune it away. */
   private def guard(ok: Column, pass: Column, msg: Column): Column =
-    when(ok, pass).otherwise(raise_error(msg).cast("long"))
+    Guards(ok, pass, msg)
 
   /** One declarative expectation; `name` keys the verdict row. */
   sealed trait Rule { def name: String }
@@ -110,12 +110,16 @@ object Expectations {
     * the comparison cross-multiplies tvd_num·10^6 vs ppm·tvd_den in
     * DECIMAL(38,0). Table-level: violations is 0 or 1; an empty side
     * violates (no evidence of stability). `n` reports the CHECKED
-    * frame's row count. */
+    * frame's row count. The rule NAME carries the reference frame's
+    * column (or, since two references can share a column name, a
+    * caller-supplied `tag` naming the frame) so two Drift rules on the
+    * same column/threshold against different references get distinct
+    * names and distinguishable verdict rows. */
   final case class Drift(column: String, reference: DataFrame, refColumn: String,
-      maxTvdPpm: Long) extends Rule {
+      maxTvdPpm: Long, tag: String = "") extends Rule {
     require(maxTvdPpm >= 0L && maxTvdPpm <= 1000000L,
       s"Drift wants maxTvdPpm in [0, 10^6], got $maxTvdPpm")
-    def name = s"drift($column,$maxTvdPpm)"
+    def name = s"drift($column~${if (tag.nonEmpty) tag else refColumn},$maxTvdPpm)"
   }
 
   /** Evaluate `rules` over `df`: one output row per rule —

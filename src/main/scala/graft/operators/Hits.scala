@@ -16,10 +16,15 @@ import org.apache.spark.sql.functions._
   * half-round is an integer edge-sum followed by max-normalization with
   * FLOORED division `(10^6 · s) div max(s)` (the L∞ norm instead of the
   * conventional L2: same fixpoint direction, and exactly replayable
-  * where a sqrt is not). Overflow guard: edge sums are bounded by
-  * 10^6 · max_indegree · #rounds ≪ 2^63 for any graph whose max degree
-  * is below ~9·10^12 — refuse-loudly is unnecessary by construction at
-  * the 10^6 grid.
+  * where a sqrt is not). Overflow domain: a half-round's edge sum `raw`
+  * is at most 10^6 · degree (every incoming score is ≤ 10^6 after
+  * normalization), and the normalization itself multiplies `raw` by
+  * another 10^6 — so the product stays inside int64 only while
+  * max degree ≤ (2^63−1) / 10^12 ≈ 9.2·10^6. A 100 TB web/link graph
+  * can exceed that (tens of millions of in-edges on a hub node), so the
+  * bound is ENFORCED in-plan: normalization refuses loudly
+  * ([[Guards]]), naming the offending node and its raw sum, the moment
+  * any `raw` exceeds (2^63−1) div 10^6 — never a silent wrap.
   *
   * Scale shape per half-round: one equi-join of the edge frame against
   * the bounded per-node score frame and one partial-agg'd sum by node,
@@ -61,10 +66,21 @@ object Hits {
   }
 
   /** `(node, raw)` → `(node, s)` with s = (10^6 · raw) div max(raw) —
-    * the floored L∞ normalization both engines replay identically. */
+    * the floored L∞ normalization both engines replay identically. The
+    * ×10^6 multiply wraps int64 once raw > (2^63−1) div 10^6 (i.e. max
+    * in-degree beyond ~9.2·10^6 at the 10^6 score grid), so the bound
+    * rides the consumed `s` column and refuses loudly past it. */
   private def normalize(raw: DataFrame): DataFrame = {
     val mx = raw.agg(max("raw").as("mx"))
     raw.crossJoin(broadcast(mx))
-      .select(col("node"), expr("(1000000 * raw) div mx").as("s"))
+      .select(col("node"),
+        Guards(col("raw") <= lit(Long.MaxValue / 1000000L),
+          expr("(1000000 * raw) div mx"),
+          Guards.msg("hits",
+            lit("node "), col("node").cast("string"),
+            lit(" has raw score sum "), col("raw").cast("string"),
+            lit(" > (2^63-1) div 10^6 - its in-degree exceeds ~9.2e6 and the "),
+            lit("10^6-grid normalization would wrap; coarsen the grid or "),
+            lit("pre-aggregate parallel edges"))).as("s"))
   }
 }

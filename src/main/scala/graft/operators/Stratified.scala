@@ -14,44 +14,99 @@ import org.apache.spark.sql.functions._
   * deterministic hash rank so the whole chain replays in any engine.
   *
   * Exact-integer determinism contract:
-  *  - per-stratum spread S_h = isqrt(Σ(y − μ̂_h)² div (n_h − 1)) with
+  *  - y must be NON-NEGATIVE (enforced in-plan per stratum: Spark's
+  *    `div` truncates toward zero where DuckDB's `//` floors, so a
+  *    negative stratum sum would silently diverge cross-engine and the
+  *    "FLOORED stratum mean" claim below would be false — the Ablation
+  *    posture);
+  *  - per-stratum spread S_h = isqrt(Σ(y − μ̂)² div (n_h − 1)) with
   *    μ̂_h the FLOORED stratum mean — a two-pass integer variance (the
   *    one-pass n·Σy² − (Σy)² form overflows int64 at corpus scale; the
-  *    mean-shifted sum stays ≤ n·range²) and an EXACT integer sqrt
-  *    (floor(sqrt(double)) corrected ±1 by squaring — portable where a
-  *    raw double sqrt can straddle a boundary);
+  *    mean-shifted sum stays ≤ n_h·range² and THAT bound is enforced
+  *    in-plan: n_h ≤ ((2^63−1) div range) div range, division-only so
+  *    the check itself cannot wrap — [[Guards]]) and an EXACT integer
+  *    sqrt (floor(sqrt(double)) corrected ±1 by squaring — portable
+  *    where a raw double sqrt can straddle a boundary);
   *  - allocation = largest-remainder apportionment of `budget` over
   *    w_h = n_h·S_h (the q166 pattern: floor quotas, extras to the
   *    largest remainders, ties to the smaller stratum), capped at n_h
   *    (no redistribution — a stratum smaller than its Neyman share
   *    simply saturates; callers with many tiny strata should raise the
-  *    budget or pre-merge strata);
-  *  - membership = the first alloc_h rows of each stratum under
-  *    (hash60("strat:" + key), key) — per-stratum GROUPED rank, same
-  *    deterministic-sample posture as B57's negative sampling.
+  *    budget or pre-merge strata); both products n_h·S_h and
+  *    budget·w_h carry division-only in-plan overflow guards;
+  *  - membership = the alloc_h smallest rows of each stratum under
+  *    (hash60("strat:" + key), key) — same deterministic-sample posture
+  *    as B57's negative sampling.
+  *
+  * Membership is NEVER a raw-row rank: a row_number window partitioned
+  * by stratum serializes the corpus into one sort task per stratum
+  * (5 strata over 100 TB = 5 single-task 20 TB sorts). Two scale paths
+  * instead:
+  *  - budget ≤ `bottomKCap`: the native `graft_bottom_k` aggregate
+  *    (plans/BottomKAgg.scala) keyed by (hash60, key) with payload y —
+  *    ONE partial-agg'd shuffle shipping at most `budget` pairs per
+  *    stratum per map task, O(strata × budget) total, then the bounded
+  *    per-stratum array is sliced to alloc_h rows;
+  *  - budget > `bottomKCap` (heap-per-buffer would be too large): a
+  *    two-pass hash-threshold filter — broadcast per-stratum thresholds
+  *    t_h ≈ (2·alloc_h + 64)/n_h of the 2^60 hash space, keep only rows
+  *    hashing under t_h (expected 2·alloc_h + 64 survivors per stratum,
+  *    so the per-stratum rank that follows sorts O(alloc) rows, bounded
+  *    by the BUDGET, not the data), and PROVE the filter kept the true
+  *    sample: membership is exact iff ≥ alloc_h rows survived (every
+  *    survivor hashes strictly below every dropped row), enforced
+  *    in-plan with a loud refusal on the astronomically-unlucky
+  *    undersample (Chernoff: mean 2·alloc + 64 vs need alloc).
   *
   * Scale shape: two partial-agg'd passes for the moments (the stratum
   * dictionary broadcasts back), bounded-frame apportionment windows
-  * (strata counts, not rows), and one GROUPED rank window for
-  * membership. Guards: all-zero weights refuse loudly (no variance
-  * anywhere ⇒ Neyman is undefined; use proportional q166 instead).
+  * (strata counts, not rows), and one of the two budget-bounded
+  * membership paths above. Guards: all-zero weights refuse loudly (no
+  * variance anywhere ⇒ Neyman is undefined; use proportional q166
+  * instead).
   *
   * Returns one row per stratum:
   * `(stratum, n_h, sd, alloc, full_mean, samp_mean)` — means floored to
   * y's units; samp_mean NULL for a zero-allocation stratum.
   */
 object Stratified {
-  private def guard(ok: Column, pass: Column, msg: Column): Column =
-    when(ok, pass).otherwise(raise_error(msg).cast("long"))
+  private val M = Long.MaxValue
 
   def neymanSample(df: DataFrame, stratum: Column, y: Column, key: Column,
-      budget: Int): DataFrame = {
+      budget: Int): DataFrame =
+    neymanSample(df, stratum, y, key, budget, bottomKCap = 100000)
+
+  /** `bottomKCap` picks the membership path (see object doc); exposed
+    * package-private so the spec can force the hash-threshold path at
+    * small budgets and pin the two paths row-identical. */
+  private[graft] def neymanSample(df: DataFrame, stratum: Column, y: Column,
+      key: Column, budget: Int, bottomKCap: Int): DataFrame = {
     require(budget >= 1 && budget <= 100000000,
       s"Stratified.neymanSample wants budget in [1, 10^8], got $budget")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
     val rows = graft.Q.persistOnce(
       df.select(stratum.as("st"), y.cast("long").as("y"), key.as("k")))
-    val m = rows.groupBy("st").agg(count(lit(1)).as("n_h"), sum("y").as("sy"))
-      .withColumn("mu", expr("sy div n_h"))
+    // pass 1: per-stratum moments. The floored mean rides the full guard
+    // set (consumed by pass 2): y >= 0, sum bound n_h·max ≤ 2^63−1, and
+    // the pass-2 ssq bound n_h·range² ≤ 2^63−1 — all checks division-only
+    // so the guard itself cannot wrap.
+    val m = rows.groupBy("st")
+      .agg(count(lit(1)).as("n_h"), sum("y").as("sy"),
+        min("y").as("mn"), max("y").as("mx"))
+      .withColumn("mu",
+        Guards(
+          col("mn") >= 0L &&
+            col("n_h") <= lit(M) / greatest(col("mx"), lit(1L)) &&
+            col("n_h") <= (lit(M) / greatest(col("mx") - col("mn"), lit(1L))) /
+              greatest(col("mx") - col("mn"), lit(1L)),
+          expr("sy div n_h"),
+          Guards.msg("stratified",
+            lit("stratum "), col("st").cast("string"),
+            lit(" leaves the integer domain (min="), col("mn").cast("string"),
+            lit(", max="), col("mx").cast("string"),
+            lit(", n="), col("n_h").cast("string"),
+            lit("): y must be non-negative with n_h*max and n_h*range^2 "),
+            lit("below 2^63 - rescale y to a coarser grid"))))
     // pass 2: mean-shifted sum of squares (exact — μ̂ is an integer).
     // The moments re-aggregate here (same shuffle, zero extra passes) so
     // the frame ends in a DIRECT Aggregate — BoundedWindow.aggregated's
@@ -72,13 +127,23 @@ object Stratified {
         when((col("r0") + 1L) * (col("r0") + 1L) <= col("variance"), col("r0") + 1L)
           .when(col("r0") * col("r0") > col("variance"), col("r0") - 1L)
           .otherwise(col("r0")))
-      .withColumn("w", col("n_h") * col("sd"))
+      // Neyman weight w = n_h·sd, guarded so that both w and the
+      // apportionment product budget·w stay inside int64
+      .withColumn("w",
+        Guards(
+          col("sd") <= (lit(M / budget.toLong)) / greatest(col("n_h"), lit(1L)),
+          col("n_h") * col("sd"),
+          Guards.msg("stratified",
+            lit("stratum "), col("st").cast("string"),
+            lit(" Neyman weight n_h*sd = "), col("n_h").cast("string"),
+            lit("*"), col("sd").cast("string"),
+            lit(s" would overflow budget*w (budget=$budget) - rescale y"))))
     // largest-remainder apportionment of the budget over w_h (q166)
     val agg = graft.operators.BoundedWindow.aggregated(sd, "per-stratum weights")
     val tw = agg.agg(sum("w").as("tw"))
     val base = agg.crossJoin(broadcast(tw))
       .withColumn("base",
-        guard(col("tw") > 0L, expr(s"($budget * w) div tw"),
+        Guards(col("tw") > 0L, expr(s"($budget * w) div tw"),
           lit("[stratified] every stratum has zero spread - Neyman weights are " +
             "all zero; allocate proportionally (q166 apportionment) instead")))
       .withColumn("rem", expr(s"($budget * w) % tw"))
@@ -91,15 +156,51 @@ object Stratified {
           when(col("rk") <= lit(budget.toLong) - col("allocated"), 1L).otherwise(0L),
           col("n_h")))
       .select(col("st"), col("n_h"), col("sd"), col("alloc"), col("sy"))
-    // deterministic membership: first alloc_h rows per stratum under the
-    // seeded hash order (GROUPED window - partition-parallel)
-    val hwin = Window.partitionBy("st")
-      .orderBy(graft.functions.GraftFunctions.hash60("strat", col("k")), col("k"))
-    val samp = rows
-      .withColumn("hrk", row_number().over(hwin))
-      .join(alloc.select(col("st"), col("alloc")), "st")
-      .filter(col("hrk") <= col("alloc"))
-      .groupBy("st").agg(sum("y").as("ssum"), count(lit(1)).as("scnt"))
+    // deterministic membership: the alloc_h smallest rows per stratum
+    // under the seeded hash order — via one of the two budget-bounded
+    // paths (object doc); never a raw-row rank.
+    val h = graft.functions.GraftFunctions.hash60("strat", col("k"))
+    val samp =
+      if (budget <= bottomKCap) {
+        // one partial-agg'd shuffle: ≤ budget (hash,key,y) pairs per
+        // stratum leave each map task; slice the rank-ordered array to
+        // alloc_h and fold the sample sum out of it
+        val bk = rows.groupBy("st")
+          .agg(call_function("graft_bottom_k",
+            struct(h.as("h"), col("k").as("k")), col("y"), lit(budget)).as("bk"))
+        bk.join(broadcast(alloc.select(col("st"), col("alloc"))), "st")
+          .select(col("st"),
+            aggregate(slice(col("bk"), lit(1), col("alloc").cast("int")),
+              lit(0L), (acc, x) => acc + x.getField("v")).as("ssum"),
+            least(col("alloc"), size(col("bk")).cast("long")).as("scnt"))
+      } else {
+        // two-pass hash-threshold: keep rows hashing under
+        // t_h ≈ (2·alloc+64)/n_h of the 2^60 space, rank the O(alloc)
+        // survivors per stratum, and PROVE no undersample in-plan
+        val full = 1L << 60
+        val thr = alloc.select(col("st"), col("alloc"), col("n_h").as("nh"))
+          .withColumn("thr",
+            when(lit(2L) * col("alloc") + 64L >= col("nh"), lit(full))
+              .otherwise((lit(full) / col("nh")) * (lit(2L) * col("alloc") + 64L)))
+        val hwin = Window.partitionBy("st").orderBy(col("h"), col("k"))
+        rows.withColumn("h", h)
+          .join(broadcast(thr), "st")
+          .filter(col("h") < col("thr"))
+          .withColumn("hrk", row_number().over(hwin))
+          .groupBy("st")
+          .agg(
+            sum(when(col("hrk") <= col("alloc"), col("y")).otherwise(0L)).as("ssum0"),
+            sum(when(col("hrk") <= col("alloc"), 1L).otherwise(0L)).as("scnt"),
+            count(lit(1)).as("cntf"), first("alloc").as("al"))
+          .select(col("st"),
+            Guards(col("cntf") >= col("al"), col("ssum0"),
+              Guards.msg("stratified",
+                lit("hash-threshold undersampled stratum "), col("st").cast("string"),
+                lit(": kept "), col("cntf").cast("string"),
+                lit(" rows for an allocation of "), col("al").cast("string"),
+                lit(" - raise the overfetch slack"))).as("ssum"),
+            col("scnt"))
+      }
     alloc.join(samp, Seq("st"), "left")
       .select(col("st").as("stratum"), col("n_h"), col("sd"), col("alloc"),
         expr("sy div n_h").as("full_mean"),

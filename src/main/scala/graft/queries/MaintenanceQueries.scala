@@ -524,11 +524,11 @@ object MaintenanceQueries {
                (SELECT CAST(CASE WHEN COALESCE(mts >= 1009756800 - 31536000, FALSE) THEN 0 ELSE 1 END AS BIGINT) FROM mx) FROM n
         UNION ALL SELECT 'fresh(o_orderdate,1009756800,2592000)', n.n,
                (SELECT CAST(CASE WHEN COALESCE(mts >= 1009756800 - 2592000, FALSE) THEN 0 ELSE 1 END AS BIGINT) FROM mx) FROM n
-        UNION ALL SELECT 'drift(o_orderpriority,100)', n.n,
+        UNION ALL SELECT 'drift(o_orderpriority~o_orderpriority,100)', n.n,
                (SELECT CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1
                                  WHEN tvd_num * 1000000 > 100 * CAST(2 * n1 * n2 AS HUGEINT) THEN 1
                                  ELSE 0 END AS BIGINT) FROM dv) FROM n
-        UNION ALL SELECT 'drift(o_orderpriority,500000)', n.n,
+        UNION ALL SELECT 'drift(o_orderpriority~o_orderpriority,500000)', n.n,
                (SELECT CAST(CASE WHEN n1 = 0 OR n2 = 0 THEN 1
                                  WHEN tvd_num * 1000000 > 500000 * CAST(2 * n1 * n2 AS HUGEINT) THEN 1
                                  ELSE 0 END AS BIGINT) FROM dv) FROM n

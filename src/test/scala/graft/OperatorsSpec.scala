@@ -674,6 +674,53 @@ class OperatorsSpec extends SparkSpec {
     assert(chain(err).contains("zero spread"))
   }
 
+  test("Stratified.neymanSample: hash-threshold path is row-identical to bottom-k; domain refusals") {
+    import graft.operators.Stratified
+    def chain(t: Throwable): String = if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    val rnd = new Random(53)
+    val rows =
+      (1L to 400L).map(i => ("calm", 500L + (i % 7), i)) ++
+      (401L to 800L).map(i => ("wild", rnd.nextInt(100000).toLong, i)) ++
+      (801L to 830L).map(i => ("tiny", rnd.nextInt(100000).toLong, i))
+    val df = rows.toDF("st", "y", "k")
+    def rows6(r: org.apache.spark.sql.DataFrame) =
+      r.as[(String, Long, Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // bottomKCap = 0 forces the 100 TB hash-threshold path at this tiny
+    // budget; the two membership paths must pick the SAME sample (both
+    // are "alloc_h smallest (hash60, key) per stratum")
+    val viaBottomK = rows6(Stratified.neymanSample(df, col("st"), col("y"), col("k"), 120))
+    val viaThreshold = rows6(
+      Stratified.neymanSample(df, col("st"), col("y"), col("k"), 120, bottomKCap = 0))
+    assert(viaBottomK == viaThreshold, s"membership paths diverged:\n$viaBottomK\n$viaThreshold")
+    // negative y refuses loudly (Spark div truncates toward zero where
+    // DuckDB // floors — a negative stratum sum silently diverges)
+    val neg = intercept[Exception] {
+      Stratified.neymanSample(df.withColumn("y", col("y") - 1000L),
+        col("st"), col("y"), col("k"), 10).collect()
+    }
+    assert(chain(neg).contains("non-negative"))
+    // a stratum whose n_h·range² leaves int64 refuses loudly BEFORE the
+    // ssq pass can wrap (range 4e9 -> range² ≈ 1.6e19 > 2^63−1)
+    val wide = (Seq(("w", 0L, 1L), ("w", 4000000000L, 2L)) ++
+      (3L to 10L).map(i => ("ok", i, i))).toDF("st", "y", "k")
+    val ovf = intercept[Exception] {
+      Stratified.neymanSample(wide, col("st"), col("y"), col("k"), 5).collect()
+    }
+    assert(chain(ovf).contains("integer domain"))
+  }
+
+  test("Hits: normalization refuses loudly past the ~9.2e6 in-degree bound (x10^6 grid wrap)") {
+    import graft.operators.Hits
+    def chain(t: Throwable): String = if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    // one authority with 9,300,000 distinct in-edges: the first
+    // half-round's raw sum is 10^6 · 9.3e6 = 9.3e12 > (2^63−1) div 10^6
+    // ≈ 9.22e12, so the ×10^6 normalization would wrap — must raise, not
+    // rank wrong
+    val edges = spark.range(9300000L).selectExpr("id + 1 as src", "0L as dst")
+    val err = intercept[Exception] { Hits.run(edges, 1).collect() }
+    assert(chain(err).contains("in-degree exceeds"), chain(err).take(500))
+  }
+
   test("Expectations: null semantics, unique collisions, FK orphans, minimal passes") {
     import graft.operators.Expectations
     import graft.operators.Expectations._
@@ -739,7 +786,7 @@ class OperatorsSpec extends SparkSpec {
     assert(e("in_set(st)") == ((0L, 0L, true)))
     assert(e("unique(k)") == ((0L, 0L, true)))
     assert(e("fresh(ts,1000000,500)") == ((0L, 1L, false)))
-    assert(e("drift(st,900000)") == ((0L, 1L, false)))
+    assert(e("drift(st~v,900000)") == ((0L, 1L, false)))
     // Fresh: newest row inside the lag passes, outside fails; all-null
     // timestamp column is stale
     val ts = Seq(
@@ -758,9 +805,9 @@ class OperatorsSpec extends SparkSpec {
     val rf = Seq("a", "b").toDF("v")
     val d = asMap(Expectations.check(cur, Seq(
       Drift("c", rf, "v", 250000L), Drift("c", rf, "v", 249999L),
-      Drift("c", rf.filter(col("v") === "zzz"), "v", 999999L))))
-    assert(d("drift(c,250000)") == ((4L, 0L, true)), d.toString)   // 250000 <= threshold
-    assert(d("drift(c,249999)") == ((4L, 1L, false)))
-    assert(d("drift(c,999999)") == ((4L, 1L, false)))              // empty reference
+      Drift("c", rf.filter(col("v") === "zzz"), "v", 999999L, tag = "empty_ref"))))
+    assert(d("drift(c~v,250000)") == ((4L, 0L, true)), d.toString)   // 250000 <= threshold
+    assert(d("drift(c~v,249999)") == ((4L, 1L, false)))
+    assert(d("drift(c~empty_ref,999999)") == ((4L, 1L, false)))              // empty reference
   }
 }

@@ -348,6 +348,19 @@ class PlanQualitySpec extends SparkSpec {
     val h = plan("q239_hits")
     assert(!h.contains("CartesianProduct"), s"q239 went cartesian:\n$h")
     assert(h.contains("TakeOrderedAndProject"), s"q239 top-20 not TakeOrdered:\n$h")
+    // q242: membership must be the one-shuffle graft_bottom_k aggregate
+    // (O(strata × budget) out of each map task), NEVER a raw-row
+    // row_number window partitioned by the 5-value stratum key — that
+    // serializes the corpus into one sort task per stratum at the
+    // design point. The only windows allowed are the bounded
+    // apportionment ranks (ordered by -rem over the strata frame); a
+    // raw-row membership window would order by the md5-based hash60.
+    val ns = plan("q242_neyman_stratified")
+    assert(ns.contains("partial_graft_bottom_k"),
+      s"q242 membership lost its partial-agg'd bottom-k:\n$ns")
+    assert(!ns.linesIterator.exists(l =>
+      l.contains("windowspecdefinition") && l.contains("md5")),
+      s"q242 grew a raw-row hash-rank window:\n$ns")
     val edges = spark.range(200).selectExpr("id % 20 as src", "100 + id % 13 as dst")
     val hub = edges.selectExpr("src", "cast(1000000 as bigint) as s").distinct()
     val round = edges.join(hub, "src")
