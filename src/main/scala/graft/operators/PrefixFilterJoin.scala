@@ -6,9 +6,9 @@ import org.apache.spark.sql.functions._
 
 /** EXACT set-similarity join via prefix filtering (Chaudhuri, Ganti &
   * Kaushik ICDE 2006; Bayardo, Ma & Srikant WWW 2007's all-pairs;
-  * Xiao et al.'s PPJoin family): all pairs of sets whose Jaccard
-  * similarity reaches a threshold t, with NO false negatives — the
-  * deterministic complement of the minhash-LSH tier (q57), the same
+  * Xiao, Wang, Lin & Yu WWW 2008's PPJoin): all pairs of sets whose
+  * Jaccard similarity reaches a threshold t, with NO false negatives —
+  * the deterministic complement of the minhash-LSH tier (q57), the same
   * relationship q228's winnowing has to simhash. Where LSH trades recall
   * for speed probabilistically, the prefix filter prunes EXACTLY: order
   * every element by global rarity (document frequency asc, element asc —
@@ -17,22 +17,40 @@ import org.apache.spark.sql.functions._
   * PREFIXES share an element can reach J ≥ t (pigeonhole: J(x,y) ≥ t
   * forces |x∩y| ≥ ⌈t·|x|⌉, which cannot hide entirely in the ⌈t·|x|⌉−1
   * elements past the prefix of either side). Candidates additionally
-  * pass the length filter t·|x| ≤ |y| ≤ |x|/t before exact verification.
+  * pass the length filter t·|x| ≤ |y| ≤ |x|/t and PPJoin's POSITIONAL
+  * filter before exact verification: sorting a pair's shared prefix
+  * elements into the canonical order, the k-th at (1-based) positions
+  * i_k in x, j_k in y is preceded by EXACTLY k−1 common elements (a
+  * common element earlier in the canonical order ranks inside BOTH
+  * prefixes, so it is itself a shared prefix element), hence the true
+  * overlap obeys o ≤ k + min(|x|−i_k, |y|−j_k) for every k — and
+  * J ≥ t needs o ≥ ⌈t·(|x|+|y|)/(1+t)⌉, so any pair whose tightest
+  * ceiling misses that is pruned before the array verification. Every
+  * ceiling is valid, so the filter keeps the zero-false-negative
+  * contract (the oracle — the brute-force all-pairs join — is the
+  * standing proof, plus the 9-trial property fuzz).
   *
   * Rarity ordering is what makes the prefixes selective: the prefix
   * holds each set's RAREST elements, so candidate buckets are the small
   * df ones — the frequent-element buckets that would explode a naive
   * element join never enter a prefix (they sort last).
   *
+  * NULL elements are dropped at intake: a NULL would be counted by the
+  * size aggregate but silently skipped by the df equi-join and by
+  * collect_list, inflating union sizes and deflating similarities — a
+  * false-negative path. Dropping it everywhere keeps sizes, prefixes
+  * and verification consistent (a NULL set member is not a member).
+  *
   * Scale shape: one partial-agg'd df count, one GROUPED (per-set,
   * partition-parallel) row_number to find prefixes, one equi-join of
-  * prefixes on element (bucket-bounded by prefix df), and a
-  * verification pass that equi-joins each side's sorted element ARRAY
-  * onto the surviving candidates — one row per candidate, intersection
-  * counted hash-based in O(|a|+|b|) per pair (exploding candidates
-  * against full element sets re-shuffles |cand|·|set| rows and measured
-  * 4× slower at sf0.1). All exact-integer arithmetic: the threshold
-  * compare is the cross-multiply 10^6·inter ≥ tPpm·union, never a float.
+  * prefixes on element (bucket-bounded by prefix df) reduced per pair
+  * to the tightest positional bound, and a verification pass that
+  * equi-joins each side's sorted element ARRAY onto the surviving
+  * candidates — one row per candidate, intersection counted hash-based
+  * in O(|a|+|b|) per pair (exploding candidates against full element
+  * sets re-shuffles |cand|·|set| rows and measured 4× slower at sf0.1).
+  * All exact-integer arithmetic: the threshold compare is the
+  * cross-multiply 10^6·inter ≥ tPpm·union, never a float.
   *
   * Returns `(id_a, id_b, inter, union_sz, jaccard_ppm)` for all pairs
   * with id_a < id_b and J ≥ tPpm/10^6, jaccard_ppm floored.
@@ -42,24 +60,9 @@ object PrefixFilterJoin {
     require(tPpm >= 1L && tPpm <= 1000000L,
       s"PrefixFilterJoin wants tPpm in [1, 10^6], got $tPpm")
     val it = graft.Q.persistOnce(
-      items.select(col(idCol).as("id"), col(elemCol).as("elem")).distinct())
-    val sizes = it.groupBy("id").agg(count(lit(1)).as("sz"))
-    val dfreq = it.groupBy("elem").agg(count(lit(1)).as("df"))
-    // per-set rank under the canonical global order (rarest first); the
-    // window is GROUPED by set id — partition-parallel, bounded frames
-    val ranked = it.join(dfreq, "elem")
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("elem"))))
-      .join(sizes, "id")
-    // prefix length p = sz − ⌈t·sz⌉ + 1, ceil as (tPpm·sz + 10^6 − 1) div 10^6
-    val pref = ranked.filter(
-      col("pos") <= col("sz") - expr(s"($tPpm * sz + 999999) div 1000000") + 1L)
-      .select(col("elem"), col("id"), col("sz"))
-    val b = pref.select(col("elem"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val cand = pref.join(b, "elem").filter(col("id") < col("id_b"))
-      .filter(lit(1000000L) * least(col("sz"), col("sz_b")) >=
-        lit(tPpm) * greatest(col("sz"), col("sz_b")))
-      .select(col("id").as("id_a"), col("id_b")).distinct()
+      items.select(col(idCol).as("id"), col(elemCol).as("elem"))
+        .filter(col("elem").isNotNull).distinct())
+    val cand = candidates(it, tPpm, positional = true)
     // exact verification: attach each side's (sorted, distinct) element
     // array by id — one row per CANDIDATE, not one per candidate×element
     // (exploding candidates against full sets re-shuffled |cand|·|set|
@@ -82,5 +85,59 @@ object PrefixFilterJoin {
         expr("(1000000 * inter) div (sza + szb - inter)").as("jaccard_ppm"))
       .filter(lit(1000000L) * col("inter") >=
         lit(tPpm) * col("union_sz"))
+  }
+
+  /** Candidate pairs `(id_a, id_b)` surviving the prefix + length (+
+    * positional, when enabled) filters over a deduped non-null
+    * `(id, elem)` frame. Package-private with the `positional` toggle so
+    * the spec can pin the positional filter LOSSLESS (same verified
+    * output) and count how many candidates it prunes. */
+  private[graft] def candidates(it: DataFrame, tPpm: Long, positional: Boolean): DataFrame = {
+    val sizes = it.groupBy("id").agg(count(lit(1)).as("sz"))
+    val dfreq = it.groupBy("elem").agg(count(lit(1)).as("df"))
+    // per-set rank under the canonical global order (rarest first); the
+    // window is GROUPED by set id — partition-parallel, bounded frames
+    val ranked = it.join(dfreq, "elem")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy(col("df"), col("elem"))))
+      .join(sizes, "id")
+    // prefix length p = sz − ⌈t·sz⌉ + 1, ceil as (tPpm·sz + 10^6 − 1) div 10^6
+    val pref = ranked.filter(
+      col("pos") <= col("sz") - expr(s"($tPpm * sz + 999999) div 1000000") + 1L)
+      .select(col("elem"), col("id"), col("sz"), col("pos"))
+    val b = pref.select(col("elem"), col("id").as("id_b"),
+      col("sz").as("sz_b"), col("pos").as("pos_b"))
+    val matched = pref.join(b, "elem").filter(col("id") < col("id_b"))
+      .filter(lit(1000000L) * least(col("sz"), col("sz_b")) >=
+        lit(tPpm) * greatest(col("sz"), col("sz_b")))
+    if (!positional) {
+      matched.select(col("id").as("id_a"), col("id_b")).distinct()
+    } else {
+      // positional filter: sort each pair's shared prefix elements into
+      // canonical order (pos_x and pos_y are co-monotone in it); the
+      // k-th shared element at positions (i_k, j_k) has EXACTLY k−1
+      // common elements before it — any common element earlier in the
+      // canonical order ranks inside BOTH prefixes and is itself a
+      // shared prefix element — so o ≤ k + min(|x|−i_k, |y|−j_k).
+      // Reduce to the tightest ceiling over k (the per-pair array is
+      // bounded by the prefix overlap, a handful of entries; same
+      // groupBy exchange the plain distinct would pay) and demand it
+      // reaches the J ≥ t overlap requirement o ≥ ⌈t·(|x|+|y|)/(1+t)⌉,
+      // compared cross-multiplied.
+      matched
+        .select(col("id").as("id_a"), col("id_b"), col("sz"), col("sz_b"),
+          struct(col("pos").as("i"), col("pos_b").as("j")).as("ij"))
+        .groupBy("id_a", "id_b")
+        .agg(sort_array(collect_list("ij")).as("ijs"),
+          first("sz").as("sza0"), first("sz_b").as("szb0"))
+        .withColumn("ub", array_min(transform(
+          sequence(lit(1), size(col("ijs"))),
+          k => k.cast("long") + least(
+            col("sza0") - element_at(col("ijs"), k).getField("i"),
+            col("szb0") - element_at(col("ijs"), k).getField("j")))))
+        .filter(col("ub") * (lit(1000000L) + lit(tPpm)) >=
+          lit(tPpm) * (col("sza0") + col("szb0")))
+        .select(col("id_a"), col("id_b"))
+    }
   }
 }

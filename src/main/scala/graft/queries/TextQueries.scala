@@ -1261,7 +1261,41 @@ object TextQueries {
                (1000000 * inter) // union_sz AS jaccard_ppm
         FROM pairs
         WHERE 1000000 * inter >= 700000 * union_sz
-        ORDER BY id_a, id_b"""))
+        ORDER BY id_a, id_b""")),
+
+    // B134: interpolated Kneser-Ney bigram cross-entropy — the
+    // word-order-aware fluency gate beside q120's unigram tier: shuffled
+    // or boilerplate-stitched text has common WORDS in uncommon ORDER,
+    // which a unigram LM cannot see. Corpus-as-own-model (every scored
+    // bigram has count >= 1), absolute discount D = 3/4 exact-rational,
+    // so P(w|v) = (B·(4c(v,w)−3) + 3·N1+(v,·)·N1+(·,w)) / (4·B·c(v)) is
+    // a ratio of guarded int64 products; the one float step is q120's
+    // per-bigram floor(−ln·10^6) onto the micronat grid BEFORE the doc
+    // sum (order-independent, 1-ulp-immune totals). One corpus-scale
+    // (doc,v,w) count; model tables join back BY TYPE; B broadcasts.
+    Q(
+      "q243_kn_bigram_xent",
+      (s, dir) => graft.operators.KneserNey
+        .bigramScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ts
+                      FROM documents),
+        idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+        big AS (SELECT doc_id, ts[i] AS v, ts[i + 1] AS w FROM idx),
+        tfb AS (SELECT doc_id, v, w, CAST(COUNT(*) AS BIGINT) AS c_doc FROM big GROUP BY 1, 2, 3),
+        bc AS (SELECT v, w, CAST(SUM(c_doc) AS BIGINT) AS c_vw FROM tfb GROUP BY 1, 2),
+        ctx AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v, CAST(COUNT(*) AS BIGINT) AS n1p_v FROM bc GROUP BY 1),
+        cont AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n1p_w FROM bc GROUP BY 1),
+        bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM bc),
+        nll AS (SELECT tfb.doc_id, tfb.c_doc,
+                       CAST(floor(-ln(CAST(b * (4 * c_vw - 3) + 3 * n1p_v * n1p_w AS DOUBLE)
+                                       / CAST(4 * b * c_v AS DOUBLE)) * 1e6) AS BIGINT) * c_doc AS nll_micro
+                FROM tfb JOIN bc USING (v, w) JOIN ctx USING (v) JOIN cont USING (w), bt)
+        SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+               CAST(SUM(nll_micro) AS BIGINT) AS sum_micronats,
+               CAST(SUM(nll_micro) AS BIGINT) // CAST(SUM(c_doc) AS BIGINT) AS xent_micronats
+        FROM nll GROUP BY doc_id ORDER BY doc_id"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

@@ -93,7 +93,10 @@ object ScaleBench {
     // the r11 wing's join shapes: the lossless prefix-filter similarity
     // join, the two-round HITS edge/score joins, and the Neyman design's
     // two-pass moments + grouped membership rank
-    "q234_ppjoin_exact", "q239_hits", "q242_neyman_stratified")
+    "q234_ppjoin_exact", "q239_hits", "q242_neyman_stratified",
+    // r12: the KN bigram model's corpus-scale (doc,v,w) count and
+    // type-table join-backs — a new join shape, measured from day one
+    "q243_kn_bigram_xent")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

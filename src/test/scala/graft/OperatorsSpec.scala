@@ -462,6 +462,7 @@ class OperatorsSpec extends SparkSpec {
   test("PrefixFilterJoin.jaccardJoin equals the brute-force all-pairs join (lossless prefix filter)") {
     import graft.operators.PrefixFilterJoin
     val rnd = new Random(11)
+    var prunedTotal = 0L
     for (trial <- 1 to 3; tPpm <- Seq(300000L, 500000L, 800000L)) {
       // clustered universes so real near-dup pairs exist at every threshold
       val sets = (1L to 30L).map { id =>
@@ -478,7 +479,28 @@ class OperatorsSpec extends SparkSpec {
         if 1000000L * inter >= tPpm * uni
       } yield (a, b, inter, uni, 1000000L * inter / uni)).toSet
       assert(got == want, s"trial $trial t=$tPpm: got ${got.size} want ${want.size}")
+      // the positional filter must be LOSSLESS (output equality above is
+      // the proof — jaccardJoin runs with it on) and must only ever
+      // shrink the candidate set vs the plain prefix+length filters
+      val it = items.select(col("id"), col("el").as("elem"))
+        .filter(col("elem").isNotNull).distinct()
+      val plain = PrefixFilterJoin.candidates(it, tPpm, positional = false).count()
+      val pos = PrefixFilterJoin.candidates(it, tPpm, positional = true).count()
+      assert(pos <= plain, s"positional filter grew candidates: $pos > $plain")
+      assert(pos >= want.size.toLong, s"positional filter under-generated: $pos < ${want.size}")
+      prunedTotal += plain - pos
     }
+    assert(prunedTotal > 0L, "positional filter never pruned a candidate across 9 trials")
+    // NULL elements are dropped at intake: sizes/prefixes/verification
+    // must all agree with the brute force over the non-null elements
+    val withNulls = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, null),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, null), (3L, null)).toDF("id", "el")
+    val gotN = PrefixFilterJoin.jaccardJoin(withNulls, "id", "el", 500000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotN == Set((1L, 2L, 3L, 3L, 1000000L)),
+      s"null elements skewed the join: $gotN")
   }
 
   test("CountMin never undercounts, matches exact within the 2N/width bound, and merges by sum") {
@@ -719,6 +741,43 @@ class OperatorsSpec extends SparkSpec {
     val edges = spark.range(9300000L).selectExpr("id + 1 as src", "0L as dst")
     val err = intercept[Exception] { Hits.run(edges, 1).collect() }
     assert(chain(err).contains("in-degree exceeds"), chain(err).take(500))
+  }
+
+  test("KneserNey.bigramScore equals the in-memory interpolated-KN replay") {
+    import graft.operators.KneserNey
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "The cat sat on the hat"),
+      (3L, "the dog ran to the mat"),
+      (4L, "one"), // < 2 tokens -> no bigrams -> no output row
+      (5L, "mat the on sat cat the")) // same words, scrambled order
+    val got = KneserNey.bigramScore(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // replay: lowercase whitespace tokens, corpus-wide KN with D = 3/4
+    val toks = corpus.toMap.view
+      .mapValues(_.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val bigs = toks.view.mapValues(ts => ts.zip(ts.drop(1))).toMap
+    val all = bigs.values.flatten.toSeq
+    val cVW = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cV = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1pV = cVW.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n1pW = cVW.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val b = cVW.size.toLong
+    for ((id, bs) <- bigs if bs.nonEmpty) {
+      val micros = bs.map { bg =>
+        val num = (b * (4L * cVW(bg) - 3L) + 3L * n1pV(bg._1) * n1pW(bg._2)).toDouble
+        val den = (4L * b * cV(bg._1)).toDouble
+        math.floor(-math.log(num / den) * 1e6).toLong
+      }
+      assert(got(id) == ((id, bs.size.toLong, micros.sum, micros.sum / bs.size)),
+        s"doc $id: ${got.get(id)}")
+    }
+    assert(!got.contains(4L), "a 1-token doc must emit no row")
+    // the word-order property the unigram tier cannot see: doc 5 reuses
+    // doc 1's exact words but in an order the corpus never repeats, so
+    // its bigram cross-entropy must exceed doc 1's
+    assert(got(5L)._4 > got(1L)._4,
+      s"scrambled doc must score worse: ${got(5L)._4} <= ${got(1L)._4}")
   }
 
   test("Expectations: null semantics, unique collisions, FK orphans, minimal passes") {
