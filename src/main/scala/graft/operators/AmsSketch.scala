@@ -60,11 +60,11 @@ object AmsSketch {
     val b = skB.select(col("j"), col("s").as("sb"), col("n").as("n_b"))
     a.join(b, "j")
       .select(expr(s"j div ${per}L").as("grp"), col("n_a"), col("n_b"),
-        when(col("n_a") <= expr(s"${cap}L div greatest(n_b, 1L)"),
-          col("sa") * col("sb"))
-          .otherwise(raise_error(lit(
+        graft.operators.Guards(col("n_a") <= expr(s"${cap}L div greatest(n_b, 1L)"),
+          col("sa") * col("sb"),
+              lit(
             s"[ams] n_a*n_b*$per >= 2^63: estimator sums could overflow — " +
-              "downscale the counts before sketching")).cast("long"))
+              "downscale the counts before sketching"))
           .as("p"))
       .groupBy("grp", "n_a", "n_b").agg(sum("p").as("gs"))
       .select(col("n_a"), col("n_b"), expr(

@@ -75,7 +75,7 @@ object KneserNey {
       .crossJoin(broadcast(bt))
       .withColumn("nll_micro",
         Guards(
-          col("c_v") <= lit(Long.MaxValue / 8L) / col("b"),
+          col("c_v") <= expr(s"${Long.MaxValue / 8L}L div b"),
           floor(-log(
             (col("b") * (lit(4L) * col("c_vw") - 3L) +
               lit(3L) * col("n1p_v") * col("n1p_w")).cast("double") /

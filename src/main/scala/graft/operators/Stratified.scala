@@ -96,9 +96,9 @@ object Stratified {
       .withColumn("mu",
         Guards(
           col("mn") >= 0L &&
-            col("n_h") <= lit(M) / greatest(col("mx"), lit(1L)) &&
-            col("n_h") <= (lit(M) / greatest(col("mx") - col("mn"), lit(1L))) /
-              greatest(col("mx") - col("mn"), lit(1L)),
+            col("n_h") <= expr(s"${M}L div greatest(mx, 1L)") &&
+            col("n_h") <= expr(
+              s"(${M}L div greatest(mx - mn, 1L)) div greatest(mx - mn, 1L)"),
           expr("sy div n_h"),
           Guards.msg("stratified",
             lit("stratum "), col("st").cast("string"),
@@ -131,7 +131,7 @@ object Stratified {
       // apportionment product budget·w stay inside int64
       .withColumn("w",
         Guards(
-          col("sd") <= (lit(M / budget.toLong)) / greatest(col("n_h"), lit(1L)),
+          col("sd") <= expr(s"${M / budget.toLong}L div greatest(n_h, 1L)"),
           col("n_h") * col("sd"),
           Guards.msg("stratified",
             lit("stratum "), col("st").cast("string"),
@@ -181,7 +181,7 @@ object Stratified {
         val thr = alloc.select(col("st"), col("alloc"), col("n_h").as("nh"))
           .withColumn("thr",
             when(lit(2L) * col("alloc") + 64L >= col("nh"), lit(full))
-              .otherwise((lit(full) / col("nh")) * (lit(2L) * col("alloc") + 64L)))
+              .otherwise(expr(s"(${full}L div nh) * (2L * alloc + 64L)")))
         val hwin = Window.partitionBy("st").orderBy(col("h"), col("k"))
         rows.withColumn("h", h)
           .join(broadcast(thr), "st")

@@ -44,12 +44,11 @@ object Winnowing {
       .select(col("id"), (col("p0") + 1).cast(LongType).as("pos"),
         (graft.functions.GraftFunctions.hash60(col("gram")) % (1L << 40)).as("h40"))
     val keyed = grams.select(col("id"), col("pos"),
-      when(col("pos") < posCap,
-        col("h40") * posCap + (lit(posCap) - col("pos")))
-        .otherwise(raise_error(concat(
+      graft.operators.Guards(col("pos") < posCap,
+        col("h40") * posCap + (lit(posCap) - col("pos")),
+              concat(
           lit("[winnowing] document "), col("id").cast("string"),
-          lit(" exceeds 2^20 grams — chunk it before fingerprinting")))
-          .cast(LongType)).as("key"))
+          lit(" exceeds 2^20 grams — chunk it before fingerprinting"))).as("key"))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
     keyed
@@ -59,7 +58,11 @@ object Winnowing {
       .filter(col("pos") >= w)
       .select(col("id"),
         (lit(posCap) - (col("mkey") % posCap)).as("fp_pos"),
-        (col("mkey") / posCap).cast(LongType).as("fp_hash"))
+        // integer div, NOT a double divide: mkey reaches h40·2^20 < 2^60
+        // and a double only holds integers exactly to 2^53 — a selected
+        // top-octave hash at gram position ≤ 64 would round across the
+        // 2^20 boundary and disagree with the oracle's floor division
+        expr(s"mkey div ${posCap}L").as("fp_hash"))
       .distinct()
   }
 

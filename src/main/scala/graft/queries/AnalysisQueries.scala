@@ -320,10 +320,10 @@ object AnalysisQueries {
         // beyond it, rescale ranks to a coarser grid first
         val tot = docs.agg(count(lit(1)).as("nn"))
           .select(
-            when(col("nn") <= lit(3037000499L), col("nn"))
-              .otherwise(raise_error(concat(
+            graft.operators.Guards(col("nn") <= lit(3037000499L), col("nn"),
+              concat(
                 lit("[quantile-norm] rank*N would exceed 2^63 at N="), col("nn"),
-                lit("; rescale ranks to a coarser grid first"))).cast("long"))
+                lit("; rescale ranks to a coarser grid first")))
               .as("nn"))
         ranked.crossJoin(broadcast(tot))
           .withColumn("k", expr("(r * nn + ns - 1) div ns"))
@@ -1076,10 +1076,10 @@ object AnalysisQueries {
           .select(col("lb"), col("bucket").as("rb"),
             (col("cp") - col("lcp")).as("p"), (col("cn") - col("lcn")).as("q"))
           .select(col("lb"), col("rb"),
-            when(col("q") <= 1000000L, expr("(p * 1000000000000L) div q"))
-              .otherwise(raise_error(lit(
+            graft.operators.Guards(col("q") <= 1000000L, expr("(p * 1000000000000L) div q"),
+              lit(
                 "[isotonic] calibration mass exceeds the exact fixed-point " +
-                  "bound (10^6 rows): pre-bin coarser")).cast(LongType))
+                  "bound (10^6 rows): pre-bin coarser"))
               .as("k"))
         val iso = cal.select(col("bucket").as("i"))
           .withColumn("j", pmod(hash(col("i")), lit(1)))
@@ -1195,11 +1195,10 @@ object AnalysisQueries {
         spend.withColumn("i", row_number().over(w).cast(LongType))
           .join(stats, "nk")
           .select(col("nk"), col("n"), col("sx"),
-            when(col("sx") <= expr(s"${k62}L div n"), col("i") * col("x"))
-              .otherwise(raise_error(concat(
+            graft.operators.Guards(col("sx") <= expr(s"${k62}L div n"), col("i") * col("x"),
+              concat(
                 lit("[gini] rank-sum overflow for nation "), col("nk"),
                 lit(": n * total spend must stay < 2^62 — rescale the unit")))
-                .cast(LongType))
               .as("ix"))
           .groupBy("nk", "n", "sx")
           .agg(sum("ix").as("six"))
@@ -1325,11 +1324,10 @@ object AnalysisQueries {
         val t = c.agg(sum("p").as("n1"), sum("q").as("n2"))
         c.crossJoin(broadcast(t))
           .select(col("n1"), col("n2"),
-            when(col("n1") <= expr(s"${Long.MaxValue / 9}L div n2"),
-              col("i") * (col("p") * col("n2") - col("q") * col("n1")))
-              .otherwise(raise_error(lit(
+            graft.operators.Guards(col("n1") <= expr(s"${Long.MaxValue / 9}L div n2"),
+              col("i") * (col("p") * col("n2") - col("q") * col("n1")),
+              lit(
                 "[trend-test] 9*n1*n2 must stay < 2^63: pre-bin or rescale"))
-                .cast(LongType))
               .as("term"),
             (col("i") * (col("p") + col("q"))).as("t1"),
             (col("i") * col("i") * (col("p") + col("q"))).as("t2"))
@@ -1411,14 +1409,12 @@ object AnalysisQueries {
             sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("d"))
           .withColumn("n", col("a") + col("b") + col("c") + col("d"))
           .select(
-            when(
-              col("a") <= expr(s"${cap}L div greatest(d, 1L)") &&
+            graft.operators.Guards(col("a") <= expr(s"${cap}L div greatest(d, 1L)") &&
                 col("b") <= expr(s"${cap}L div greatest(c, 1L)"),
-              expr("(a * d * 1000000L) div n"))
-              .otherwise(raise_error(concat(
+              expr("(a * d * 1000000L) div n"),
+              concat(
                 lit("[mh-odds] stratum "), col("g"),
-                lit(" cell product exceeds 2^63/10^6: pre-aggregate or sample strata")))
-                .cast(LongType)).as("t_num"),
+                lit(" cell product exceeds 2^63/10^6: pre-aggregate or sample strata"))).as("t_num"),
             expr("(b * c * 1000000L) div n").as("t_den"))
           .agg(count(lit(1)).as("n_strata"),
             sum("t_num").as("or_num_e6"),
@@ -1465,11 +1461,11 @@ object AnalysisQueries {
             sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sx2"))
           .select(col("n"),
-            when(col("sx2") <= expr(s"${k62}L div n"),
-              col("n") * col("sxy") - col("sx") * col("sy"))
-              .otherwise(raise_error(lit(
+            graft.operators.Guards(col("sx2") <= expr(s"${k62}L div n"),
+              col("n") * col("sxy") - col("sx") * col("sy"),
+              lit(
                 "[assortativity] co-moment overflow: n * sum(d^2) must stay < 2^62 " +
-                  "— cap degrees or sample edges")).cast(LongType))
+                  "— cap degrees or sample edges"))
               .as("cov_num"),
             (col("n") * col("sx2") - col("sx") * col("sx")).as("var_num"))
       },
@@ -1510,17 +1506,15 @@ object AnalysisQueries {
         val dc = deg.join(com, "n").groupBy("c").agg(sum("d").as("d_tot"))
         val agg = dc.join(ec, Seq("c"), "left")
           .agg(coalesce(sum(coalesce(col("e_in"), lit(0L))), lit(0L)).as("se"),
-            sum(when(col("d_tot") <= 2147483647L, col("d_tot") * col("d_tot"))
-              .otherwise(raise_error(lit(
-                "[modularity] community degree total exceeds 2^31: d_c^2 would overflow"))
-                .cast(LongType))).as("sd2"))
+            sum(graft.operators.Guards(col("d_tot") <= 2147483647L, col("d_tot") * col("d_tot"),
+              lit(
+                "[modularity] community degree total exceeds 2^31: d_c^2 would overflow"))).as("sd2"))
         agg.crossJoin(broadcast(m))
           .select(col("m"),
-            when(col("m") <= 1073741824L,
-              lit(4L) * col("m") * col("se") - col("sd2"))
-              .otherwise(raise_error(lit(
-                "[modularity] edge count exceeds 2^30: 4m^2 would overflow"))
-                .cast(LongType)).as("q_num"),
+            graft.operators.Guards(col("m") <= 1073741824L,
+              lit(4L) * col("m") * col("se") - col("sd2"),
+              lit(
+                "[modularity] edge count exceeds 2^30: 4m^2 would overflow")).as("q_num"),
             (lit(4L) * col("m") * col("m")).as("q_den"))
       },
       Some(s"""
@@ -1561,14 +1555,13 @@ object AnalysisQueries {
             sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("c_cnt"))
           .select(col("n"), col("b_cnt"), col("c_cnt"),
             when(col("b_cnt") + col("c_cnt") === 0L, 0L)
-              .when(col("b_cnt") + col("c_cnt") > 3000000000L,
-                raise_error(lit("[mcnemar] b+c exceeds 3e9: the staged floor-div " +
-                  "intermediate (r·d) would overflow — rescale the pair counts"))
-                  .cast(LongType))
-              .otherwise(
+              .otherwise(graft.operators.Guards(
+                col("b_cnt") + col("c_cnt") <= 3000000000L,
                 abs(col("b_cnt") - col("c_cnt")) *
                   expr("(1000 * abs(b_cnt - c_cnt)) div (b_cnt + c_cnt)") +
-                expr("((1000 * abs(b_cnt - c_cnt)) % (b_cnt + c_cnt)) * abs(b_cnt - c_cnt) div (b_cnt + c_cnt)"))
+                expr("((1000 * abs(b_cnt - c_cnt)) % (b_cnt + c_cnt)) * abs(b_cnt - c_cnt) div (b_cnt + c_cnt)"),
+                "[mcnemar] b+c exceeds 3e9: the staged floor-div " +
+                  "intermediate (r·d) would overflow — rescale the pair counts"))
               .as("x2_milli"))
       },
       Some("""

@@ -801,13 +801,11 @@ object CurationQueries {
             sum(col("y") * col("y")).as("sy2"))
           .select(
             col("g"), col("n"),
-            when(
-              col("sx2") <= expr(s"${k62}L div n") && col("sy2") <= expr(s"${k62}L div n"),
-              col("n") * col("sxy") - col("sx") * col("sy"))
-              .otherwise(raise_error(concat(
+            graft.operators.Guards(col("sx2") <= expr(s"${k62}L div n") && col("sy2") <= expr(s"${k62}L div n"),
+              col("n") * col("sxy") - col("sx") * col("sy"),
+              concat(
                 lit("[lag-autocorr] co-moment overflow for group "), col("g"),
                 lit(": rescale the value unit (n*max(sum x^2, sum y^2) must stay < 2^62)")))
-                .cast(LongType))
               .as("cov_num"),
             (col("n") * col("sx2") - col("sx") * col("sx")).as("varx_num"),
             (col("n") * col("sy2") - col("sy") * col("sy")).as("vary_num"))
@@ -969,13 +967,12 @@ object CurationQueries {
         val kb = Long.MaxValue / 4000000L
         tot.join(samp, "seg")
           .select(col("seg"), col("n_true"), col("k"),
-            when(
-              abs(col("bal_s")) <= expr(s"${kb}L div n_true") &&
+            graft.operators.Guards(abs(col("bal_s")) <= expr(s"${kb}L div n_true") &&
                 abs(col("bal_true")) <= expr(s"${kb}L div k"),
-              col("bal_s") * col("n_true"))
-              .otherwise(raise_error(concat(
+              col("bal_s") * col("n_true"),
+              concat(
                 lit("[ht-estimate] balance*count product out of range for stratum "),
-                col("seg"), lit(": rescale the unit"))).cast(LongType))
+                col("seg"), lit(": rescale the unit")))
               .as("ht_num"),
             col("k").as("ht_den"), col("bal_true"),
             expr("""abs(1000000 * (bal_s * n_true - bal_true * k))

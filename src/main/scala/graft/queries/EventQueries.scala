@@ -494,14 +494,12 @@ object EventQueries {
           .agg(count(lit(1)).as("n"), sum("x").as("sn"))
         cum.join(tot, "g")
           .select(col("g"), col("n"), col("d"),
-            when(
-              abs(col("sk")) <= expr(s"${k62}L div n") &&
+            graft.operators.Guards(abs(col("sk")) <= expr(s"${k62}L div n") &&
                 abs(col("sn")) <= expr(s"${k62}L div n"),
-              abs(col("n") * col("sk") - col("k") * col("sn")))
-              .otherwise(raise_error(concat(
+              abs(col("n") * col("sk") - col("k") * col("sn")),
+              concat(
                 lit("[cusum] cleared product overflow for series "), col("g"),
                 lit(": rescale the value unit (n*max|S_k| must stay < 2^62)")))
-                .cast(LongType))
               .as("diff"))
           .groupBy("g", "n")
           .agg(max(struct(col("diff"), (-col("d")).as("neg"))).as("m"))
@@ -564,13 +562,11 @@ object EventQueries {
             sum(col("rb") * col("rb")).as("sy2"))
           .select(
             col("ga"), col("gb"), col("n"),
-            when(
-              col("sx2") <= expr(s"${k62}L div n") && col("sy2") <= expr(s"${k62}L div n"),
-              col("n") * col("sxy") - col("sx") * col("sy"))
-              .otherwise(raise_error(concat(
+            graft.operators.Guards(col("sx2") <= expr(s"${k62}L div n") && col("sy2") <= expr(s"${k62}L div n"),
+              col("n") * col("sxy") - col("sx") * col("sy"),
+              concat(
                 lit("[spearman] co-moment overflow for pair ("), col("ga"), lit(", "),
                 col("gb"), lit("): n*max(sum ra^2, sum rb^2) must stay < 2^62")))
-                .cast(LongType))
               .as("cov_num"),
             (col("n") * col("sx2") - col("sx") * col("sx")).as("varx_num"),
             (col("n") * col("sy2") - col("sy") * col("sy")).as("vary_num"))
@@ -621,11 +617,10 @@ object EventQueries {
         val nPer = daily.groupBy("g").agg(count(lit(1)).as("n"))
         val guarded = daily.join(nPer, "g")
           .select(col("g"), col("d"), col("x"),
-            when(col("n") <= 65536L, col("n"))
-              .otherwise(raise_error(concat(
+            graft.operators.Guards(col("n") <= 65536L, col("n"),
+              concat(
                 lit("[mann-kendall] series "), col("g"),
                 lit(" has too many points to pair exactly (> 65536): pre-bin to weeks")))
-                .cast(LongType))
               .as("n"))
         val sStat = guarded.as("a")
           .join(guarded.as("b"), col("a.g") === col("b.g") && col("b.d") > col("a.d"))
@@ -680,13 +675,12 @@ object EventQueries {
           .select(col("g"),
             (col("x2") - col("x")).as("dx"), (col("d2") - col("d")).as("dd"))
           .select(col("g"),
-            when(abs(col("dx")) < lit(C) &&
+            graft.operators.Guards(abs(col("dx")) < lit(C) &&
                 lit(C) * col("dd") + abs(col("dx")) <= lit(maxShift),
-              expr(s"((dx + ${C}L * dd) * 1000000L) div dd"))
-              .otherwise(raise_error(concat(
+              expr(s"((dx + ${C}L * dd) * 1000000L) div dd"),
+              concat(
                 lit("[theil-sen] slope key out of the exact fixed-point range for series "),
                 col("g"), lit(": rescale the value unit or shorten the window")))
-                .cast(LongType))
               .as("key"))
         val m = pairs.groupBy("g").agg(count(lit(1)).as("n_pairs"))
           .withColumn("k", expr("(n_pairs + 1) div 2"))
@@ -957,12 +951,11 @@ object EventQueries {
           .agg(count(lit(1)).as("n"), sum("c").as("sc"),
             sum(col("c") * col("c")).as("sc2"))
           .select(col("g"), col("n"),
-            when(col("sc2") <= expr(s"${k62}L div n"),
-              col("n") * col("sc2") - col("sc") * col("sc"))
-              .otherwise(raise_error(concat(
+            graft.operators.Guards(col("sc2") <= expr(s"${k62}L div n"),
+              col("n") * col("sc2") - col("sc") * col("sc"),
+              concat(
                 lit("[fano] co-moment overflow for series "), col("g"),
                 lit(": n * sum(c^2) must stay < 2^62 — pre-bin to coarser intervals")))
-                .cast(LongType))
               .as("f_num"),
             ((col("n") - 1L) * col("sc")).as("f_den"))
           .orderBy("g")

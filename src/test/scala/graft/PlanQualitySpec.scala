@@ -361,6 +361,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!ns.linesIterator.exists(l =>
       l.contains("windowspecdefinition") && l.contains("md5")),
       s"q242 grew a raw-row hash-rank window:\n$ns")
+    // q243: the KN model is pure partial-agg'd counts + BY-TYPE equi
+    // joins + a 1-row broadcast — no window over anything, no cartesian
+    // of two unbounded sides.
+    val kn = plan("q243_kn_bigram_xent")
+    assert(!kn.contains("Window"), s"q243 grew a window:\n$kn")
+    assert(!kn.contains("CartesianProduct"), s"q243 went cartesian:\n$kn")
+    assert(kn.contains("partial_"), s"q243 is not partial-agg'd:\n$kn")
     val edges = spark.range(200).selectExpr("id % 20 as src", "100 + id % 13 as dst")
     val hub = edges.selectExpr("src", "cast(1000000 as bigint) as s").distinct()
     val round = edges.join(hub, "src")
