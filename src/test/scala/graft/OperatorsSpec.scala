@@ -707,13 +707,19 @@ class OperatorsSpec extends SparkSpec {
     val df = rows.toDF("st", "y", "k")
     def rows6(r: org.apache.spark.sql.DataFrame) =
       r.as[(String, Long, Long, Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
-    // bottomKCap = 0 forces the 100 TB hash-threshold path at this tiny
+    // bottomKCap = 0 forces the 100 TB hash-threshold path at any
     // budget; the two membership paths must pick the SAME sample (both
-    // are "alloc_h smallest (hash60, key) per stratum")
-    val viaBottomK = rows6(Stratified.neymanSample(df, col("st"), col("y"), col("k"), 120))
-    val viaThreshold = rows6(
-      Stratified.neymanSample(df, col("st"), col("y"), col("k"), 120, bottomKCap = 0))
-    assert(viaBottomK == viaThreshold, s"membership paths diverged:\n$viaBottomK\n$viaThreshold")
+    // are "alloc_h smallest (hash60, key) per stratum") across budgets
+    // that exercise saturation (tiny stratum drained), sparse draws and
+    // near-full coverage
+    for (budget <- Seq(7, 120, 500)) {
+      val viaBottomK = rows6(
+        Stratified.neymanSample(df, col("st"), col("y"), col("k"), budget))
+      val viaThreshold = rows6(
+        Stratified.neymanSample(df, col("st"), col("y"), col("k"), budget, bottomKCap = 0))
+      assert(viaBottomK == viaThreshold,
+        s"membership paths diverged at budget=$budget:\n$viaBottomK\n$viaThreshold")
+    }
     // negative y refuses loudly (Spark div truncates toward zero where
     // DuckDB // floors — a negative stratum sum silently diverges)
     val neg = intercept[Exception] {
