@@ -368,6 +368,8 @@ class PlanQualitySpec extends SparkSpec {
     assert(!kn.contains("Window"), s"q243 grew a window:\n$kn")
     assert(!kn.contains("CartesianProduct"), s"q243 went cartesian:\n$kn")
     assert(kn.contains("partial_"), s"q243 is not partial-agg'd:\n$kn")
+    assert(kn.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q243 reads more than (doc_id, text) from the documents scan:\n$kn")
     val edges = spark.range(200).selectExpr("id % 20 as src", "100 + id % 13 as dst")
     val hub = edges.selectExpr("src", "cast(1000000 as bigint) as s").distinct()
     val round = edges.join(hub, "src")
