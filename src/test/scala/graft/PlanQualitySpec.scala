@@ -368,8 +368,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(!kn.contains("Window"), s"q243 grew a window:\n$kn")
     assert(!kn.contains("CartesianProduct"), s"q243 went cartesian:\n$kn")
     assert(kn.contains("partial_"), s"q243 is not partial-agg'd:\n$kn")
-    assert(kn.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      s"q243 reads more than (doc_id, text) from the documents scan:\n$kn")
+    // column pruning: the documents scan must read (doc_id, text) only.
+    // The scan sits under a persistOnce subtree, so if another suite in
+    // the shared session ran q243 first, CacheManager substitutes an
+    // InMemoryRelation — look THROUGH it (the q128/q129 posture).
+    val knQe = QueryRegistry.byName("q243_kn_bigram_xent").run(spark, dir).queryExecution
+    val knCached = knQe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        r.cachedPlan.toString
+    }.mkString("\n")
+    val knScans = kn + "\n" + knCached
+    assert(knScans.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q243 reads more than (doc_id, text) from the documents scan:\n$knScans")
     val edges = spark.range(200).selectExpr("id % 20 as src", "100 + id % 13 as dst")
     val hub = edges.selectExpr("src", "cast(1000000 as bigint) as s").distinct()
     val round = edges.join(hub, "src")
