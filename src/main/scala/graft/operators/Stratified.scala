@@ -33,7 +33,10 @@ import org.apache.spark.sql.functions._
   *    (no redistribution — a stratum smaller than its Neyman share
   *    simply saturates; callers with many tiny strata should raise the
   *    budget or pre-merge strata); both products n_h·S_h and
-  *    budget·w_h carry division-only in-plan overflow guards;
+  *    budget·w_h carry division-only in-plan overflow guards, and the
+  *    weight total Σw is summed in DECIMAL(38,0) with a guarded cast
+  *    back to long (per-stratum w is bounded, the cross-strata sum is
+  *    not — an int64 sum could wrap);
   *  - membership = the alloc_h smallest rows of each stratum under
   *    (hash60("strat:" + key), key) — same deterministic-sample posture
   *    as B57's negative sampling.
@@ -56,7 +59,11 @@ import org.apache.spark.sql.functions._
   *    sample: membership is exact iff ≥ alloc_h rows survived (every
   *    survivor hashes strictly below every dropped row), enforced
   *    in-plan with a loud refusal on the astronomically-unlucky
-  *    undersample (Chernoff: mean 2·alloc + 64 vs need alloc).
+  *    undersample (Chernoff: mean 2·alloc + 64 vs need alloc). The
+  *    survivor counts are aggregated FROM the allocation side (left
+  *    join), so even a stratum with ZERO survivors — which has no row
+  *    for a survivors-only groupBy to emit — hits the refusal instead
+  *    of surfacing as a silent NULL sample mean.
   *
   * Scale shape: two partial-agg'd passes for the moments (the stratum
   * dictionary broadcasts back), bounded-frame apportionment windows
@@ -78,9 +85,14 @@ object Stratified {
 
   /** `bottomKCap` picks the membership path (see object doc); exposed
     * package-private so the spec can force the hash-threshold path at
-    * small budgets and pin the two paths row-identical. */
+    * small budgets and pin the two paths row-identical. `overfetchSlack`
+    * is the +64 constant in the hash-threshold overfetch t_h ≈
+    * (2·alloc_h + slack)/n_h — spec-injectable (a negative slack forces
+    * thr ≤ 0, i.e. a zero-survivor stratum) so the undersample refusal
+    * is pinnable; production always uses 64. */
   private[graft] def neymanSample(df: DataFrame, stratum: Column, y: Column,
-      key: Column, budget: Int, bottomKCap: Int): DataFrame = {
+      key: Column, budget: Int, bottomKCap: Int,
+      overfetchSlack: Int = 64): DataFrame = {
     require(budget >= 1 && budget <= 100000000,
       s"Stratified.neymanSample wants budget in [1, 10^8], got $budget")
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
@@ -138,10 +150,23 @@ object Stratified {
             lit(" Neyman weight n_h*sd = "), col("n_h").cast("string"),
             lit("*"), col("sd").cast("string"),
             lit(s" would overflow budget*w (budget=$budget) - rescale y"))))
-    // largest-remainder apportionment of the budget over w_h (q166)
+    // largest-remainder apportionment of the budget over w_h (q166).
+    // tw = Σw is summed in DECIMAL(38,0): each w is bounded at
+    // (2^63−1)/budget but the SUM across strata is not — several strata
+    // near the cap would wrap an int64 sum into either a spurious
+    // zero-spread refusal (negative wrap) or silently wrong
+    // largest-remainder quotas (positive wrap). The decimal sum is exact
+    // up to 10^38 and the cast back to long is guarded.
     val agg = graft.operators.BoundedWindow.aggregated(sd, "per-stratum weights")
-    val tw = agg.agg(sum("w").as("tw"))
+    val tw = agg.agg(sum(col("w").cast("decimal(38,0)")).as("twd"))
     val base = agg.crossJoin(broadcast(tw))
+      .withColumn("tw",
+        Guards(col("twd") <= lit(M).cast("decimal(38,0)"),
+          col("twd").cast("long"),
+          Guards.msg("stratified",
+            lit("total Neyman weight sum(n_h*sd) = "), col("twd").cast("string"),
+            lit(" overflows int64 - rescale y to a coarser grid or "),
+            lit("pre-merge strata"))))
       .withColumn("base",
         Guards(col("tw") > 0L, expr(s"($budget * w) div tw"),
           lit("[stratified] every stratum has zero spread - Neyman weights are " +
@@ -175,31 +200,42 @@ object Stratified {
             least(col("alloc"), size(col("bk")).cast("long")).as("scnt"))
       } else {
         // two-pass hash-threshold: keep rows hashing under
-        // t_h ≈ (2·alloc+64)/n_h of the 2^60 space, rank the O(alloc)
+        // t_h ≈ (2·alloc+slack)/n_h of the 2^60 space, rank the O(alloc)
         // survivors per stratum, and PROVE no undersample in-plan
         val full = 1L << 60
-        val thr = alloc.select(col("st"), col("alloc"), col("n_h").as("nh"))
-          .withColumn("thr",
-            when(lit(2L) * col("alloc") + 64L >= col("nh"), lit(full))
-              .otherwise(expr(s"(${full}L div nh) * (2L * alloc + 64L)")))
+        val thr = graft.Q.persistOnce(
+          alloc.select(col("st"), col("alloc"), col("n_h").as("nh"))
+            .withColumn("thr",
+              when(lit(2L) * col("alloc") + overfetchSlack.toLong >= col("nh"), lit(full))
+                .otherwise(expr(s"${full}L div nh") *
+                  greatest(lit(0L), lit(2L) * col("alloc") + lit(overfetchSlack.toLong)))))
         val hwin = Window.partitionBy("st").orderBy(col("h"), col("k"))
-        rows.withColumn("h", h)
+        val surv = rows.withColumn("h", h)
           .join(broadcast(thr), "st")
           .filter(col("h") < col("thr"))
           .withColumn("hrk", row_number().over(hwin))
           .groupBy("st")
           .agg(
             sum(when(col("hrk") <= col("alloc"), col("y")).otherwise(0L)).as("ssum0"),
-            sum(when(col("hrk") <= col("alloc"), 1L).otherwise(0L)).as("scnt"),
-            count(lit(1)).as("cntf"), first("alloc").as("al"))
+            sum(when(col("hrk") <= col("alloc"), 1L).otherwise(0L)).as("scnt0"),
+            count(lit(1)).as("cntf"))
+        // aggregate FROM the allocation side: a stratum whose rows all
+        // hash at or above t_h has no survivor row at all, so a
+        // survivors-only groupBy would skip the undersample guard and the
+        // final left join would emit samp_mean NULL silently. The guard
+        // rides scnt, which the final projection consumes UNCONDITIONALLY
+        // (inside the when-condition's coalesce), so it cannot be skipped
+        // by lazy branch evaluation either.
+        thr.join(surv, Seq("st"), "left")
           .select(col("st"),
-            Guards(col("cntf") >= col("al"), col("ssum0"),
+            coalesce(col("ssum0"), lit(0L)).as("ssum"),
+            Guards(coalesce(col("cntf"), lit(0L)) >= col("alloc"),
+              coalesce(col("scnt0"), lit(0L)),
               Guards.msg("stratified",
                 lit("hash-threshold undersampled stratum "), col("st").cast("string"),
-                lit(": kept "), col("cntf").cast("string"),
-                lit(" rows for an allocation of "), col("al").cast("string"),
-                lit(" - raise the overfetch slack"))).as("ssum"),
-            col("scnt"))
+                lit(": kept "), coalesce(col("cntf"), lit(0L)).cast("string"),
+                lit(" rows for an allocation of "), col("alloc").cast("string"),
+                lit(" - raise the overfetch slack"))).as("scnt"))
       }
     alloc.join(samp, Seq("st"), "left")
       .select(col("st").as("stratum"), col("n_h"), col("sd"), col("alloc"),

@@ -720,6 +720,17 @@ class OperatorsSpec extends SparkSpec {
       assert(viaBottomK == viaThreshold,
         s"membership paths diverged at budget=$budget:\n$viaBottomK\n$viaThreshold")
     }
+    // a ZERO-survivor stratum must hit the undersample refusal, not a
+    // silent NULL samp_mean: a negative overfetch slack forces thr ≤ 0
+    // for every stratum (no row hashes below it), so the guard can only
+    // fire if the counts aggregate from the allocation side — a
+    // survivors-only groupBy has no row to guard (the r12 ADVICE gap)
+    val zero = intercept[Exception] {
+      Stratified.neymanSample(df, col("st"), col("y"), col("k"), 10,
+        bottomKCap = 0, overfetchSlack = -1000).collect()
+    }
+    assert(chain(zero).contains("undersampled"), chain(zero))
+    assert(chain(zero).contains("kept 0 rows"), chain(zero))
     // negative y refuses loudly (Spark div truncates toward zero where
     // DuckDB // floors — a negative stratum sum silently diverges)
     val neg = intercept[Exception] {
