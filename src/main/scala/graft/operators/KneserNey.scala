@@ -27,7 +27,11 @@ import org.apache.spark.sql.functions._
   * integers; the ONE float step is q120's: each bigram's
   * floor(−ln(num/den)·10^6) lands on the integer micronat grid BEFORE
   * the per-doc sum, so totals are order-independent and immune to
-  * float-sum wobble. Overflow: num ≤ 7·B·c(v) < 2·den, so the single
+  * float-sum wobble — and the floor itself is CERTIFIED in-plan via
+  * [[Guards.lnMicronatFloor]], which refuses loudly when the scaled
+  * log sits within the cross-engine ulp bound of a grid boundary (the
+  * 1-ulp libm ln skew that could silently flip a floor at 10⁹+ bigram
+  * types). Overflow: num ≤ 7·B·c(v) < 2·den, so the single
   * in-plan bound c(v) ≤ (2^63−1 div 8) div B covers every product
   * ([[Guards]] — refuses loudly, never wraps).
   *
@@ -47,8 +51,9 @@ import org.apache.spark.sql.functions._
   */
 object KneserNey {
   /** Adjacent-pair structs from an already-projected tokens column;
-    * `ts` bound once (see TextAnalysis.shinglesFromTokens). */
-  private def bigramsFromTokens(ts: Column): Column =
+    * `ts` bound once (see TextAnalysis.shinglesFromTokens).
+    * Package-private: tools.FloatMargin rebuilds the model grid. */
+  private[graft] def bigramsFromTokens(ts: Column): Column =
     flatten(transform(array(ts), arr =>
       when(size(arr) >= 2,
         transform(sequence(lit(1), size(arr) - 1),
@@ -68,6 +73,13 @@ object KneserNey {
     val ctx = bc.groupBy("v").agg(sum("c_vw").as("c_v"), count(lit(1)).as("n1p_v"))
     val cont = bc.groupBy("w").agg(count(lit(1)).as("n1p_w"))
     val bt = bc.agg(count(lit(1)).as("b"))
+    // num/den of the KN probability; the micronat floor is taken through
+    // Guards.lnMicronatFloor, which also certifies the floor's
+    // cross-engine stability in-plan (refuses on boundary-adjacent
+    // values — the one residual float channel r12 left open)
+    val num = col("b") * (lit(4L) * col("c_vw") - 3L) +
+      lit(3L) * col("n1p_v") * col("n1p_w")
+    val den = lit(4L) * col("b") * col("c_v")
     tfb
       .join(bc, Seq("v", "w"))
       .join(ctx, Seq("v"))
@@ -76,10 +88,7 @@ object KneserNey {
       .withColumn("nll_micro",
         Guards(
           col("c_v") <= expr(s"${Long.MaxValue / 8L}L div b"),
-          floor(-log(
-            (col("b") * (lit(4L) * col("c_vw") - 3L) +
-              lit(3L) * col("n1p_v") * col("n1p_w")).cast("double") /
-            (lit(4L) * col("b") * col("c_v")).cast("double")) * 1e6) * col("c_doc"),
+          Guards.lnMicronatFloor(num, den, "knbigram") * col("c_doc"),
           Guards.msg("knbigram",
             lit("context count c(v)="), col("c_v").cast("string"),
             lit(" with "), col("b").cast("string"),

@@ -32,10 +32,18 @@ object RangeJoin {
   /** Floor division that is negative-safe and exact for |c| < 2^53
     * (c - posMod is an exact multiple of w, so the one double division
     * is representation-exact within that domain — epoch days/seconds/
-    * millis all qualify). */
+    * millis all qualify). The 2^53 domain is ENFORCED in-plan, not
+    * assumed: an epoch-MICROS caller (~1.7e18) would silently misbucket
+    * otherwise — the r12 Column./ lesson as a guard instead of a doc
+    * line. */
   private def floorDiv(c: Column, w: Long): Column = {
     val posMod = ((c % w) + w) % w
-    ((c - posMod) / w).cast("long")
+    Guards(abs(c) <= lit(1L << 53),
+      ((c - posMod) / w).cast("long"), // float-ok: exact multiple of w below 2^53, proven by the guard
+      Guards.msg("rangejoin",
+        lit("bucket input "), c.cast("string"),
+        lit(" exceeds 2^53 - the double floor division is no longer "),
+        lit("exact; rescale the interval unit (e.g. micros -> millis)")))
   }
 
   /** Overlap-join `left` and `right` on closed intervals

@@ -115,6 +115,19 @@ object Sampling {
     * draw that is a pure function of (seed, id, w). Shared by
     * [[weightedBottomK]] and its streaming twin
     * (StreamingJobs.samplerWeightedBottomK) so both rank identical keys.
+    *
+    * Cross-engine float posture (the measured counterpart of
+    * Guards.lnMicronatFloor's in-plan certificate — an ordering key has
+    * no single column for a boundary guard to ride, the boundary is
+    * BETWEEN rows): a rank flips only if two keys sit within the ~1-ulp
+    * (≈1e-16 relative) libm ln skew of each other. Measured minimum
+    * relative gap between rank-ADJACENT keys (graft.tools.FloatMargin):
+    * q147's global ranking 3.4e-5 at sf0.01 / 6.5e-9 at sf0.1, q151's
+    * per-language rankings 6.4e-5 / 8.2e-8 — ≥ 7 orders of magnitude of
+    * headroom over the wobble, over EVERY adjacent pair (the oracle
+    * only compares the top-k, whose gaps are far wider than the bulk
+    * minimum). Birthday arithmetic says the headroom shrinks ~linearly
+    * in corpus size, still ≥ 4 orders at 10^4× the measured scale.
     * (h + 1) adds as INTEGER first, then one cast: 2^60 > 2^53, so
     * cast-then-add would round differently than add-then-cast, and the
     * oracle must replay the exact same order of operations. Dividing by

@@ -780,7 +780,7 @@ object TextQueries {
             explode(sequence(lit(1), n, lit(24))).as("st"))
           .select(
             col("doc_id"),
-            ((col("st") - 1) / 24).cast(IntegerType).as("chunk_idx"),
+            expr("CAST((st - 1) DIV 24 AS INT)").as("chunk_idx"),
             least(lit(32), col("n_tokens") - col("st") + 1).as("chunk_tokens"),
             md5(array_join(slice(col("ts"), col("st"), lit(32)), " ")).as("chunk_md5"))
           .orderBy("doc_id", "chunk_idx")
@@ -909,8 +909,10 @@ object TextQueries {
     // side is 1 row per term, so a hot stop-word cannot blow up the
     // join), and a final per-doc sum. Each term's nats are floored to
     // integer micronats BEFORE the per-doc sum, so the total is an
-    // order-independent integer — immune to float sum-order wobble and
-    // to the 1-ulp ln() disagreement between the engines' libm.
+    // order-independent integer — immune to float sum-order wobble —
+    // and the floor itself is certified in-plan (Guards.lnMicronatFloor
+    // refuses loudly on boundary-adjacent values, where the 1-ulp ln()
+    // disagreement between the engines' libm could flip it).
     Q(
       "q120_unigram_xent",
       (s, dir) => {
@@ -923,7 +925,7 @@ object TextQueries {
           .crossJoin(broadcast(total))
           .withColumn(
             "nll_micro",
-            floor(-log(col("cf").cast(DoubleType) / col("total").cast(DoubleType)) * 1e6) * col("c"))
+            graft.operators.Guards.lnMicronatFloor(col("cf"), col("total"), "q120") * col("c"))
           .groupBy("doc_id")
           .agg(sum("c").as("n_tokens"), sum("nll_micro").as("sum_micronats"))
           .withColumn("xent_micronats", expr("sum_micronats DIV n_tokens"))

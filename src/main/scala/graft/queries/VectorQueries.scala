@@ -579,7 +579,7 @@ object VectorQueries {
         // so n = count(codes) / m — no second scan for the total).
         val cr = v.select(explode(Similarity.pqEncode(col("v"), books)).as("c"))
           .agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
-            (count(lit(1)) / lit(m)).cast("long").as("n")).head()
+            expr(s"count(1) div $m").as("n")).head()
         val codesInRange = cr.getInt(0) >= 0 && cr.getInt(1) < ksub
         val nVectors = cr.getLong(2)
         val approx = Similarity.annPq(v, "vec_id", "v", query, k, books)

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dev measurement for the engine's two residual float channels, run at
+  * sf0.01 and sf0.1 and cited in the scaladocs that own each posture:
+  *
+  *  1. the −ln micronat floors (q120 unigram / q243 Kneser–Ney grids) —
+  *     minimum distance of the scaled log to its floor boundary, and
+  *     that distance as a multiple of Guards.lnMicronatFloor's refusal
+  *     threshold (|s|·4e-15 + 1e-12). A margin ≫ 1 means the in-plan
+  *     guard is pure insurance on the real corpora;
+  *  2. the Efraimidis–Spirakis order keys (q147/q151) — minimum
+  *     relative gap between ADJACENT keys in each ranking, i.e. how far
+  *     the ordering is from a cross-engine 1-ulp ln wobble flipping a
+  *     rank. Gaps ~1e-3 vs wobble ~1e-16 is 13 orders of headroom.
+  *
+  * Prints one JSON line per sf dir. Not a driver surface — a committed,
+  * reproducible measurement (the r12 verdict's "pinned measurement"
+  * alternative for the ordering keys, where an in-plan boundary guard
+  * has no single column to ride: the boundary is BETWEEN rows).
+  */
+object FloatMargin {
+  private val RelEps = 4e-15
+  private val AbsEps = 1e-12
+
+  /** (min boundary distance, min distance/threshold) over num/den rows. */
+  private def boundary(nd: DataFrame): (Double, Double) = {
+    val s = -log(col("num").cast("double") / col("den").cast("double")) * lit(1e6)
+    val dist = abs(s - rint(s))
+    val thr = abs(s) * lit(RelEps) + lit(AbsEps)
+    val r = nd.filter(col("num") =!= col("den"))
+      .select(min(dist).as("d"), min(dist / thr).as("m")).head
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  /** Min relative gap between rank-adjacent keys (columns: grp?, ky). */
+  private def minGap(keyed: DataFrame, grouped: Boolean): Double = {
+    val w = if (grouped) Window.partitionBy("grp").orderBy("ky")
+            else Window.partitionBy(lit(1)).orderBy("ky")
+    keyed.withColumn("prev", lag("ky", 1).over(w))
+      .filter(col("prev").isNotNull && col("ky") =!= col("prev"))
+      .select(min((col("ky") - col("prev")) /
+        greatest(abs(col("ky")), abs(col("prev")))).as("g"))
+      .head.getDouble(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+               else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master(
+        s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.functions.GraftFunctions.tokens
+
+    for (dir <- dirs) {
+      val docs = graft.Tables.documents(spark, dir)
+
+      // q120 grid: one (cf, total) ratio per distinct term
+      val vocab = docs.select(explode(tokens(col("text"))).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("num"))
+      val total = vocab.agg(sum("num").as("den"))
+      val (d120, m120) = boundary(vocab.crossJoin(broadcast(total)))
+
+      // q243 grid: one KN num/den per distinct bigram type (the same
+      // count algebra as operators.KneserNey.bigramScore)
+      val big = docs.select(explode(graft.operators.KneserNey.bigramsFromTokens(
+          tokens(lower(col("text"))))).as("bg"))
+        .select(col("bg.v").as("v"), col("bg.w").as("w"))
+      val bc = big.groupBy("v", "w").agg(count(lit(1)).as("c_vw"))
+      val ctx = bc.groupBy("v").agg(sum("c_vw").as("c_v"), count(lit(1)).as("n1p_v"))
+      val cont = bc.groupBy("w").agg(count(lit(1)).as("n1p_w"))
+      val bt = bc.agg(count(lit(1)).as("b"))
+      val knGrid = bc.join(ctx, "v").join(cont, "w").crossJoin(broadcast(bt))
+        .select(
+          (col("b") * (lit(4L) * col("c_vw") - 3L) +
+            lit(3L) * col("n1p_v") * col("n1p_w")).as("num"),
+          (lit(4L) * col("b") * col("c_v")).as("den"))
+      val (d243, m243) = boundary(knGrid)
+
+      // q147 keys: global ES ranking with the ppm source weights
+      val perSrc = docs
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .groupBy("source").agg(sum("n_tokens").as("src_tokens"))
+      val nSrc = perSrc.select(count(lit(1)).as("n_src"), sum("src_tokens").as("total_tokens"))
+      val wppm = perSrc.crossJoin(broadcast(nSrc))
+        .select(col("source"),
+          expr("(total_tokens * 1000000) DIV (n_src * src_tokens)").as("weight_ppm"))
+      val k147 = docs.select(col("doc_id"), col("source"))
+        .join(broadcast(wppm), "source")
+        .filter(col("weight_ppm") > 0)
+        .select(graft.operators.Sampling.esKey("s147", col("doc_id"),
+          col("weight_ppm").cast("double") / 1000000.0).as("ky"))
+      val g147 = minGap(k147, grouped = false)
+
+      // q151 keys: per-language ES ranking weighted by doc length
+      val k151 = docs
+        .filter(col("n_chars").cast("double") / 1000.0 > 0)
+        .select(col("lang").as("grp"),
+          graft.operators.Sampling.esKey("s151", col("doc_id"),
+            col("n_chars").cast("double") / 1000.0).as("ky"))
+      val g151 = minGap(k151, grouped = true)
+
+      println(s"""{"dir":"$dir","q120_min_boundary_dist":$d120,"q120_margin_x":$m120,""" +
+        s""""q243_min_boundary_dist":$d243,"q243_margin_x":$m243,""" +
+        s""""q147_min_rel_key_gap":$g147,"q151_min_rel_key_gap":$g151}""")
+    }
+    spark.stop()
+  }
+}

@@ -48,4 +48,40 @@ class GuardsSpec extends SparkSpec {
       .as[Long].collect()
     assert(out.length == 5, s"region rows: ${out.length}")
   }
+
+  test("lnMicronatFloor: boundary-adjacent values refuse loudly; num=den is exact 0; passed floors match the raw formula") {
+    import spark.implicits._
+    def chain(t: Throwable): String = if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    // widened eps (absEps = 0.6 > the max possible 0.5 distance to the
+    // grid): EVERY off-grid value is "boundary-adjacent" and must refuse
+    // with the tagged message — constructing a genuine sub-4e-15 case
+    // would need a 10^14-point search, so the spec pins the refusal path
+    // through the injectable threshold instead
+    val off = Seq((3L, 7L)).toDF("num", "den")
+    val err = intercept[Exception] {
+      off.select(Guards.lnMicronatFloor(col("num"), col("den"), "ln-spec",
+        relEps = 0.0, absEps = 0.6).as("v")).collect()
+    }
+    assert(chain(err).contains("[ln-spec]"), chain(err).take(300))
+    assert(chain(err).contains("floor boundary"), chain(err).take(300))
+    // num = den is whitelisted even under the widened eps: ln(1) = 0 is
+    // EXACT in every IEEE libm, so s = 0 is boundary-exact, not adjacent
+    val one = Seq((7L, 7L)).toDF("num", "den")
+      .select(Guards.lnMicronatFloor(col("num"), col("den"), "ln-spec",
+        relEps = 0.0, absEps = 0.6).as("v"))
+      .as[Long].collect()
+    assert(one.toSeq == Seq(0L))
+    // default eps: the guard is pure insurance on ordinary ratios — the
+    // passed floors equal the raw formula replayed driver-side
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(200)((rnd.nextLong(1000000L) + 1L, rnd.nextLong(1000000L) + 1L))
+    val got = pairs.toDF("num", "den")
+      .select(col("num"), col("den"),
+        Guards.lnMicronatFloor(col("num"), col("den"), "ln-spec").as("v"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for ((n, d) <- pairs) {
+      val want = math.floor(-math.log(n.toDouble / d.toDouble) * 1e6).toLong
+      assert(got((n, d)) == want, s"floor($n/$d): ${got((n, d))} != $want")
+    }
+  }
 }
