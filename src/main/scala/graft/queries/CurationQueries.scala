@@ -1176,6 +1176,53 @@ object CurationQueries {
                sy // n_h AS full_mean,
                CASE WHEN scnt > 0 THEN ssum // scnt END AS samp_mean
         FROM al LEFT JOIN samp ON samp.st = al.st
-        ORDER BY stratum"""))
+        ORDER BY stratum""")),
+
+    // B136: DSIR hashed-bigram importance resampling (Xie et al. 2023) —
+    // sample documents TOWARD a target domain (lang = 'en' here): two
+    // 4096-bucket hashed-bigram LMs (target slice vs raw corpus), per-doc
+    // log weight lw = Σ_b c_doc(b)·Δ(b) on the certified micronat grid
+    // (difference-of-floors, no cross products — operators/Dsir.scala),
+    // then the B59 exponential race in LOG space (exp(lw) would overflow
+    // a double at +710 nats). The drawn 25 skew heavily 'en' (19/25 at
+    // sf0.01 vs a 218/500 base rate) — the importance tilt made visible.
+    // Oracle replays hash, counts, floors and race verbatim; ranks
+    // absorb the ln wobble per the measured q147 contract (FloatMargin).
+    Q(
+      "q245_dsir_resample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        graft.operators.Dsir.resample(docs, "doc_id", "text",
+            col("lang") === "en", buckets = 4096, k = 25,
+            ngramSeed = "dsir", drawSeed = "s245")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("lw_micro"), col("rk"))
+          .orderBy("rk")
+      },
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ts
+                      FROM documents),
+        idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+        big AS (SELECT doc_id,
+                       ('0x' || substr(md5('dsir:' || ts[i] || ' ' || ts[i+1]), 1, 15))::BIGINT % 4096 AS b
+                FROM idx),
+        db AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c_doc FROM big GROUP BY 1, 2),
+        raw AS (SELECT b, CAST(SUM(c_doc) AS BIGINT) AS c_r FROM db GROUP BY 1),
+        tgt AS (SELECT b, CAST(SUM(c_doc) AS BIGINT) AS c_t
+                FROM db JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+        nr AS (SELECT CAST(SUM(c_r) AS BIGINT) AS n_r FROM raw),
+        nt AS (SELECT CAST(COALESCE(SUM(c_t), 0) AS BIGINT) AS n_t FROM tgt),
+        m AS (SELECT r.b,
+                     CAST(floor(-ln(CAST(r.c_r + 1 AS DOUBLE) / CAST(n_r + 4096 AS DOUBLE)) * 1e6) AS BIGINT)
+                   - CAST(floor(-ln(CAST(COALESCE(t.c_t, 0) + 1 AS DOUBLE) / CAST(n_t + 4096 AS DOUBLE)) * 1e6) AS BIGINT) AS dlt
+              FROM raw r LEFT JOIN tgt t USING (b), nr, nt),
+        lw AS (SELECT doc_id, CAST(SUM(c_doc * dlt) AS BIGINT) AS lw_micro FROM db JOIN m USING (b) GROUP BY 1),
+        keyed AS (SELECT doc_id, lw_micro,
+                         ln(-ln(CAST(('0x' || substr(md5('s245:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
+                                / 1152921504606846976.0)) - CAST(lw_micro AS DOUBLE) / 1e6 AS ky
+                  FROM lw),
+        r AS (SELECT doc_id, lw_micro, CAST(ROW_NUMBER() OVER (ORDER BY ky, doc_id) AS INT) AS rk FROM keyed)
+        SELECT r.doc_id, d.lang, r.lw_micro, r.rk
+        FROM r JOIN documents d USING (doc_id) WHERE rk <= 25 ORDER BY rk"""))
   )
 }

@@ -970,6 +970,68 @@ object EventQueries {
               FROM daily GROUP BY 1)
         SELECT g, n, CAST(n*sc2 - sc*sc AS BIGINT) AS f_num,
                CAST((n-1)*sc AS BIGINT) AS f_den
-        FROM m ORDER BY g"""))
+        FROM m ORDER BY g""")),
+
+    // B135: sequential-pattern mining (GSP/PrefixSpan family) — q200's
+    // documented follow-up: which event ORDERINGS recur, gaps allowed,
+    // not just contiguous trigrams. Sequences are user-weeks (a journey
+    // horizon with ~15 events — long enough for 3-step orderings to
+    // discriminate, bounded enough that one sequence is never a corpus);
+    // support = sequences containing the pattern as a subsequence,
+    // minsup = 50% of sequences, maxLen 4. At that bar level 3 is
+    // PARTIALLY pruned at every SF (apriori visibly at work: 56/39
+    // of 125 survive at sf0.001/sf0.01) and level 4 dies. The oracle
+    // unrolls the levels as CTEs verbatim — pure integer counting.
+    Q(
+      "q244_seq_patterns",
+      (s, dir) => {
+        val wk = expr("datediff(to_date(ts), date'1970-01-01') div 7")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("sid").orderBy("ts", "event_id")
+        val ev = Tables.events(s, dir)
+          .select(
+            concat(col("user_id").cast("string"), lit(":"), wk.cast("string")).as("sid"),
+            col("ts"), col("event_id"), col("event_type").as("e"))
+          .withColumn("pos", row_number().over(w))
+          .select("sid", "e", "pos")
+        graft.operators.PrefixSpan.frequentPatterns(ev, minSupportPct = 50, maxLen = 4)
+          .orderBy(col("support").desc, col("pattern"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT CAST(user_id AS VARCHAR) || ':' ||
+                 CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS VARCHAR) AS sid,
+                 event_type AS e, ts, event_id
+          FROM events),
+        ev1 AS (SELECT sid, e,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, event_id) AS BIGINT) AS pos
+                FROM seq),
+        ms AS (SELECT (COUNT(DISTINCT sid) * 50 + 99) // 100 AS minsup FROM ev1),
+        f1 AS (SELECT e FROM ev1, ms GROUP BY e, minsup HAVING COUNT(DISTINCT sid) >= minsup),
+        evf AS (SELECT v.* FROM ev1 v JOIN f1 USING (e)),
+        occ1 AS (SELECT sid, e AS pat, MIN(pos) AS epos FROM evf GROUP BY 1, 2),
+        s1 AS (SELECT pat, CAST(COUNT(*) AS BIGINT) AS support FROM occ1, ms
+               GROUP BY pat, minsup HAVING COUNT(*) >= minsup),
+        o1 AS (SELECT o.* FROM occ1 o JOIN s1 USING (pat)),
+        c2 AS (SELECT o.sid, o.pat || '>' || v.e AS pat, MIN(v.pos) AS epos
+               FROM o1 o JOIN evf v ON v.sid = o.sid AND v.pos > o.epos GROUP BY 1, 2),
+        s2 AS (SELECT pat, CAST(COUNT(*) AS BIGINT) AS support FROM c2, ms
+               GROUP BY pat, minsup HAVING COUNT(*) >= minsup),
+        o2 AS (SELECT c.* FROM c2 c JOIN s2 USING (pat)),
+        c3 AS (SELECT o.sid, o.pat || '>' || v.e AS pat, MIN(v.pos) AS epos
+               FROM o2 o JOIN evf v ON v.sid = o.sid AND v.pos > o.epos GROUP BY 1, 2),
+        s3 AS (SELECT pat, CAST(COUNT(*) AS BIGINT) AS support FROM c3, ms
+               GROUP BY pat, minsup HAVING COUNT(*) >= minsup),
+        o3 AS (SELECT c.* FROM c3 c JOIN s3 USING (pat)),
+        c4 AS (SELECT o.sid, o.pat || '>' || v.e AS pat, MIN(v.pos) AS epos
+               FROM o3 o JOIN evf v ON v.sid = o.sid AND v.pos > o.epos GROUP BY 1, 2),
+        s4 AS (SELECT pat, CAST(COUNT(*) AS BIGINT) AS support FROM c4, ms
+               GROUP BY pat, minsup HAVING COUNT(*) >= minsup),
+        allp AS (SELECT pat, 1 AS len, support FROM s1 UNION ALL
+                 SELECT pat, 2, support FROM s2 UNION ALL
+                 SELECT pat, 3, support FROM s3 UNION ALL
+                 SELECT pat, 4, support FROM s4)
+        SELECT pat AS pattern, len, support
+        FROM allp ORDER BY support DESC, pattern"""))
   )
 }

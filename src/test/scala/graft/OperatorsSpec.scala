@@ -886,4 +886,58 @@ class OperatorsSpec extends SparkSpec {
     assert(d("drift(c~v,249999)") == ((4L, 1L, false)))
     assert(d("drift(c~empty_ref,999999)") == ((4L, 1L, false)))              // empty reference
   }
+
+  test("PrefixSpan.frequentPatterns equals the brute-force subsequence miner (seeded fuzz)") {
+    import graft.operators.PrefixSpan
+    val rnd = new Random(91)
+    val syms = Vector("a", "b", "c", "d")
+    val seqs = (1 to 40).map(i =>
+      i.toString -> Seq.fill(3 + rnd.nextInt(10))(syms(rnd.nextInt(syms.size))))
+    val rows = seqs.flatMap { case (sid, es) =>
+      es.zipWithIndex.map { case (e, p) => (sid, e, (p + 1).toLong) } }
+    val df = rows.toDF("sid", "e", "pos")
+    val got = PrefixSpan.frequentPatterns(df, minSupportPct = 30, maxLen = 4)
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // ground truth: every DISTINCT subsequence (gaps free, order kept)
+    // of length <= 4 per sequence, counted once per supporting sequence
+    def subs(es: Seq[String]): Set[List[String]] = {
+      val out = scala.collection.mutable.Set[List[String]]()
+      def go(start: Int, acc: List[String]): Unit = {
+        if (acc.nonEmpty) out += acc.reverse
+        if (acc.length == 4) return
+        for (i <- start until es.length) go(i + 1, es(i) :: acc)
+      }
+      go(0, Nil)
+      out.toSet
+    }
+    val minsup = (seqs.size * 30 + 99) / 100
+    val counts = scala.collection.mutable.Map[List[String], Long]()
+    for ((_, es) <- seqs; p <- subs(es)) counts(p) = counts.getOrElse(p, 0L) + 1L
+    val want = counts.toMap.filter(_._2 >= minsup)
+      .map { case (p, c) => (p.mkString(">"), p.length) -> c }
+    assert(got == want,
+      s"pattern sets diverge: got ${got.size}, want ${want.size}; " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}, missing=${(want.keySet -- got.keySet).take(5)}")
+  }
+
+  test("Dsir: target-like docs out-weigh off-target docs; resample is deterministic with rk 1..k") {
+    import graft.operators.Dsir
+    // target slice speaks 'x y'-family bigrams; doc 100 repeats them,
+    // doc 200 shares none — lw(100) must exceed lw(200)
+    val docs = (
+      (1L to 20L).map(i => (i, "x y x y x y z w", true)) ++
+      Seq((100L, "x y x y x y x y", false), (200L, "q r s t q r s t", false))
+    ).toDF("doc_id", "text", "tgt")
+    val lw = Dsir.logImportanceMicronats(docs, "doc_id", "text", col("tgt"), 256, "dspec")
+      .as[(Long, Long)].collect().toMap
+    assert(lw(100L) > lw(200L), s"lw(100)=${lw(100L)} !> lw(200)=${lw(200L)}")
+    val s1 = Dsir.resample(docs, "doc_id", "text", col("tgt"), 256, 5, "dspec", "draw")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    val s2 = Dsir.resample(docs, "doc_id", "text", col("tgt"), 256, 5, "dspec", "draw")
+      .as[(Long, Long, Int)].collect().sortBy(_._3).toSeq
+    assert(s1 == s2, "resample is not deterministic")
+    assert(s1.map(_._3) == (1 to 5), s"ranks: ${s1.map(_._3)}")
+    assert(s1.map(_._1).distinct.size == 5)
+  }
 }
