@@ -7,11 +7,40 @@ package graft
 class PlanQualitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  /** The '== Final Plan ==' sections of every cached subtree the plan
+    * references (one nesting level of cache-inside-cache included).
+    * Shared-session suites can substitute an InMemoryRelation under any
+    * persistOnce subtree (the documented suite race): a pin that greps
+    * only the outer plan either loses its positive witness or silently
+    * passes a negative one. An AQE cachedPlan prints '== Initial Plan =='
+    * too — keep the final section only, or pre-AQE nodes (e.g. an SMJ
+    * that AQE turned into a broadcast) false-trip negative pins.
+    * Extracted from the hand-rolled q128/q129 and q243 walks (the r12
+    * flake class) so the next pin cannot re-invent it wrong. */
+  private def cachedFinalText(
+      qe: org.apache.spark.sql.execution.QueryExecution): String = {
+    def finalSection(t: String): String = t.indexOf("== Initial Plan ==") match {
+      case -1 => t
+      case i  => t.substring(0, i)
+    }
+    qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+        val nested = r.cachedPlan.collect {
+          case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            finalSection(s.relation.cachedPlan.toString)
+        }
+        (finalSection(r.cachedPlan.toString) +: nested).mkString("\n")
+    }.mkString("\n")
+  }
+
+  /** Formatted + executed plan text PLUS [[cachedFinalText]], so every
+    * pin sees the plan that actually runs in ANY suite order. */
   private def plan(name: String): String = {
     val qe = QueryRegistry.byName(name).run(spark, dir).queryExecution
     // formatted mode prints PushedFilters/ReadSchema untruncated
     qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted")) +
-      "\n" + qe.executedPlan.toString
+      "\n" + qe.executedPlan.toString + "\n" + cachedFinalText(qe)
   }
 
   test("q02: predicates push into the parquet scan") {
@@ -121,25 +150,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(pMerge.contains("LeftAnti"), s"merge kept-rows path is not an anti join:\n$pMerge")
     assert(!pMerge.contains("CartesianProduct"), s"merge went cartesian:\n$pMerge")
     val diffQe = QueryRegistry.byName("q129_snapshot_diff").run(spark, dir).queryExecution
-    // The diff subtree is persisted (MaintenanceQueries persistOnce), so if
-    // another suite in the shared session executed q129 first (RegistrySpec's
-    // sweep), CacheManager substitutes an InMemoryRelation here. That is the
-    // warm-session production plan, not a regression — the pin must look
-    // THROUGH the cache at the plan that was cached.
+    // The diff subtree is persisted (MaintenanceQueries persistOnce) —
+    // count the full-outer in the logical plan AND in the cached-final
+    // text (cachedFinalText: the centralized suite-race look-through).
     val fullOuters = diffQe.optimizedPlan.collect {
       case j: org.apache.spark.sql.catalyst.plans.logical.Join
           if j.joinType == org.apache.spark.sql.catalyst.plans.FullOuter => j
     }
-    val cachedText = diffQe.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        // An AQE cachedPlan prints BOTH '== Final Plan ==' and '== Initial
-        // Plan ==' sections; count joins in the final section only.
-        val t = r.cachedPlan.toString
-        t.indexOf("== Initial Plan ==") match {
-          case -1 => t
-          case i  => t.substring(0, i)
-        }
-    }.mkString("\n")
+    val cachedText = cachedFinalText(diffQe)
     val nFullOuter = fullOuters.size + "FullOuter".r.findAllIn(cachedText).length
     assert(nFullOuter === 1, s"diff must be ONE full-outer join:\n${diffQe.optimizedPlan}")
     val physText = diffQe.executedPlan.toString + "\n" + cachedText
@@ -368,24 +386,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!kn.contains("Window"), s"q243 grew a window:\n$kn")
     assert(!kn.contains("CartesianProduct"), s"q243 went cartesian:\n$kn")
     assert(kn.contains("partial_"), s"q243 is not partial-agg'd:\n$kn")
-    // column pruning: the documents scan must read (doc_id, text) only.
-    // The scan sits under a persistOnce subtree, so if another suite in
-    // the shared session ran q243 first, CacheManager substitutes an
-    // InMemoryRelation — look THROUGH it (the q128/q129 posture).
-    val knQe = QueryRegistry.byName("q243_kn_bigram_xent").run(spark, dir).queryExecution
-    val knCached = knQe.optimizedPlan.collect {
-      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
-        r.cachedPlan.toString
-    }.mkString("\n")
-    val knScans = kn + "\n" + knCached
-    assert(knScans.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
-      s"q243 reads more than (doc_id, text) from the documents scan:\n$knScans")
+    // column pruning: the documents scan must read (doc_id, text) only —
+    // plan() already looks through any persistOnce cache substitution.
+    assert(kn.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"q243 reads more than (doc_id, text) from the documents scan:\n$kn")
     val edges = spark.range(200).selectExpr("id % 20 as src", "100 + id % 13 as dst")
     val hub = edges.selectExpr("src", "cast(1000000 as bigint) as s").distinct()
     val round = edges.join(hub, "src")
       .groupBy("dst").agg(org.apache.spark.sql.functions.sum("s").as("raw"))
     val rp = round.queryExecution.executedPlan.toString
     assert(rp.contains("partial_sum"), s"HITS half-round sum not partial-agg'd:\n$rp")
+  }
+
+  test("r13 wing: PrefixSpan joins stay sid-keyed equi, DSIR models broadcast") {
+    // q244: every loop join keys on sid (equi — no cartesian, no nested
+    // loop over two unbounded sides), occurrence/support aggregates are
+    // partial-agg'd, and the minsup threshold attaches as a 1-row
+    // broadcast (BroadcastNestedLoopJoin is the bounded crossJoin form).
+    val ps = plan("q244_seq_patterns")
+    assert(!ps.contains("CartesianProduct"), s"q244 went cartesian:\n$ps")
+    assert(ps.contains("partial_count") || ps.contains("partial_min"),
+      s"q244 occurrence counts not partial-agg'd:\n$ps")
+    assert(ps.contains("hashpartitioning(sid"),
+      s"q244 lost its sid-keyed exchange:\n$ps")
+    // q245: the bucket LMs join back as BROADCASTS (<= 4096 rows each),
+    // the per-(doc,bucket) count is the one corpus-scale partial agg, and
+    // the draw is the native bottom-k (partial-agg'd, O(k) per map task).
+    val ds = plan("q245_dsir_resample")
+    assert(!ds.contains("CartesianProduct"), s"q245 went cartesian:\n$ds")
+    assert(ds.contains("BroadcastHashJoin"), s"q245 bucket model not broadcast:\n$ds")
+    assert(ds.contains("partial_count"), s"q245 bucket counts not partial-agg'd:\n$ds")
+    assert(ds.contains("graft_bottom_k"), s"q245 draw lost the native bottom-k:\n$ds")
   }
 
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
