@@ -96,7 +96,11 @@ object ScaleBench {
     "q234_ppjoin_exact", "q239_hits", "q242_neyman_stratified",
     // r12: the KN bigram model's corpus-scale (doc,v,w) count and
     // type-table join-backs — a new join shape, measured from day one
-    "q243_kn_bigram_xent")
+    "q243_kn_bigram_xent",
+    // r13: the PrefixSpan level-loop (sid-keyed occurrence x event join
+    // per level) and the DSIR bucket-LM count + broadcast join-back —
+    // both new shapes, measured from day one
+    "q244_seq_patterns", "q245_dsir_resample")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
