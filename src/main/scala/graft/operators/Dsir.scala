@@ -32,8 +32,11 @@ import org.apache.spark.sql.functions._
   * key = ln(−ln u) − lw/10⁶ with u the hash60 uniform ranks IDENTICALLY
   * to esKey with w = exp(lw/10⁶) (ln is monotone) but never evaluates
   * the exp — a +50-nat document would overflow a double weight. Rank
-  * comparisons absorb the libm ln wobble per the measured q147 contract
-  * (tools.FloatMargin; gaps ≥ 7 orders above 1 ulp).
+  * comparisons absorb the libm ln wobble per the measured q147 contract:
+  * tools.FloatMargin measures THIS operator's channels directly — grid
+  * boundary distances ≥ 8.9e-4 (≥ 3.2e4× the lnMicronatFloor refusal
+  * threshold) and adjacent-key gaps 5.2e-5 at sf0.01 / 4.0e-8 at sf0.1,
+  * ≥ 7 orders above the 1-ulp wobble.
   *
   * Scale shape: corpus-scale work is ONE (doc, bucket) partial-agg'd
   * count; both LMs are ≤ `buckets`-row aggregates of it joined back as

@@ -47,9 +47,11 @@ object PrefixSpan {
       s"PrefixSpan wants maxLen in [1, 6] (the pattern grid is O(|items|^maxLen)), got $maxLen")
     val rows = graft.Q.persistOnce(
       ev.select(col("sid"), col("e"), col("pos").cast("long").as("pos")))
-    // minsup rides a 1-row broadcast into every support filter
-    val ms = rows.agg(
-      expr(s"(count(distinct sid) * $minSupportPct + 99) div 100").as("minsup"))
+    // minsup rides a 1-row broadcast into every support filter; persist
+    // it — each of the maxLen+1 broadcast references would otherwise
+    // re-run the corpus-scale distinct-count
+    val ms = graft.Q.persistOnce(rows.agg(
+      expr(s"(count(distinct sid) * $minSupportPct + 99) div 100").as("minsup")))
     val f1 = rows.groupBy("e").agg(countDistinct("sid").as("n1"))
       .crossJoin(broadcast(ms)).filter(col("n1") >= col("minsup")).select("e")
     val evf = graft.Q.persistOnce(rows.join(broadcast(f1), "e")

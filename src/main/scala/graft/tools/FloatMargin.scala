@@ -107,9 +107,44 @@ object FloatMargin {
             col("n_chars").cast("double") / 1000.0).as("ky"))
       val g151 = minGap(k151, grouped = true)
 
+      // q245 grids + keys: the DSIR bucket LMs take 2·K lnMicronatFloor
+      // floors (both smoothed ratios per bucket), and the draw ranks by
+      // ln(−ln u) − lw/10⁶ — measure both channels like q120/q147
+      val dsirBig = docs.select(col("doc_id"), col("lang"),
+          explode(graft.operators.KneserNey.bigramsFromTokens(
+            tokens(lower(col("text"))))).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          (graft.functions.GraftFunctions.hash60("dsir",
+            concat(col("bg.v"), lit(" "), col("bg.w"))) % 4096L).as("b"))
+      val ddb = dsirBig.groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c_doc"))
+      val draw = ddb.groupBy("b").agg(sum("c_doc").as("c_r"))
+      val dtgt = ddb.filter(col("lang") === "en").groupBy("b").agg(sum("c_doc").as("c_t"))
+      val dnr = draw.agg(sum("c_r").as("n_r"))
+      val dnt = dtgt.agg(coalesce(sum("c_t"), lit(0L)).as("n_t"))
+      val grids = draw.crossJoin(broadcast(dnr))
+        .select((col("c_r") + 1L).as("num"), (col("n_r") + 4096L).as("den"))
+        .unionAll(dtgt.crossJoin(broadcast(dnt))
+          .select((col("c_t") + 1L).as("num"), (col("n_t") + 4096L).as("den")))
+      val (d245, m245) = boundary(grids)
+      val model = draw.join(dtgt, Seq("b"), "left")
+        .crossJoin(broadcast(dnr)).crossJoin(broadcast(dnt))
+        .select(col("b"),
+          (graft.operators.Guards.lnMicronatFloor(
+              col("c_r") + 1L, col("n_r") + 4096L, "fm") -
+            graft.operators.Guards.lnMicronatFloor(
+              coalesce(col("c_t"), lit(0L)) + 1L, col("n_t") + 4096L, "fm")).as("dlt"))
+      val k245 = ddb.join(broadcast(model), "b")
+        .groupBy("doc_id").agg(sum(col("c_doc") * col("dlt")).as("lw"))
+        .select((log(-log((graft.functions.GraftFunctions.hash60("s245", col("doc_id"))
+            + lit(1L)).cast("double") / lit((1L << 60).toDouble)))
+          - col("lw").cast("double") / lit(1e6)).as("ky"))
+      val g245 = minGap(k245, grouped = false)
+
       println(s"""{"dir":"$dir","q120_min_boundary_dist":$d120,"q120_margin_x":$m120,""" +
         s""""q243_min_boundary_dist":$d243,"q243_margin_x":$m243,""" +
-        s""""q147_min_rel_key_gap":$g147,"q151_min_rel_key_gap":$g151}""")
+        s""""q245_min_boundary_dist":$d245,"q245_margin_x":$m245,""" +
+        s""""q147_min_rel_key_gap":$g147,"q151_min_rel_key_gap":$g151,""" +
+        s""""q245_min_rel_key_gap":$g245}""")
     }
     spark.stop()
   }
