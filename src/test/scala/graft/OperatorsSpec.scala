@@ -921,6 +921,37 @@ class OperatorsSpec extends SparkSpec {
         s"extra=${(got.keySet -- want.keySet).take(5)}, missing=${(want.keySet -- got.keySet).take(5)}")
   }
 
+  test("PrefixSpan edges: identical-symbol sequences, apriori cut, 100% minsup") {
+    import graft.operators.PrefixSpan
+    // 3 sequences of 'a' with lengths 4/2/1: pattern a^k is supported by
+    // exactly the sequences of length >= k
+    val rows = (1 to 4).map(p => ("s1", "a", p.toLong)) ++
+      (1 to 2).map(p => ("s2", "a", p.toLong)) ++ Seq(("s3", "a", 1L))
+    val df = rows.toDF("sid", "e", "pos")
+    // minsup = ceil(34% of 3) = 2: a (3), a>a (2) pass; a>a>a has
+    // support 1 — pruned, and apriori must not even grow a^4 from it
+    val got = PrefixSpan.frequentPatterns(df, 34, 4)
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(got == Map("a" -> 3L, "a>a" -> 2L), got.toString)
+    // 100% minsup keeps only patterns present in EVERY sequence
+    val all = PrefixSpan.frequentPatterns(df, 100, 4)
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(all == Map("a" -> 3L), all.toString)
+  }
+
+  test("Dsir: an empty target slice degrades to the uniform target LM — defined and deterministic") {
+    import graft.operators.Dsir
+    val docs = Seq((1L, "a b c", false), (2L, "a b a b", false), (3L, "z", false))
+      .toDF("doc_id", "text", "tgt")
+    val lw1 = Dsir.logImportanceMicronats(docs, "doc_id", "text", col("tgt"), 64, "es")
+      .as[(Long, Long)].collect().toMap
+    val lw2 = Dsir.logImportanceMicronats(docs, "doc_id", "text", col("tgt"), 64, "es")
+      .as[(Long, Long)].collect().toMap
+    // doc 3 has < 2 tokens -> no bigrams -> excluded by contract
+    assert(lw1.keySet == Set(1L, 2L), lw1.toString)
+    assert(lw1 == lw2, "empty-target weights are not deterministic")
+  }
+
   test("Dsir: target-like docs out-weigh off-target docs; resample is deterministic with rk 1..k") {
     import graft.operators.Dsir
     // target slice speaks 'x y'-family bigrams; doc 100 repeats them,

@@ -417,6 +417,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(ds.contains("BroadcastHashJoin"), s"q245 bucket model not broadcast:\n$ds")
     assert(ds.contains("partial_count"), s"q245 bucket counts not partial-agg'd:\n$ds")
     assert(ds.contains("graft_bottom_k"), s"q245 draw lost the native bottom-k:\n$ds")
+    // column pruning, pinned drift-proof (negative form — the events ts
+    // encoding varies across driver testdata regens, so a full
+    // ReadSchema equality would flake on the next drift): q244 must not
+    // drag the unused events payload columns to the scan, q245 must not
+    // read documents columns beyond (doc_id, text, lang).
+    assert(!ps.contains("props") && !ps.contains("value:double"),
+      s"q244 reads unused events columns:\n$ps")
+    assert(!ds.contains("n_chars") && !ds.contains("source"),
+      s"q245 reads unused documents columns:\n$ds")
   }
 
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
