@@ -1032,6 +1032,69 @@ object EventQueries {
                  SELECT pat, 3, support FROM s3 UNION ALL
                  SELECT pat, 4, support FROM s4)
         SELECT pat AS pattern, len, support
+        FROM allp ORDER BY support DESC, pattern""")),
+
+    // B137: GAP-CONSTRAINED sequential patterns — q244's orderings with
+    // a contiguity bound (consecutive items within 3 positions):
+    // funnel-like near-adjacent paths, not anywhere-in-the-journey. The
+    // earliest-occurrence trick q244 rides is provably NOT exact under a
+    // gap bound ('a..ab' at gap 1: the first 'a' reaches nothing, the
+    // second reaches 'b'), so this tier carries the full occurrence
+    // end-position list and counts DISTINCT sequences — the oracle
+    // replays exactly that. minsup 25%: level 3 partially prunes at
+    // sf0.01 (124/125) and level 4 is all but dead — both the gap
+    // constraint and apriori visibly at work.
+    Q(
+      "q246_seq_patterns_gap",
+      (s, dir) => {
+        val wk = expr("datediff(to_date(ts), date'1970-01-01') div 7")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("sid").orderBy("ts", "event_id")
+        val ev = Tables.events(s, dir)
+          .select(
+            concat(col("user_id").cast("string"), lit(":"), wk.cast("string")).as("sid"),
+            col("ts"), col("event_id"), col("event_type").as("e"))
+          .withColumn("pos", row_number().over(w))
+          .select("sid", "e", "pos")
+        graft.operators.PrefixSpan.frequentPatternsMaxGap(
+            ev, minSupportPct = 25, maxLen = 4, maxGap = 3)
+          .orderBy(col("support").desc, col("pattern"))
+      },
+      Some("""
+        WITH seq AS (
+          SELECT CAST(user_id AS VARCHAR) || ':' ||
+                 CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS VARCHAR) AS sid,
+                 event_type AS e, ts, event_id
+          FROM events),
+        ev1 AS (SELECT sid, e,
+                       CAST(ROW_NUMBER() OVER (PARTITION BY sid ORDER BY ts, event_id) AS BIGINT) AS pos
+                FROM seq),
+        ms AS (SELECT (COUNT(DISTINCT sid) * 25 + 99) // 100 AS minsup FROM ev1),
+        f1 AS (SELECT e FROM ev1, ms GROUP BY e, minsup HAVING COUNT(DISTINCT sid) >= minsup),
+        evf AS (SELECT v.* FROM ev1 v JOIN f1 USING (e)),
+        occ1 AS (SELECT DISTINCT sid, e AS pat, pos FROM evf),
+        s1 AS (SELECT pat, CAST(COUNT(DISTINCT sid) AS BIGINT) AS support FROM occ1, ms
+               GROUP BY pat, minsup HAVING COUNT(DISTINCT sid) >= minsup),
+        o1 AS (SELECT o.* FROM occ1 o JOIN s1 USING (pat)),
+        c2 AS (SELECT DISTINCT o.sid, o.pat || '>' || v.e AS pat, v.pos
+               FROM o1 o JOIN evf v ON v.sid = o.sid AND v.pos > o.pos AND v.pos <= o.pos + 3),
+        s2 AS (SELECT pat, CAST(COUNT(DISTINCT sid) AS BIGINT) AS support FROM c2, ms
+               GROUP BY pat, minsup HAVING COUNT(DISTINCT sid) >= minsup),
+        o2 AS (SELECT c.* FROM c2 c JOIN s2 USING (pat)),
+        c3 AS (SELECT DISTINCT o.sid, o.pat || '>' || v.e AS pat, v.pos
+               FROM o2 o JOIN evf v ON v.sid = o.sid AND v.pos > o.pos AND v.pos <= o.pos + 3),
+        s3 AS (SELECT pat, CAST(COUNT(DISTINCT sid) AS BIGINT) AS support FROM c3, ms
+               GROUP BY pat, minsup HAVING COUNT(DISTINCT sid) >= minsup),
+        o3 AS (SELECT c.* FROM c3 c JOIN s3 USING (pat)),
+        c4 AS (SELECT DISTINCT o.sid, o.pat || '>' || v.e AS pat, v.pos
+               FROM o3 o JOIN evf v ON v.sid = o.sid AND v.pos > o.pos AND v.pos <= o.pos + 3),
+        s4 AS (SELECT pat, CAST(COUNT(DISTINCT sid) AS BIGINT) AS support FROM c4, ms
+               GROUP BY pat, minsup HAVING COUNT(DISTINCT sid) >= minsup),
+        allp AS (SELECT pat, 1 AS len, support FROM s1 UNION ALL
+                 SELECT pat, 2, support FROM s2 UNION ALL
+                 SELECT pat, 3, support FROM s3 UNION ALL
+                 SELECT pat, 4, support FROM s4)
+        SELECT pat AS pattern, len, support
         FROM allp ORDER BY support DESC, pattern"""))
   )
 }

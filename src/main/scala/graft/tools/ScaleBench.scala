@@ -98,9 +98,10 @@ object ScaleBench {
     // type-table join-backs — a new join shape, measured from day one
     "q243_kn_bigram_xent",
     // r13: the PrefixSpan level-loop (sid-keyed occurrence x event join
-    // per level) and the DSIR bucket-LM count + broadcast join-back —
-    // both new shapes, measured from day one
-    "q244_seq_patterns", "q245_dsir_resample")
+    // per level), the DSIR bucket-LM count + broadcast join-back, and
+    // the gap-constrained occurrence-list tier (x-maxGap fanout per
+    // level) — all new shapes, measured from day one
+    "q244_seq_patterns", "q245_dsir_resample", "q246_seq_patterns_gap")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

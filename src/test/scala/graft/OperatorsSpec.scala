@@ -921,6 +921,49 @@ class OperatorsSpec extends SparkSpec {
         s"extra=${(got.keySet -- want.keySet).take(5)}, missing=${(want.keySet -- got.keySet).take(5)}")
   }
 
+  test("PrefixSpan.frequentPatternsMaxGap equals the gap-aware brute force; greedy would be wrong") {
+    import graft.operators.PrefixSpan
+    val rnd = new Random(17)
+    val syms = Vector("a", "b", "c", "d")
+    val seqs = (1 to 30).map(i =>
+      i.toString -> Seq.fill(4 + rnd.nextInt(10))(syms(rnd.nextInt(syms.size))))
+    val rows = seqs.flatMap { case (sid, es) =>
+      es.zipWithIndex.map { case (e, p) => (sid, e, (p + 1).toLong) } }
+    val g = 2
+    val got = PrefixSpan.frequentPatternsMaxGap(rows.toDF("sid", "e", "pos"),
+        minSupportPct = 20, maxLen = 4, maxGap = g)
+      .as[(String, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // ground truth: distinct subsequences whose consecutive picks sit
+    // within g positions
+    def subsGap(es: Seq[String]): Set[List[String]] = {
+      val out = scala.collection.mutable.Set[List[String]]()
+      def go(prev: Int, acc: List[String]): Unit = {
+        if (acc.length == 4) return
+        val idx = if (acc.isEmpty) es.indices
+                  else (prev + 1) to math.min(es.length - 1, prev + g)
+        for (i <- idx) { val a2 = es(i) :: acc; out += a2.reverse; go(i, a2) }
+      }
+      go(-1, Nil)
+      out.toSet
+    }
+    val minsup = (seqs.size * 20 + 99) / 100
+    val counts = scala.collection.mutable.Map[List[String], Long]()
+    for ((_, es) <- seqs; p <- subsGap(es)) counts(p) = counts.getOrElse(p, 0L) + 1L
+    val want = counts.toMap.filter(_._2 >= minsup)
+      .map { case (p, c) => (p.mkString(">"), p.length) -> c }
+    assert(got == want,
+      s"gap pattern sets diverge: got ${got.size}, want ${want.size}; " +
+        s"extra=${(got.keySet -- want.keySet).take(5)}, missing=${(want.keySet -- got.keySet).take(5)}")
+    // the case that BREAKS earliest-occurrence greedy matching under a
+    // gap bound: in a . . a b at maxGap 1, the earliest 'a' reaches
+    // nothing, the later 'a' reaches 'b' — a>b must still be found
+    val tricky = Seq(("t", "a", 1L), ("t", "c", 2L), ("t", "c", 3L),
+      ("t", "a", 4L), ("t", "b", 5L)).toDF("sid", "e", "pos")
+    val tp = PrefixSpan.frequentPatternsMaxGap(tricky, 100, 2, maxGap = 1)
+      .as[(String, Int, Long)].collect().map(_._1).toSet
+    assert(tp.contains("a>b"), s"greedy-style miss: $tp")
+  }
+
   test("PrefixSpan edges: identical-symbol sequences, apriori cut, 100% minsup") {
     import graft.operators.PrefixSpan
     // 3 sequences of 'a' with lengths 4/2/1: pattern a^k is supported by

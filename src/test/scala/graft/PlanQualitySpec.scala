@@ -426,6 +426,14 @@ class PlanQualitySpec extends SparkSpec {
       s"q244 reads unused events columns:\n$ps")
     assert(!ds.contains("n_chars") && !ds.contains("source"),
       s"q245 reads unused documents columns:\n$ds")
+    // q246: same loop contract as q244 on the occurrence-LIST frame —
+    // sid-keyed equi joins only, distinct/support aggregates partial'd
+    val pg = plan("q246_seq_patterns_gap")
+    assert(!pg.contains("CartesianProduct"), s"q246 went cartesian:\n$pg")
+    assert(pg.contains("hashpartitioning(sid"),
+      s"q246 lost its sid-keyed exchange:\n$pg")
+    assert(!pg.contains("props") && !pg.contains("value:double"),
+      s"q246 reads unused events columns:\n$pg")
   }
 
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
