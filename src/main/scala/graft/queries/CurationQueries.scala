@@ -1223,6 +1223,139 @@ object CurationQueries {
                   FROM lw),
         r AS (SELECT doc_id, lw_micro, CAST(ROW_NUMBER() OVER (ORDER BY ky, doc_id) AS INT) AS rk FROM keyed)
         SELECT r.doc_id, d.lang, r.lw_micro, r.rk
-        FROM r JOIN documents d USING (doc_id) WHERE rk <= 25 ORDER BY rk"""))
+        FROM r JOIN documents d USING (doc_id) WHERE rk <= 25 ORDER BY rk""")),
+
+    // B138: weighted single-source shortest paths (bounded-hop
+    // Bellman–Ford, operators/Sssp) — the weighted completion of q162's
+    // BFS: not "how many legs to reach nation X" but "at what minimum
+    // total cost within 3 legs", over the same shipping graph with edge
+    // weight = the lightest single shipment ever sent on that lane
+    // (min l_quantity — integral by data contract, exact in both
+    // engines). Per round ONE frontier-keyed equi-join + a partial-agg'd
+    // min fold over struct(dist, round) (ties keep the earliest round,
+    // so nothing re-enters the frontier); relaxation overflow and
+    // negative weights refuse in-plan via Guards. The oracle unrolls the
+    // identical rounds as CTEs relaxing from ALL nodes — equal to the
+    // frontier form by the delta-relaxation argument documented on the
+    // operator.
+    Q(
+      "q247_sssp_cheapest_route",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .agg(min(col("l_quantity").cast("long")).as("w"))
+        val d = graft.operators.Sssp.distances(edges, src = 0L, rounds = 3)
+        d.join(Tables.nation(s, dir), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("dist"))
+          .orderBy("n_name")
+      },
+      Some {
+        val rounds = (1 to 3).map { r =>
+          s"""d$r AS (SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d${r - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d${r - 1} d JOIN edges e ON e.src = d.node) GROUP BY node)"""
+        }.mkString(",\n")
+        s"""
+        WITH edges AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 MIN(CAST(l.l_quantity AS BIGINT)) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          WHERE s.s_nationkey <> c.c_nationkey
+          GROUP BY 1, 2),
+        d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist),
+        $rounds
+        SELECT n.n_name, d.dist
+        FROM d3 d JOIN nation n ON n.n_nationkey = d.node
+        ORDER BY n.n_name"""
+      }),
+
+    // B139: item-item co-visitation recommender — q136's raw pair counts
+    // normalized into a RANKED neighbor list: for every part, the top-3
+    // co-ordered partners by exact Jaccard over order sets,
+    // jac_ppm = c_xy·10⁶ div (c_x + c_y − c_xy) (pure int64 — the ·10⁶
+    // wrap bound c_xy ≤ 2⁶³/10⁶ ≈ 9.2·10¹² basket-co-occurrences is
+    // enforced in-plan via Guards). Scale discipline in three layers:
+    // a basket-size cap (≤ 10 distinct items) bounds the self-join
+    // fanout per order at scale exactly like the df caps on the text
+    // joins; a minimum-evidence bar c_xy ≥ 2 cuts the pair frame 1.196M
+    // → 3,573 at sf0.1 BEFORE the Jaccard join; and the per-item top-3
+    // is ONE O(items × k) graft_bottom_k aggregate (desc keys, ties to
+    // the smaller partner via ascending payload), never a full window
+    // sort. The oracle is the window-sort formulation.
+    Q(
+      "q248_covisit_topk",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val k6 = Long.MaxValue / 1000000L
+        val li = graft.Q.persistOnce(Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct())
+        val smallBaskets = li.groupBy("ok")
+          .agg(count(lit(1)).as("bs")).filter(col("bs") <= 10).select("ok")
+        val items = graft.Q.persistOnce(li.join(smallBaskets, "ok"))
+        val df = items.groupBy("pk").agg(count(lit(1)).as("c"))
+        val pairs = items.select(col("ok"), col("pk").as("p1"))
+          .join(items.select(col("ok"), col("pk").as("p2")), "ok")
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("cxy"))
+          .filter(col("cxy") >= 2L)
+        val sym = pairs.union(pairs.select(col("p2"), col("p1"), col("cxy")))
+        val jac = sym
+          .join(df.select(col("pk").as("p1"), col("c").as("c1")), "p1")
+          .join(df.select(col("pk").as("p2"), col("c").as("c2")), "p2")
+          // integer div, NOT a double divide (the r12 Winnowing lesson):
+          // cxy·10⁶ reaches 2^53 long before the guard bound, where
+          // Column./'s double division would round across the ppm floor
+          .withColumn("num", col("cxy") * 1000000L)
+          .withColumn("den", col("c1") + col("c2") - col("cxy"))
+          .select(col("p1").as("item"), col("p2").as("rec"), col("cxy"),
+            graft.operators.Guards(col("cxy") <= lit(k6),
+              expr("num div den"),
+              graft.operators.Guards.msg("covisit",
+                lit("pair ("), col("p1").cast("string"), lit(", "),
+                col("p2").cast("string"), lit(") co-occurs "),
+                col("cxy").cast("string"),
+                lit(" times - the x10^6 Jaccard grid wraps past 2^63/10^6; "),
+                lit("coarsen the grid"))).as("jac_ppm"))
+        jac.groupBy(col("item"))
+          .agg(call_function("graft_bottom_k",
+            col("jac_ppm"), struct(col("rec"), col("cxy")), lit(3), lit(true)).as("bk"))
+          .select(col("item"), posexplode(col("bk")).as(Seq("pos", "kv")))
+          .select(col("item"), (col("pos") + 1).cast("int").as("rk"),
+            col("kv.v.rec").as("rec"), col("kv.k").as("jac_ppm"),
+            col("kv.v.cxy").as("n_co"))
+          .orderBy("item", "rk")
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        bs AS (SELECT ok FROM li GROUP BY ok HAVING COUNT(*) <= 10),
+        it AS (SELECT li.ok, li.pk FROM li JOIN bs USING (ok)),
+        df AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM it GROUP BY 1),
+        pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS cxy
+               FROM it a JOIN it b ON a.ok = b.ok AND a.pk < b.pk
+               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        sym AS (SELECT p1, p2, cxy FROM pr UNION ALL SELECT p2 AS p1, p1 AS p2, cxy FROM pr),
+        j AS (SELECT s.p1 AS item, s.p2 AS rec, s.cxy,
+                     s.cxy * 1000000 // (d1.c + d2.c - s.cxy) AS jac_ppm
+              FROM sym s JOIN df d1 ON d1.pk = s.p1 JOIN df d2 ON d2.pk = s.p2),
+        r AS (SELECT item, rec, cxy, jac_ppm,
+                     CAST(ROW_NUMBER() OVER (
+                       PARTITION BY item ORDER BY jac_ppm DESC, rec, cxy) AS INT) AS rk
+              FROM j)
+        SELECT item, rk, rec, jac_ppm, cxy AS n_co
+        FROM r WHERE rk <= 3 ORDER BY item, rk"""))
   )
 }

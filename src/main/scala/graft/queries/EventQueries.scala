@@ -1095,6 +1095,121 @@ object EventQueries {
                  SELECT pat, 3, support FROM s3 UNION ALL
                  SELECT pat, 4, support FROM s4)
         SELECT pat AS pattern, len, support
-        FROM allp ORDER BY support DESC, pattern"""))
+        FROM allp ORDER BY support DESC, pattern""")),
+
+    // B142: frequent itemsets (Apriori) — the SET-shaped sibling of
+    // q244's sequential patterns: which event types co-occur in the same
+    // user-day basket AT ALL, order-free (q244 asks in what ORDER across
+    // a week). Canonical ascending itemset strings grown one element per
+    // level under apriori pruning (extensions only from SUPPORTED
+    // occurrences, item > last — each basket generates each itemset
+    // exactly once); minsup 5% of baskets as a 1-row broadcast. At that
+    // bar level 3 is PARTIALLY pruned where it matters (3/10 survive at
+    // sf0.001, 8/10 at sf0.01) and level 4 dies at every SF — both the
+    // pruning and the bound visibly at work. Oracle unrolls the levels
+    // as CTEs verbatim.
+    Q(
+      "q251_itemsets_apriori",
+      (s, dir) => {
+        val b = Tables.events(s, dir)
+          .select(
+            concat(col("user_id").cast("string"), lit(":"),
+              to_date(col("ts")).cast("string")).as("bid"),
+            col("event_type").as("item"))
+        graft.operators.Apriori.frequentItemsets(b, minSupportPct = 5, maxLen = 4)
+          .orderBy(col("support").desc, col("itemset"))
+      },
+      Some("""
+        WITH b AS (SELECT DISTINCT CAST(user_id AS VARCHAR) || ':' || CAST(CAST(ts AS DATE) AS VARCHAR) AS bid,
+                                   event_type AS item
+                   FROM events),
+        ms AS (SELECT (COUNT(DISTINCT bid) * 5 + 99) // 100 AS minsup FROM b),
+        f1 AS (SELECT item FROM b, ms GROUP BY item, minsup HAVING COUNT(*) >= minsup),
+        bf AS (SELECT b.bid, b.item FROM b JOIN f1 USING (item)),
+        o1 AS (SELECT bid, item AS iset, item AS lst FROM bf),
+        s1 AS (SELECT iset, CAST(COUNT(*) AS BIGINT) AS support FROM o1, ms
+               GROUP BY iset, minsup HAVING COUNT(*) >= minsup),
+        o1f AS (SELECT o.* FROM o1 o JOIN s1 USING (iset)),
+        c2 AS (SELECT o.bid, o.iset || ',' || v.item AS iset, v.item AS lst
+               FROM o1f o JOIN bf v ON v.bid = o.bid AND v.item > o.lst),
+        s2 AS (SELECT iset, CAST(COUNT(*) AS BIGINT) AS support FROM c2, ms
+               GROUP BY iset, minsup HAVING COUNT(*) >= minsup),
+        o2 AS (SELECT c.* FROM c2 c JOIN s2 USING (iset)),
+        c3 AS (SELECT o.bid, o.iset || ',' || v.item AS iset, v.item AS lst
+               FROM o2 o JOIN bf v ON v.bid = o.bid AND v.item > o.lst),
+        s3 AS (SELECT iset, CAST(COUNT(*) AS BIGINT) AS support FROM c3, ms
+               GROUP BY iset, minsup HAVING COUNT(*) >= minsup),
+        o3 AS (SELECT c.* FROM c3 c JOIN s3 USING (iset)),
+        c4 AS (SELECT o.bid, o.iset || ',' || v.item AS iset, v.item AS lst
+               FROM o3 o JOIN bf v ON v.bid = o.bid AND v.item > o.lst),
+        s4 AS (SELECT iset, CAST(COUNT(*) AS BIGINT) AS support FROM c4, ms
+               GROUP BY iset, minsup HAVING COUNT(*) >= minsup),
+        allp AS (SELECT iset, 1 AS len, support FROM s1 UNION ALL
+                 SELECT iset, 2, support FROM s2 UNION ALL
+                 SELECT iset, 3, support FROM s3 UNION ALL
+                 SELECT iset, 4, support FROM s4)
+        SELECT iset AS itemset, len, support
+        FROM allp ORDER BY support DESC, itemset""")),
+
+    // B144: K-step absorption probability (operators/Markov) — the
+    // PREDICTIVE completion of q198's transition matrix: starting from
+    // each state, the probability the journey REACHES 'purchase' within
+    // K = 1..3 steps under the empirical chain, absorbing at the target.
+    // The B52 truncating-grid posture (every division truncates on
+    // non-negative operands in both engines, scores match to the unit;
+    // truncation under-estimates — the conservative side for a
+    // conversion forecast). ONE corpus-scale pair count, then the whole
+    // iteration runs on the |states|²-bounded model frame; grid-wrap and
+    // out-degree domains are Guards-enforced in-plan. Oracle unrolls the
+    // steps as CTEs.
+    Q(
+      "q253_absorb_funnel",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val pairs = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_state", lead(col("event_type"), 1).over(w))
+          .filter(col("to_state").isNotNull)
+          .groupBy(col("event_type").as("from_state"), col("to_state"))
+          .agg(count(lit(1)).as("n"))
+        graft.operators.Markov.absorbWithin(pairs, target = "purchase", steps = 3)
+          .orderBy("k", "state")
+      },
+      Some {
+        val steps = (1 to 3).map { k =>
+          s"""p$k AS (SELECT s.state,
+                 CASE WHEN s.state = 'purchase' THEN CAST(1000000 AS BIGINT)
+                      ELSE COALESCE(x.v, 0) END AS p
+               FROM states s LEFT JOIN (
+                 SELECT t.from_state AS state,
+                        CAST(SUM(t.t * p.p) // 1000000 AS BIGINT) AS v
+                 FROM t JOIN p${k - 1} p ON p.state = t.to_state
+                 GROUP BY 1) x USING (state))"""
+        }.mkString(",\n")
+        val sel = (1 to 3).map(k =>
+          s"SELECT state, $k AS k, CAST(p AS BIGINT) AS p_grid FROM p$k")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH seq AS (SELECT event_type AS from_state,
+                            lead(event_type) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id) AS to_state
+                     FROM events),
+        pairs AS (SELECT from_state, to_state, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        marg AS (SELECT from_state, CAST(SUM(n) AS BIGINT) AS n_from
+                 FROM pairs GROUP BY 1),
+        t AS (SELECT p.from_state, p.to_state,
+                     CAST((p.n * 1000000) // m.n_from AS BIGINT) AS t
+              FROM pairs p JOIN marg m USING (from_state)),
+        states AS (SELECT from_state AS state FROM t
+                   UNION SELECT to_state FROM t),
+        p0 AS (SELECT state,
+                      CASE WHEN state = 'purchase' THEN CAST(1000000 AS BIGINT)
+                           ELSE 0 END AS p
+               FROM states),
+        $steps
+        $sel ORDER BY k, state"""
+      })
   )
 }

@@ -626,6 +626,62 @@ object MaintenanceQueries {
         SELECT 'replica_b', g0, CAST(COUNT(*) AS BIGINT), CAST(bit_xor(h) AS BIGINT),
                CAST(SUM(h % 1000003) AS BIGINT)
         FROM tamper GROUP BY g0
-        ORDER BY label, g"""))
+        ORDER BY label, g""")),
+
+    // B141: Fellegi–Sunter probabilistic record linkage — the SCORING
+    // tier on q168's sorted-neighborhood candidates: each field
+    // agreement adds ln(m/u) micronats of match evidence, each
+    // disagreement ln((1−m)/(1−u)); u per field is the EXACT chance-
+    // agreement rate Σc_v(c_v−1)/(N(N−1)) from value counts, m the 19/20
+    // clerical prior (the standard cold-start before EM — Splink's own
+    // posture). Weights take the one certified float step
+    // (Guards.lnMicronatFloor) and reduce to a 1-row broadcast; scoring
+    // the blocked pairs is then a codegen'd integer sum — rarer values
+    // agreeing (name: 64 values, size: 50) outscore common ones (type:
+    // 6), and the top of the list is the clerical-review queue. p_name
+    // serves as blocker AND field: the sort brings same-name parts
+    // adjacent, the weight prices that agreement honestly.
+    Q(
+      "q250_fs_linkage",
+      (s, dir) => {
+        val fields = Seq("p_name", "p_brand", "p_type", "p_size")
+        val p = Tables.part(s, dir)
+          .select(("p_partkey" +: fields).map(col): _*)
+        val w = graft.operators.FellegiSunter.fieldWeights(p, fields)
+        val cand = graft.operators.Blocking.sortedNeighborhood(
+          p, Seq(col("p_name"), col("p_partkey")), window = 3)
+        graft.operators.FellegiSunter.scorePairs(cand, fields, w)
+          .select(col("a_p_partkey").as("a_key"), col("b_p_partkey").as("b_key"),
+            col("n_agree"), col("score_micro"))
+          .orderBy(col("score_micro").desc, col("a_key"), col("b_key"))
+          .limit(40)
+      },
+      Some {
+        val fields = Seq("p_name", "p_brand", "p_type", "p_size")
+        val wCtes = fields.map { f =>
+          s"""w_$f AS (
+            SELECT CAST(floor(-ln(CAST(scc * 20 AS DOUBLE) / CAST(nn * 19 AS DOUBLE)) * 1e6) AS BIGINT) AS wa,
+                   CAST(floor(-ln(CAST((nn - scc) * 20 AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e6) AS BIGINT) AS wd
+            FROM (SELECT CAST(SUM(c * (c - 1)) AS BIGINT) AS scc, CAST(SUM(c) AS BIGINT) AS n,
+                         CAST(SUM(c) AS BIGINT) * (CAST(SUM(c) AS BIGINT) - 1) AS nn
+                  FROM (SELECT COUNT(*) AS c FROM part GROUP BY $f)))"""
+        }.mkString(",\n")
+        val agreeSum = fields.map(f =>
+          s"CASE WHEN a.$f = b.$f THEN 1 ELSE 0 END").mkString(" + ")
+        val scoreSum = fields.map(f =>
+          s"CASE WHEN a.$f = b.$f THEN w_$f.wa ELSE w_$f.wd END").mkString(" + ")
+        s"""
+        WITH s AS (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+                          row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+                   FROM part),
+        $wCtes
+        SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+               CAST($agreeSum AS INT) AS n_agree,
+               CAST($scoreSum AS BIGINT) AS score_micro
+        FROM s a JOIN s b ON b.rn >= a.rn + 1 AND b.rn <= a.rn + 3,
+             ${fields.map(f => s"w_$f").mkString(", ")}
+        ORDER BY score_micro DESC, a_key, b_key
+        LIMIT 40"""
+      })
   )
 }

@@ -366,6 +366,67 @@ object SketchQueries {
                 GROUP BY 1)
         SELECT p.t AS token, p.exact_n, e.est, e.est - p.exact_n AS overcount
         FROM probes p JOIN est e ON e.t = p.t
-        ORDER BY p.exact_n DESC, token"""))
+        ORDER BY p.exact_n DESC, token""")),
+
+    // B143: sliding-window sketch rollup — trailing-7-day distinct users
+    // per day via MERGEABLE daily HLL sketches (q97's graft_hll): sketch
+    // the raw events ONCE per day (the only corpus-scale pass), then
+    // every window is a register-wise max over ≤ 7 tiny sketch rows —
+    // the rollup pattern that answers "distinct in any trailing window"
+    // at 100 TB without rescanning 7 days of raw events per window
+    // (union-mergeability is THE reason HLL beats exact sets here:
+    // exact per-day distinct sets don't merge without re-deduplicating).
+    // The window is a RANGE frame over the day number partitioned by
+    // register, so absent days neither pad nor break the frame. All
+    // register math is integer-exact; the oracle rebuilds every daily
+    // register, every window max, and the estimate verbatim.
+    Q(
+      "q252_sliding_hll",
+      (s, dir) => {
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val daily = Tables.events(s, dir)
+          .groupBy(expr("datediff(to_date(ts), date'1970-01-01')")
+            .cast("long").as("d"))
+          .agg(call_function("graft_hll", hash60("hll", col("user_id"))).as("regs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("d").rangeBetween(-6, 0)
+        daily
+          .select(col("d"), posexplode(col("regs")).as(Seq("bucket", "m")))
+          .withColumn("mw", max("m").over(w))
+          .groupBy("d")
+          .agg(expr(
+            "transform(array_sort(collect_list(struct(bucket, mw))), x -> x.mw)")
+            .as("regs"))
+          .select(col("d"),
+            array_join(col("regs"), ",").as("registers"),
+            expr("aggregate(transform(regs, m -> shiftleft(1L, 54 - m)), 0L, (a, x) -> a + x)")
+              .as("s_int"))
+          .withColumn("hll_est",
+            round(expr("0.709 * 4096 * pow(2, 54)") /
+              expr("CAST(s_int AS DOUBLE)"), 6))
+          .orderBy("d")
+      },
+      Some("""
+        WITH h AS (SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                          ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+                   FROM events),
+        r AS (SELECT d, hv & 63 AS bucket,
+                     CASE WHEN (hv >> 6) = 0 THEN 54
+                          ELSE 55 - length(bin(hv >> 6)) END AS rho
+              FROM h),
+        dregs AS (SELECT d, bucket, CAST(MAX(rho) AS INT) AS m FROM r GROUP BY 1, 2),
+        days AS (SELECT DISTINCT d FROM dregs),
+        win AS (SELECT dy.d, g.bucket, MAX(g.m) AS m
+                FROM days dy JOIN dregs g ON g.d BETWEEN dy.d - 6 AND dy.d
+                GROUP BY 1, 2),
+        fullregs AS (SELECT dy.d, j.j AS bucket, COALESCE(w.m, 0) AS m
+                     FROM days dy CROSS JOIN (SELECT unnest(range(64)) AS j) j
+                     LEFT JOIN win w ON w.d = dy.d AND w.bucket = j.j),
+        agg AS (SELECT d, array_to_string(list(m ORDER BY bucket), ',') AS registers,
+                       CAST(SUM(1::BIGINT << (54 - m)) AS BIGINT) AS s_int
+                FROM fullregs GROUP BY d)
+        SELECT CAST(d AS BIGINT) AS d, registers, s_int,
+               round(0.709 * 4096 * pow(2, 54) / CAST(s_int AS DOUBLE), 6) AS hll_est
+        FROM agg ORDER BY d"""))
   )
 }

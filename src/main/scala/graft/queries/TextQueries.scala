@@ -1297,7 +1297,56 @@ object TextQueries {
         SELECT doc_id, CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
                CAST(SUM(nll_micro) AS BIGINT) AS sum_micronats,
                CAST(SUM(nll_micro) AS BIGINT) // CAST(SUM(c_doc) AS BIGINT) AS xent_micronats
-        FROM nll GROUP BY doc_id ORDER BY doc_id"""))
+        FROM nll GROUP BY doc_id ORDER BY doc_id""")),
+
+    // B140: content-defined chunking (operators/Cdc) — the storage-dedup
+    // read of the corpus: cut every token stream where a 4-token
+    // windowed hash60 ≡ 0 (mod 32) (boundaries move WITH the content, so
+    // a paragraph shared at different offsets chunks identically — what
+    // fixed-size chunking cannot do), fingerprint the chunks, and report
+    // per-source how much of the corpus is removable duplicate chunk
+    // mass on the ppm grid. Complements winnowing (q228 DETECTS overlap
+    // by sampled fingerprints; this PARTITIONS the corpus so the
+    // duplicate share is directly removable). Per-doc windows + one
+    // (doc,chunk) groupBy + one per-source agg — no pair generation
+    // anywhere; the oracle replays tokenizer, window hash, running-sum
+    // chunk ids and fingerprints verbatim.
+    Q(
+      "q249_cdc_chunk_dedup",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val chunks = graft.operators.Cdc
+          .chunkFingerprints(docs, "doc_id", "text", window = 4, stride = 32)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        graft.operators.Cdc.dedupSummary(chunks, Seq(col("source")))
+          .orderBy("source")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, source,
+                             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+                      FROM documents),
+        p AS (SELECT doc_id, source, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks),
+        tk AS (SELECT doc_id, source, i, ts[i] AS tok,
+                      CASE WHEN i >= 4 THEN ts[i-3] || ' ' || ts[i-2] || ' ' || ts[i-1] || ' ' || ts[i] END AS ctx
+               FROM p),
+        ct AS (SELECT doc_id, source, i, tok,
+                      CASE WHEN ctx IS NOT NULL
+                            AND ('0x' || substr(md5('cdc:' || ctx), 1, 15))::BIGINT % 32 = 0
+                           THEN 1 ELSE 0 END AS cut
+               FROM tk),
+        ch AS (SELECT doc_id, source, i, tok,
+                      COALESCE(SUM(cut) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_no
+               FROM ct),
+        fp AS (SELECT doc_id, MIN(source) AS source, chunk_no,
+                      ('0x' || substr(md5(string_agg(tok, ' ' ORDER BY i)), 1, 15))::BIGINT AS fp
+               FROM ch GROUP BY doc_id, chunk_no),
+        s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS total_chunks,
+                     CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_chunks
+              FROM fp GROUP BY 1)
+        SELECT source, total_chunks, distinct_chunks,
+               (total_chunks - distinct_chunks) * 1000000 // total_chunks AS dup_ppm
+        FROM s ORDER BY source"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

@@ -101,7 +101,16 @@ object ScaleBench {
     // per level), the DSIR bucket-LM count + broadcast join-back, and
     // the gap-constrained occurrence-list tier (x-maxGap fanout per
     // level) — all new shapes, measured from day one
-    "q244_seq_patterns", "q245_dsir_resample", "q246_seq_patterns_gap")
+    "q244_seq_patterns", "q245_dsir_resample", "q246_seq_patterns_gap",
+    // r13 second wing: the SSSP frontier-relax rounds, the covisit
+    // basket self-join + bottom-k, the CDC per-doc window + chunk
+    // groupBy, the FS value-count aggregates + blocked-pair scoring,
+    // and the Apriori level loop — all new shapes, measured from day one
+    "q247_sssp_cheapest_route", "q248_covisit_topk", "q249_cdc_chunk_dedup",
+    "q250_fs_linkage", "q251_itemsets_apriori",
+    // the daily-sketch + register-window rollup and the one-count-then-
+    // tiny-model absorption chain
+    "q252_sliding_hll", "q253_absorb_funnel")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -52,6 +52,72 @@ class GraphSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("sssp: min-cost path beats min-hop path; unreachable absent") {
+    // 1→2 costs 10 direct, but 1→3→2 costs 1+2=3; node 9 is disconnected.
+    val edges = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L), (9L, 9L, 1L))
+      .toDF("src", "dst", "w")
+    val d = operators.Sssp.distances(edges, src = 1L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 3L, 3L -> 1L))
+  }
+
+  test("sssp: K-round semantics — a cheaper longer path is cut at K, taken at K+1") {
+    // Direct edge 1→4 costs 100; the 3-leg chain 1→2→3→4 costs 3.
+    val edges = Seq((1L, 4L, 100L), (1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    def distTo4(rounds: Int): Long =
+      operators.Sssp.distances(edges, src = 1L, rounds = rounds)
+        .filter(col("node") === 4L).as[(Long, Long)].collect().head._2
+    assert(distTo4(1) == 100L) // only the direct leg fits in 1 round
+    assert(distTo4(2) == 100L) // 2 legs still can't traverse the chain
+    assert(distTo4(3) == 3L)   // the 3-leg chain wins exactly at K = 3
+  }
+
+  test("sssp: weights of 1 reproduce bfs hop counts") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val weighted = edges.withColumn("w", lit(1L))
+    val d = operators.Sssp.distances(weighted, src = 1L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val h = operators.Bfs.hops(edges, src = 1L, rounds = 4)
+      .as[(Long, Int)].collect().toMap.map { case (k, v) => k -> v.toLong }
+    assert(d == h)
+  }
+
+  test("sssp: negative weight refuses loudly in-plan") {
+    val edges = Seq((1L, 2L, -1L)).toDF("src", "dst", "w")
+    val e = intercept[Exception] {
+      operators.Sssp.distances(edges, src = 1L, rounds = 2).collect()
+    }
+    assert(exceptionChain(e).exists(_.getMessage != null) &&
+      exceptionChain(e).exists(m => Option(m.getMessage).exists(_.contains("[sssp]"))))
+  }
+
+  test("sssp: early exit ≡ fixed rounds once converged") {
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 7L)).toDF("src", "dst", "w")
+    val expected = Map(1L -> 0L, 2L -> 5L, 3L -> 12L)
+    val fixed = operators.Sssp.distances(edges, src = 1L, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed == expected)
+
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val lavish = operators.Sssp.distances(edges, src = 1L, rounds = 50)
+        .as[(Long, Long)].collect().toMap
+      assert(lavish == expected)
+      Thread.sleep(500)
+      assert(jobs <= 30, s"early exit did not fire: $jobs jobs for a diameter-2 graph")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  private def exceptionChain(e: Throwable): List[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toList
+
   test("dhash bands: any pair within hamming 7 shares a band (pigeonhole recall)") {
     val rnd = new scala.util.Random(11)
     def bands(h: Long): Seq[Long] = (0 until 8).map(i => (h >> (7 * i)) & 127L)
