@@ -436,6 +436,63 @@ class PlanQualitySpec extends SparkSpec {
       s"q246 reads unused events columns:\n$pg")
   }
 
+  test("r13 second wing: graph rounds equi, rollups partial-agg'd, models broadcast") {
+    // q247: every Bellman–Ford round is a frontier-keyed equi join + a
+    // partial-agg'd min(struct) fold — no cartesian in the final plan.
+    val sp = plan("q247_sssp_cheapest_route")
+    assert(!sp.contains("CartesianProduct"), s"q247 went cartesian:\n$sp")
+    assert(sp.contains("partial_min"), s"q247 min fold not partial-agg'd:\n$sp")
+    // q248: pair counts stay partial-agg'd equi joins, the per-item cut
+    // is the native bottom-k aggregate (never a window sort over the
+    // pair frame), and the scan leaves the unused lineitem payload
+    // behind (drift-proof negative form, the q244 idiom).
+    val cv = plan("q248_covisit_topk")
+    assert(!cv.contains("CartesianProduct"), s"q248 went cartesian:\n$cv")
+    assert(cv.contains("graft_bottom_k"), s"q248 lost the native bottom-k:\n$cv")
+    assert(!cv.contains("windowspecdefinition"), s"q248 grew a window sort:\n$cv")
+    assert(!cv.contains("l_extendedprice") && !cv.contains("l_shipdate"),
+      s"q248 reads unused lineitem columns:\n$cv")
+    // q249: the chunk windows partition on doc_id (no global sort), the
+    // chunk/summary aggregates are partial-agg'd, and the documents scan
+    // reads only (doc_id, text, source).
+    val cd = plan("q249_cdc_chunk_dedup")
+    assert(cd.contains("windowspecdefinition(doc_id"),
+      s"q249 chunk window not doc-partitioned:\n$cd")
+    assert(cd.contains("partial_count"), s"q249 summary not partial-agg'd:\n$cd")
+    assert(!cd.contains("n_chars") && !cd.contains("lang"),
+      s"q249 reads unused documents columns:\n$cd")
+    // q250: the field-weight vector attaches as a 1-row broadcast
+    // (BroadcastNestedLoopJoin — the bounded crossJoin form), never an
+    // unbounded cartesian; value counts are partial-agg'd.
+    val fs = plan("q250_fs_linkage")
+    assert(!fs.contains("CartesianProduct"), s"q250 went cartesian:\n$fs")
+    assert(fs.contains("BroadcastNestedLoopJoin"),
+      s"q250 weight vector not broadcast-attached:\n$fs")
+    assert(fs.contains("partial_count"), s"q250 value counts not partial-agg'd:\n$fs")
+    // q251: the level loop stays bid-keyed end to end and leaves the
+    // events payload columns unread.
+    val ap = plan("q251_itemsets_apriori")
+    assert(!ap.contains("CartesianProduct"), s"q251 went cartesian:\n$ap")
+    assert(ap.contains("hashpartitioning(bid"),
+      s"q251 lost its bid-keyed exchange:\n$ap")
+    assert(!ap.contains("props") && !ap.contains("value:double"),
+      s"q251 reads unused events columns:\n$ap")
+    // q252: the ONLY corpus-scale pass is the partial-agg'd daily
+    // graft_hll sketch; everything after runs on the day×register frame.
+    val sh = plan("q252_sliding_hll")
+    assert(sh.contains("graft_hll"), s"q252 lost the native HLL aggregate:\n$sh")
+    assert(sh.contains("partial_"), s"q252 daily sketch not partial-agg'd:\n$sh")
+    assert(!sh.contains("props") && !sh.contains("value:double"),
+      s"q252 reads unused events columns:\n$sh")
+    // q253: one corpus-scale pair count, then equi joins over the
+    // broadcast-scale model frame — no cartesian anywhere.
+    val mk = plan("q253_absorb_funnel")
+    assert(!mk.contains("CartesianProduct"), s"q253 went cartesian:\n$mk")
+    assert(mk.contains("partial_count"), s"q253 pair count not partial-agg'd:\n$mk")
+    assert(!mk.contains("props") && !mk.contains("value:double"),
+      s"q253 reads unused events columns:\n$mk")
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
