@@ -842,6 +842,147 @@ object EvalMetrics {
     * only one rater contribute 0 to the expected-agreement term (their
     * other marginal is 0), which the inner marginal join encodes.
     */
+  /** Jensen–Shannon divergence between the categorical distributions of
+    * two corpus slices — the SYMMETRIC, always-finite drift statistic the
+    * TVD/chi-square tiers can't be when a category exists on one side
+    * only (KL would be infinite; JSD's mixture denominator never
+    * vanishes). JSD(P,Q) = KL(P‖M)/2 + KL(Q‖M)/2 with M = (P+Q)/2, and
+    * is bounded by ln 2 — the standard "how far apart are two corpus
+    * snapshots" measure between TVD (too coarse: ignores rarity) and
+    * chi-square (unbounded, explodes on rare categories).
+    *
+    * Integer posture (the q243 ratio-of-products pattern): with
+    * per-category counts p, q and totals n1, n2,
+    * p̂/m = 2·p·n2 / (p·n2 + q·n1) — a ratio of int64 products whose
+    * domain 2·n1·n2 ≤ 2⁶³ is enforced ONCE on the totals row. Each
+    * category takes the one certified float step
+    * t_p = floor(ln(p̂/m)·10⁶) through [[Guards.lnMicronatFloor]]
+    * (boundary-adjacent values refuse loudly), and the output is the
+    * exact integer pair jsp_num = Σ p·t_p, jsq_num = Σ q·t_q — so
+    * JSD_micronats = jsp_num/(2·n1) + jsq_num/(2·n2), a rational the
+    * caller divides (num/den emission, the tvdTest posture: per-term
+    * floors make the summands possibly negative, and Spark's `div`
+    * truncates where DuckDB's `//` floors — emitting the division would
+    * re-open the exact divergence channel r12 closed).
+    *
+    * Scale shape: one partial-agg'd shuffle to per-category counts, a
+    * 1-row totals broadcast, no cumulative pass — the tvdTest shape.
+    */
+  def jsDivergence(df: DataFrame, inFirst: Column, value: Column): DataFrame = {
+    val perV = df
+      .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
+      .groupBy("v")
+      .agg(
+        sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+        sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
+    val tot = perV.agg(sum("p").as("n1"), sum("q").as("n2"))
+      .select(
+        guard(
+          col("n1") > 0L && col("n2") > 0L &&
+            col("n1") <= expr(s"${Long.MaxValue / 2}L div n2"),
+          col("n1"),
+          concat(
+            lit("[eval-metrics] jsDivergence needs both samples non-empty and 2*n1*n2 <= 2^63 (n1="),
+            coalesce(col("n1"), lit(0L)), lit(", n2="), coalesce(col("n2"), lit(0L)),
+            lit("); pre-aggregate and downscale the per-category counts beyond the bound"))).as("n1"),
+        col("n2"))
+    // |t| <= ln(2*max(n1,n2))*1e6 < 4.4e7; each per-term product is
+    // division-guarded (the Dsir idiom) so a 2e11-row slice refuses
+    // instead of wrapping; the guard reads the SAME materialized t
+    // column it multiplies.
+    val terms = perV.crossJoin(broadcast(tot))
+      .withColumn("mden", col("p") * col("n2") + col("q") * col("n1"))
+      .withColumn("tp", when(col("p") > 0L,
+        Guards.lnMicronatFloor(col("mden"), lit(2L) * col("p") * col("n2"), "js-drift"))
+        .otherwise(lit(0L)))
+      .withColumn("tq", when(col("q") > 0L,
+        Guards.lnMicronatFloor(col("mden"), lit(2L) * col("q") * col("n1"), "js-drift"))
+        .otherwise(lit(0L)))
+      .withColumn("ptp", Guards(
+        col("p") <= expr(s"${Long.MaxValue}L div greatest(abs(tp), 1L)"),
+        col("p") * col("tp"),
+        Guards.msg("js-drift",
+          lit("p-side term p*t = "), col("p").cast("string"), lit("*"),
+          col("tp").cast("string"),
+          lit(" would overflow int64 - downscale the per-category counts"))))
+      .withColumn("qtq", Guards(
+        col("q") <= expr(s"${Long.MaxValue}L div greatest(abs(tq), 1L)"),
+        col("q") * col("tq"),
+        Guards.msg("js-drift",
+          lit("q-side term q*t = "), col("q").cast("string"), lit("*"),
+          col("tq").cast("string"),
+          lit(" would overflow int64 - downscale the per-category counts"))))
+    terms.groupBy("n1", "n2")
+      .agg(sum("ptp").as("jsp_num"), sum("qtq").as("jsq_num"))
+  }
+
+  /** NDCG@k ranking quality per group: how well the model ranking
+    * (`score` desc) agrees with graded relevance (`rel`), the standard
+    * offline retrieval/recommender metric beside [[rocAuc]]'s binary
+    * tier. DCG = Σ_{i≤k} rel_i·d_i over the score-ranked top-k, IDCG the
+    * same over the relevance-ranked top-k (the rearrangement bound:
+    * decreasing discounts make the relevance sort the maximizer, so
+    * DCG ≤ IDCG holds EXACTLY on the integer grid and the final ratio
+    * division is non-negative — Spark div and DuckDB // agree).
+    *
+    * Float posture: the discounts d_i = floor(10⁶/log₂(i+1)) are
+    * compile-time integer LITERALS (k of them), baked identically into
+    * the plan and the SQL oracle — no runtime float step at all, the
+    * strongest posture in the repo (stronger than the certified-floor
+    * queries: there is nothing to certify).
+    *
+    * Scale shape: BOTH top-k lists come from one groupBy via two
+    * `graft_bottom_k` aggregates (desc keys; ties break to the smaller
+    * (item, rel) payload) — O(groups×k) shuffle, never a per-group
+    * window sort; the DCG sums are zip_with/aggregate HOFs over the
+    * ≤k-element arrays, inside codegen.
+    *
+    * Output: (g, n_items, dcg_micro, idcg_micro, ndcg_ppm) per group.
+    */
+  def ndcgAtK(df: DataFrame, grp: Column, item: Column, rel: Column,
+      score: Column, k: Int): DataFrame = {
+    require(k >= 1 && k <= 100, s"ndcgAtK wants k in [1,100], got $k")
+    graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
+    val discArr = array(ndcgDiscounts(k).map(lit): _*)
+    val g = df.select(grp.as("g"), item.cast("long").as("it"), score.as("sc"),
+      guard(
+        rel.cast("long") >= 0L && rel.cast("long") <= lit(Long.MaxValue / 2000000L),
+        rel.cast("long"),
+        concat(lit("[ndcg] relevance must sit in [0, 2^63/(2*10^6)] for the "),
+          lit("x10^6 discount grid, got "), rel.cast("string"))).as("rel"))
+    def dcgOf(arr: Column): Column =
+      aggregate(
+        zip_with(transform(arr, kv => kv("v")("rel")), discArr,
+          (r, dd) => coalesce(r * dd, lit(0L))),
+        lit(0L), (acc, x) => acc + x)
+    g.groupBy("g")
+      .agg(
+        count(lit(1)).as("n_items"),
+        call_function("graft_bottom_k",
+          col("sc"), struct(col("it"), col("rel")), lit(k), lit(true)).as("top"),
+        call_function("graft_bottom_k",
+          col("rel"), struct(col("it"), col("rel")), lit(k), lit(true)).as("ideal"))
+      .select(col("g"), col("n_items"),
+        dcgOf(col("top")).as("dcg_micro"), dcgOf(col("ideal")).as("idcg_micro"))
+      .select(col("g"), col("n_items"), col("dcg_micro"), col("idcg_micro"),
+        guard(
+          col("idcg_micro") > 0L &&
+            col("dcg_micro") <= lit(Long.MaxValue / 1000000L),
+          expr("(dcg_micro * 1000000) div idcg_micro"),
+          concat(lit("[ndcg] group "), col("g").cast("string"),
+            lit(" has idcg_micro="), col("idcg_micro").cast("string"),
+            lit(", dcg_micro="), col("dcg_micro").cast("string"),
+            lit(" - an all-zero-relevance group has no defined NDCG; "),
+            lit("filter such groups or coarsen the grid"))).as("ndcg_ppm"))
+  }
+
+  /** The NDCG@k discount ladder floor(10⁶/log₂(i+1)), i = 1..k — shared
+    * by the plan and the oracle-SQL builder so both engines compare the
+    * SAME integer constants. */
+  def ndcgDiscounts(k: Int): Seq[Long] =
+    (1 to k).map(i =>
+      math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+
   def cohenKappa(confusion: DataFrame, aCol: String, bCol: String, cntCol: String): DataFrame = {
     val totals = confusion.agg(
       sum(col(cntCol)).as("n"),

@@ -1669,6 +1669,140 @@ object AnalysisQueries {
         LEFT JOIN a2 ON a2.node = n.node
         ORDER BY auth_em DESC, hub_em DESC, n.node
         LIMIT 20""")
-      })
+      }),
+
+    // B145: Poisson-bootstrap percentile CI for the per-returnflag mean
+    // quantity — all 64 replicates ride ONE corpus pass (every row draws
+    // an independent Poisson(1) multiplicity per replicate from the
+    // hash60 uniform vs nine PRECOMPUTED integer CDF thresholds, then
+    // map-side partial aggregation ships groups x 64 sums, never rows);
+    // replicate means on the ppm grid, CI bounds exact order statistics
+    // over the 64 means via one bottom-k aggregate. The classical
+    // with-replacement bootstrap is a shuffle PER replicate and needs n
+    // up front — this is the form that survives 100 TB.
+    Q(
+      "q254_bootstrap_ci",
+      (s, dir) =>
+        graft.operators.Bootstrap.meanCi(
+            Tables.lineitem(s, dir),
+            grp = col("l_returnflag"),
+            id = concat(col("l_orderkey").cast("string"), lit("-"),
+              col("l_linenumber").cast("string")),
+            y = col("l_quantity"),
+            reps = 64, seed = "boot254")
+          .orderBy("g"),
+      Some {
+        val u = "('0x' || substr(md5('boot254:' || rid || ':' || CAST(r AS VARCHAR)), 1, 15))::BIGINT"
+        val draw = graft.operators.Bootstrap.poissonDrawSql(u)
+        // idxLo = ceil(0.025*64) = 2, idxHi = ceil(0.975*64) = 63 — the
+        // same literals meanCi resolves at build time
+        s"""
+        WITH base AS (SELECT l_returnflag AS g,
+                             CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS rid,
+                             CAST(l_quantity AS BIGINT) AS y
+                      FROM lineitem),
+        reps AS (SELECT g, rid, y, unnest(range(0, 64)) AS r FROM base),
+        draws AS (SELECT g, r, y, $draw AS k FROM reps),
+        rs AS (SELECT g, r, CAST(SUM(k * y) AS BIGINT) AS sky,
+                      CAST(SUM(k) AS BIGINT) AS sk
+               FROM draws GROUP BY 1, 2),
+        rm AS (SELECT g, r, (sky * 1000000) // sk AS mu FROM rs),
+        ord AS (SELECT g, mu,
+                       row_number() OVER (PARTITION BY g ORDER BY mu, r) AS rk
+                FROM rm),
+        ci AS (SELECT g, MAX(CASE WHEN rk = 2 THEN mu END) AS lo_ppm,
+                      MAX(CASE WHEN rk = 63 THEN mu END) AS hi_ppm
+               FROM ord GROUP BY 1),
+        f AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+                     (CAST(SUM(y) AS BIGINT) * 1000000) // COUNT(*) AS mean_ppm
+              FROM base GROUP BY 1)
+        SELECT f.g, n, mean_ppm, lo_ppm, hi_ppm
+        FROM f JOIN ci USING (g)
+        ORDER BY g"""
+      }),
+
+    // B146: NDCG@5 ranking quality — does "most expensive item bought"
+    // (score = max price cents) rank a customer's items by how MUCH they
+    // buy (relevance = total quantity)? Both top-5 lists come from one
+    // groupBy via two graft_bottom_k aggregates (O(customers x 5), never
+    // a per-customer window sort); the log2 discounts are COMPILE-TIME
+    // integer literals shared with the oracle — no runtime float step
+    // anywhere. Per-segment average NDCG on the ppm grid.
+    Q(
+      "q255_ndcg_ranking", {
+        (s, dir) => {
+          val li = Tables.lineitem(s, dir)
+          val o = Tables.orders(s, dir)
+          val per = li.join(o, li("l_orderkey") === o("o_orderkey"))
+            .groupBy(col("o_custkey").as("cust"), col("l_partkey").as("it"))
+            .agg(sum("l_quantity").cast("long").as("rel"),
+              max(floor(col("l_extendedprice") * 100)).as("sc"))
+          val nd = EvalMetrics.ndcgAtK(per, col("cust"), col("it"),
+            col("rel"), col("sc"), k = 5)
+          nd.join(Tables.customer(s, dir), col("g") === col("c_custkey"))
+            .groupBy(col("c_mktsegment").as("segment"))
+            .agg(count(lit(1)).as("n_cust"), sum("ndcg_ppm").as("snd"))
+            .select(col("segment"), col("n_cust"),
+              expr("snd div n_cust").as("avg_ndcg_ppm"))
+            .orderBy("segment")
+        }
+      },
+      Some {
+        val d = EvalMetrics.ndcgDiscounts(5)
+        val disc = (1 to 5).map(i => s"WHEN ${i} THEN ${d(i - 1)}")
+          .mkString("CASE rk ", " ", " END")
+        s"""
+        WITH per AS (SELECT o.o_custkey AS cust, l.l_partkey AS it,
+                            CAST(SUM(l.l_quantity) AS BIGINT) AS rel,
+                            CAST(MAX(floor(l.l_extendedprice * 100)) AS BIGINT) AS sc
+                     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     GROUP BY 1, 2),
+        top AS (SELECT cust, rel,
+                       row_number() OVER (PARTITION BY cust ORDER BY sc DESC, it, rel) AS rk
+                FROM per),
+        dcg AS (SELECT cust, CAST(SUM(rel * ($disc)) AS BIGINT) AS dcg
+                FROM top WHERE rk <= 5 GROUP BY 1),
+        ideal AS (SELECT cust, rel,
+                         row_number() OVER (PARTITION BY cust ORDER BY rel DESC, it, rel) AS rk
+                  FROM per),
+        idcg AS (SELECT cust, CAST(SUM(rel * ($disc)) AS BIGINT) AS idcg
+                 FROM ideal WHERE rk <= 5 GROUP BY 1),
+        nd AS (SELECT cust, (dcg * 1000000) // idcg AS ndcg_ppm
+               FROM dcg JOIN idcg USING (cust))
+        SELECT c.c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+               CAST(SUM(ndcg_ppm) AS BIGINT) // COUNT(*) AS avg_ndcg_ppm
+        FROM nd JOIN customer c ON c.c_custkey = nd.cust
+        GROUP BY 1
+        ORDER BY segment"""
+      }),
+
+    // B147: Jensen–Shannon drift between the two user-parity halves of
+    // the event stream — the SYMMETRIC, always-finite drift statistic
+    // beside q189's TVD (too coarse for rarity) and q190's chi-square
+    // (infinite on one-sided categories, where JSD's mixture denominator
+    // never vanishes). Per-category certified micronat floors, exact
+    // integer num pairs out (JSD = jsp/(2e6·n1) + jsq/(2e6·n2) nats).
+    Q(
+      "q256_js_drift",
+      (s, dir) =>
+        EvalMetrics.jsDivergence(
+          Tables.events(s, dir),
+          col("user_id") % 2 === 0,
+          col("event_type")),
+      Some("""
+        WITH t AS (SELECT user_id % 2 = 0 AS s1, event_type AS v FROM events),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv),
+        terms AS (SELECT p, q, n1, n2, p * n2 + q * n1 AS mden FROM pv, n),
+        fl AS (SELECT p, q, n1, n2,
+                      CASE WHEN p > 0 THEN CAST(floor(-ln(CAST(mden AS DOUBLE) / CAST(2 * p * n2 AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS tp,
+                      CASE WHEN q > 0 THEN CAST(floor(-ln(CAST(mden AS DOUBLE) / CAST(2 * q * n1 AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS tq
+               FROM terms)
+        SELECT n1, n2, CAST(SUM(p * tp) AS BIGINT) AS jsp_num,
+               CAST(SUM(q * tq) AS BIGINT) AS jsq_num
+        FROM fl GROUP BY 1, 2"""))
   )
 }

@@ -1346,7 +1346,72 @@ object TextQueries {
               FROM fp GROUP BY 1)
         SELECT source, total_chunks, distinct_chunks,
                (total_chunks - distinct_chunks) * 1000000 // total_chunks AS dup_ppm
-        FROM s ORDER BY source"""))
+        FROM s ORDER BY source""")),
+
+    // B148: PMI collocation mining — the phrase-extraction read beside
+    // q136's raw pair counts and q243's KN fluency model: PMI(v,w) =
+    // ln(N·c_vw/(c_v·c_w)) ranks bigrams by how much MORE than chance
+    // their words co-occur (the standard collocation statistic; raw
+    // counts just surface stopword pairs). The one float step is the
+    // certified micronat floor — PMI_micro = floor(ln(num/den)·10⁶) via
+    // Guards.lnMicronatFloor(den, num) with both int64 products
+    // division-guarded in-plan (N² wraps at ~3·10⁹ bigrams; the refusal
+    // says to downscale counts). Evidence floor c_vw ≥ 5 (PMI is
+    // notoriously noisy on hapax pairs), top-20 via ONE desc bottom-k
+    // aggregate (ties to (v, w) asc) — never a corpus window sort.
+    Q(
+      "q257_pmi_collocations",
+      (s, dir) => {
+        import graft.operators.{Guards, KneserNey}
+        graft.plans.GraftExtensions.ensureRegistered(s)
+        val bc = Tables.documents(s, dir)
+          .select(explode(KneserNey.bigramsFromTokens(
+            tokens(lower(col("text"))))).as("bg"))
+          .groupBy(col("bg.v").as("v"), col("bg.w").as("w"))
+          .agg(count(lit(1)).as("c_vw"))
+        val cv = bc.groupBy("v").agg(sum("c_vw").as("c_v"))
+        val cw = bc.groupBy("w").agg(sum("c_vw").as("c_w"))
+        val nn = bc.agg(sum("c_vw").as("nn"))
+        val pmi = bc.filter(col("c_vw") >= 5L)
+          .join(cv, "v").join(cw, "w")
+          .crossJoin(broadcast(nn))
+          .select(col("v"), col("w"), col("c_vw"),
+            Guards.lnMicronatFloor(
+              Guards(col("c_v") <= expr(s"${Long.MaxValue}L div c_w"),
+                col("c_v") * col("c_w"),
+                Guards.msg("pmi", lit("c_v*c_w = "), col("c_v").cast("string"),
+                  lit("*"), col("c_w").cast("string"),
+                  lit(" wraps int64 - downscale the marginal counts"))),
+              Guards(col("nn") <= expr(s"${Long.MaxValue}L div c_vw"),
+                col("nn") * col("c_vw"),
+                Guards.msg("pmi", lit("N*c_vw = "), col("nn").cast("string"),
+                  lit("*"), col("c_vw").cast("string"),
+                  lit(" wraps int64 - downscale the pair counts"))),
+              "pmi").as("pmi_micro"))
+        pmi.agg(call_function("graft_bottom_k",
+            col("pmi_micro"), struct(col("v"), col("w"), col("c_vw")),
+            lit(20), lit(true)).as("bk"))
+          .select(posexplode(col("bk")).as(Seq("pos", "kv")))
+          .select(col("kv.v.v").as("v"), col("kv.v.w").as("w"),
+            col("kv.v.c_vw").as("c_vw"), col("kv.k").as("pmi_micro"),
+            (col("pos") + 1).cast("int").as("rk"))
+          .orderBy("rk")
+      },
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ts
+                      FROM documents),
+        idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+        bc AS (SELECT ts[i] AS v, ts[i + 1] AS w, CAST(COUNT(*) AS BIGINT) AS c_vw
+               FROM idx GROUP BY 1, 2),
+        cv AS (SELECT v, CAST(SUM(c_vw) AS BIGINT) AS c_v FROM bc GROUP BY 1),
+        cw AS (SELECT w, CAST(SUM(c_vw) AS BIGINT) AS c_w FROM bc GROUP BY 1),
+        n AS (SELECT CAST(SUM(c_vw) AS BIGINT) AS nn FROM bc),
+        p AS (SELECT bc.v, bc.w, c_vw,
+                     CAST(floor(-ln(CAST(c_v * c_w AS DOUBLE) / CAST(nn * c_vw AS DOUBLE)) * 1e6) AS BIGINT) AS pmi_micro
+              FROM bc JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN n
+              WHERE c_vw >= 5),
+        r AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, v, w) AS INT) AS rk FROM p)
+        SELECT v, w, c_vw, pmi_micro, rk FROM r WHERE rk <= 20 ORDER BY rk"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

@@ -934,4 +934,102 @@ class AnalysisSpec extends SparkSpec {
     }
     assert(got.toSeq == want)
   }
+
+  test("jsDivergence equals the floored in-memory reference") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(400)((rng.nextBoolean(), s"c${rng.nextInt(8)}"))
+      val got = EvalMetrics
+        .jsDivergence(rows.toDF("s1", "v"), col("s1"), col("v"))
+        .as[(Long, Long, Long, Long)].collect().head
+      val c1 = rows.filter(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val c2 = rows.filterNot(_._1).groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val (n1, n2) = (c1.values.sum, c2.values.sum)
+      var (jsp, jsq) = (0L, 0L)
+      (c1.keySet ++ c2.keySet).foreach { v =>
+        val (p, q) = (c1.getOrElse(v, 0L), c2.getOrElse(v, 0L))
+        val mden = p * n2 + q * n1
+        // the engine's exact float path: -log(num/den) * 1e6, floored
+        if (p > 0)
+          jsp += p * math.floor(-math.log(mden.toDouble / (2L * p * n2).toDouble) * 1e6).toLong
+        if (q > 0)
+          jsq += q * math.floor(-math.log(mden.toDouble / (2L * q * n1).toDouble) * 1e6).toLong
+      }
+      assert(got == ((n1, n2, jsp, jsq)), s"trial $trial: got $got, want ${(n1, n2, jsp, jsq)}")
+    }
+  }
+
+  test("jsDivergence: identical mixes are 0, disjoint mixes saturate at ln 2") {
+    // same category sets with proportional counts -> every ratio is 1
+    // (num === den is the whitelisted exact-zero case)
+    val same = Seq.fill(100)(true).zip(Seq.fill(100)("a")) ++
+      Seq.fill(100)(false).zip(Seq.fill(100)("a")) ++
+      Seq.fill(50)(true).zip(Seq.fill(50)("b")) ++
+      Seq.fill(50)(false).zip(Seq.fill(50)("b"))
+    val z = EvalMetrics.jsDivergence(same.toDF("s1", "v"), col("s1"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(z == ((150L, 150L, 0L, 0L)), z.toString)
+    // fully disjoint category sets: each side's ratio is exactly 2, so
+    // the per-category floor is floor(ln 2 * 1e6) = 693147 and
+    // JSD = ln 2 (the statistic's upper bound)
+    val disj = Seq.fill(80)((true, "x")) ++ Seq.fill(120)((false, "y"))
+    val d = EvalMetrics.jsDivergence(disj.toDF("s1", "v"), col("s1"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(d == ((80L, 120L, 80L * 693147L, 120L * 693147L)), d.toString)
+  }
+
+  test("jsDivergence refuses an empty sample loudly") {
+    val df = Seq((true, "a"), (true, "b")).toDF("s1", "v")
+    val e = intercept[Exception] {
+      EvalMetrics.jsDivergence(df, col("s1"), col("v")).collect()
+    }
+    assert(e.getMessage.contains("jsDivergence needs both samples non-empty"),
+      e.getMessage)
+  }
+
+  test("ndcgAtK equals the brute-force reference (score rank vs ideal rank)") {
+    val disc = EvalMetrics.ndcgDiscounts(4)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 60).map(i =>
+        (s"g${i % 5}", i.toLong, rng.nextInt(6).toLong, rng.nextInt(40).toLong))
+      // guarantee idcg > 0 per group: bump one row per group to rel >= 1
+      val fixed = rows.groupBy(_._1).values.flatMap { grp =>
+        if (grp.exists(_._3 > 0)) grp
+        else grp.updated(0, grp.head.copy(_3 = 1L))
+      }.toSeq
+      val got = EvalMetrics
+        .ndcgAtK(fixed.toDF("g", "it", "rel", "sc"),
+          col("g"), col("it"), col("rel"), col("sc"), k = 4)
+        .orderBy("g")
+        .as[(String, Long, Long, Long, Long)].collect()
+      val want = fixed.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, grp) =>
+        def dcgOf(sorted: Seq[(String, Long, Long, Long)]): Long =
+          sorted.take(4).zipWithIndex.map { case (r, i) => r._3 * disc(i) }.sum
+        val dcg = dcgOf(grp.sortBy(r => (-r._4, r._2, r._3)))
+        val idcg = dcgOf(grp.sortBy(r => (-r._3, r._2, r._3)))
+        (g, grp.size.toLong, dcg, idcg, dcg * 1000000L / idcg)
+      }
+      assert(got.toSeq == want, s"trial $trial:\n${got.toSeq}\n$want")
+    }
+  }
+
+  test("ndcgAtK: a score ranking that matches relevance scores 10^6 exactly") {
+    val df = Seq(("g", 1L, 5L, 500L), ("g", 2L, 3L, 300L), ("g", 3L, 1L, 100L))
+      .toDF("g", "it", "rel", "sc")
+    val r = EvalMetrics.ndcgAtK(df, col("g"), col("it"), col("rel"), col("sc"), 3)
+      .select("ndcg_ppm").as[Long].collect().head
+    assert(r == 1000000L, r.toString)
+  }
+
+  test("ndcgAtK refuses negative relevance and all-zero-relevance groups") {
+    val neg = Seq(("g", 1L, -1L, 10L)).toDF("g", "it", "rel", "sc")
+    val e1 = intercept[Exception] {
+      EvalMetrics.ndcgAtK(neg, col("g"), col("it"), col("rel"), col("sc"), 2).collect()
+    }
+    assert(e1.getMessage.contains("[ndcg]"), e1.getMessage)
+    val zero = Seq(("g", 1L, 0L, 10L), ("g", 2L, 0L, 5L)).toDF("g", "it", "rel", "sc")
+    val e2 = intercept[Exception] {
+      EvalMetrics.ndcgAtK(zero, col("g"), col("it"), col("rel"), col("sc"), 2).collect()
+    }
+    assert(e2.getMessage.contains("no defined NDCG"), e2.getMessage)
+  }
 }

@@ -48,6 +48,8 @@ class DivisionBanSpec extends AnyFunSuite {
     "AmsSketch.scala" -> Seq("(g + 1) / 2"), // Scala Int median index
     "PagedSource.scala" -> Seq(
       "- 1) / numPartitions", "- 1) / pageSize"), // Scala Long ceil-div
+    "Bootstrap.scala" -> Seq(
+      "+ 999999L) / 1000000L"), // Scala Long ceil-div (percentile index)
     "GraftFunctions.scala" -> Seq(
       "dot(a, b) / (l2norm(a) * l2norm(b))"), // cosine: double by meaning
     "EvalMetrics.scala" -> Seq(

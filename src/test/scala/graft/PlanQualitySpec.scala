@@ -493,6 +493,45 @@ class PlanQualitySpec extends SparkSpec {
       s"q253 reads unused events columns:\n$mk")
   }
 
+  test("r13 third wing: bootstrap one-pass, NDCG/PMI bottom-k, JSD broadcast totals") {
+    // q254: the 64 replicates ride ONE corpus pass — the (g, r) sums are
+    // partial-agg'd before the shuffle, the order statistics are the
+    // native bottom-k aggregate (never a window over replicate rows),
+    // and the lineitem scan leaves the price/date payload behind.
+    val bs = plan("q254_bootstrap_ci")
+    assert(!bs.contains("CartesianProduct"), s"q254 went cartesian:\n$bs")
+    assert(bs.contains("partial_sum"), s"q254 replicate sums not partial-agg'd:\n$bs")
+    assert(bs.contains("graft_bottom_k"), s"q254 lost the native order statistic:\n$bs")
+    assert(!bs.contains("windowspecdefinition"), s"q254 grew a window sort:\n$bs")
+    assert(!bs.contains("l_extendedprice") && !bs.contains("l_shipdate"),
+      s"q254 reads unused lineitem columns:\n$bs")
+    // q255: BOTH top-5 lists are bottom-k aggregates out of one groupBy —
+    // no per-customer window sort anywhere in the plan.
+    val nd = plan("q255_ndcg_ranking")
+    assert(!nd.contains("CartesianProduct"), s"q255 went cartesian:\n$nd")
+    assert(nd.contains("graft_bottom_k"), s"q255 lost the native top-k:\n$nd")
+    assert(!nd.contains("windowspecdefinition"), s"q255 grew a window sort:\n$nd")
+    // q256: per-category counts partial-aggregate, the 1-row totals
+    // attach as a broadcast (BroadcastNestedLoopJoin — the bounded
+    // crossJoin form), never an unbounded cartesian.
+    val js = plan("q256_js_drift")
+    assert(!js.contains("CartesianProduct"), s"q256 went cartesian:\n$js")
+    assert(js.contains("BroadcastNestedLoopJoin"),
+      s"q256 totals not broadcast-attached:\n$js")
+    assert(js.contains("partial_sum"), s"q256 category counts not partial-agg'd:\n$js")
+    // q257: bigram counts partial-aggregate, N attaches as a 1-row
+    // broadcast, the top-20 is the native bottom-k (no corpus window
+    // sort), and the documents scan reads text only.
+    val pm = plan("q257_pmi_collocations")
+    assert(!pm.contains("CartesianProduct"), s"q257 went cartesian:\n$pm")
+    assert(pm.contains("BroadcastNestedLoopJoin"),
+      s"q257 N not broadcast-attached:\n$pm")
+    assert(pm.contains("graft_bottom_k"), s"q257 lost the native top-k:\n$pm")
+    assert(!pm.contains("windowspecdefinition"), s"q257 grew a window sort:\n$pm")
+    assert(!pm.contains("n_chars") && !pm.contains("lang") && !pm.contains("source"),
+      s"q257 reads unused documents columns:\n$pm")
+  }
+
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
     val p = plan("q134_bottomk_sample")
     assert(p.contains("graft_bottom_k"), s"native bottom-k aggregate missing:\n$p")
