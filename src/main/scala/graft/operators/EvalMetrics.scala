@@ -867,14 +867,25 @@ object EvalMetrics {
     *
     * Scale shape: one partial-agg'd shuffle to per-category counts, a
     * 1-row totals broadcast, no cumulative pass — the tvdTest shape.
+    *
+    * Measured margins (graft.tools.FloatMargin): the q256 grid's minimum
+    * boundary distance is 3.3e-2 at sf0.01 and 4.8e-2 at sf0.1 — ≥ 1.4e8×
+    * the lnMicronatFloor refusal threshold, so the in-plan guard is pure
+    * insurance on the real corpora.
     */
-  def jsDivergence(df: DataFrame, inFirst: Column, value: Column): DataFrame = {
-    val perV = df
+  def jsDivergence(df: DataFrame, inFirst: Column, value: Column): DataFrame =
+    jsCounts(df
       .select(coalesce(inFirst.cast("boolean"), lit(false)).as("s1"), value.as("v"))
       .groupBy("v")
       .agg(
         sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
-        sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
+        sum(when(col("s1"), 0L).otherwise(1L)).as("q")))
+
+  /** [[jsDivergence]] from PRE-AGGREGATED per-category counts `(v, p, q)`
+    * — same guards and output columns as the row-level tier (the
+    * tvdCounts split: per-category counts are associative, so a streamed
+    * Complete-mode histogram feeds this bit-identically). */
+  def jsCounts(perV: DataFrame): DataFrame = {
     val tot = perV.agg(sum("p").as("n1"), sum("q").as("n2"))
       .select(
         guard(
@@ -974,6 +985,53 @@ object EvalMetrics {
             lit(", dcg_micro="), col("dcg_micro").cast("string"),
             lit(" - an all-zero-relevance group has no defined NDCG; "),
             lit("filter such groups or coarsen the grid"))).as("ndcg_ppm"))
+  }
+
+  /** Matthews correlation coefficient as an exact rational — the
+    * single-number binary-classifier summary that, unlike accuracy or
+    * F1, is balanced across all four confusion cells (a 99%-negative
+    * corpus can score 0.99 accuracy with a constant classifier; its MCC
+    * is 0). MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn)).
+    *
+    * The square root is irrational, so the house num/den posture splits
+    * it: output (n, tp, fp, fn, tn, mcc_num, den2_pred, den2_act) where
+    * MCC = mcc_num / √(den2_pred·den2_act) — every column an exact
+    * int64 the oracle replays bit-identically (den2_pred =
+    * (tp+fp)(tn+fn) groups the PREDICTED margins, den2_act =
+    * (tp+fn)(tn+fp) the ACTUAL ones; each product ≤ n²/4, guarded
+    * in-plan against n > 2·√2⁶³). A zero margin (degenerate classifier
+    * or single-class sample) makes MCC undefined — refused loudly, the
+    * kappa-adjacent 0/0 posture. NULL actual/predicted count as
+    * false/negative (the coalesce contract, visible at the entry).
+    *
+    * Scale shape: one partial-agg'd count to the 2×2 confusion — the
+    * cohenKappa shape. */
+  def mcc(df: DataFrame, actual: Column, predicted: Column): DataFrame = {
+    val conf = df.select(
+        coalesce(actual.cast("boolean"), lit(false)).as("y"),
+        coalesce(predicted.cast("boolean"), lit(false)).as("yh"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y") && col("yh"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && col("yh"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("y") && !col("yh"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("y") && !col("yh"), 1L).otherwise(0L)).as("tn"))
+    conf.select(
+      guard(
+        col("n") > 0L && col("n") <= lit(3037000499L) && // isqrt(2^63)-ish
+          (col("tp") + col("fp")) > 0L && (col("tp") + col("fn")) > 0L &&
+          (col("tn") + col("fp")) > 0L && (col("tn") + col("fn")) > 0L,
+        col("n"),
+        concat(
+          lit("[eval-metrics] mcc needs every confusion margin > 0 and n <= 3.03e9 "),
+          lit("(tp="), col("tp"), lit(", fp="), col("fp"),
+          lit(", fn="), col("fn"), lit(", tn="), col("tn"),
+          lit(") - a single-class sample or constant classifier has no "),
+          lit("defined MCC; check the predicate columns"))).as("n"),
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      (col("tp") * col("tn") - col("fp") * col("fn")).as("mcc_num"),
+      ((col("tp") + col("fp")) * (col("tn") + col("fn"))).as("den2_pred"),
+      ((col("tp") + col("fn")) * (col("tn") + col("fp"))).as("den2_act"))
   }
 
   /** The NDCG@k discount ladder floor(10⁶/log₂(i+1)), i = 1..k — shared

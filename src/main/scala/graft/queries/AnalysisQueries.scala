@@ -1803,6 +1803,37 @@ object AnalysisQueries {
                FROM terms)
         SELECT n1, n2, CAST(SUM(p * tp) AS BIGINT) AS jsp_num,
                CAST(SUM(q * tq) AS BIGINT) AS jsq_num
-        FROM fl GROUP BY 1, 2"""))
+        FROM fl GROUP BY 1, 2""")),
+
+    // B150: Matthews correlation — does "high-value event" predict
+    // "purchase"? The balanced single-number completion of the binary
+    // eval family (accuracy/F1 reward the majority class; MCC is 0 for
+    // any constant classifier). Exact rational out: MCC =
+    // mcc_num / sqrt(den2_pred·den2_act), every column int64 — the
+    // irrational sqrt is split across two guarded margin products and
+    // never evaluated (the kappa num/den posture). One partial-agg'd
+    // pass to the 2x2 confusion.
+    Q(
+      "q260_mcc",
+      (s, dir) =>
+        EvalMetrics.mcc(
+          Tables.events(s, dir),
+          col("event_type") === "purchase",
+          col("value") >= 50.0),
+      Some("""
+        WITH t AS (SELECT coalesce(event_type = 'purchase', false) AS y,
+                          coalesce(value >= 50.0, false) AS yh
+                   FROM events),
+        c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CASE WHEN y AND yh THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                     CAST(SUM(CASE WHEN NOT y AND yh THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                     CAST(SUM(CASE WHEN y AND NOT yh THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                     CAST(SUM(CASE WHEN NOT y AND NOT yh THEN 1 ELSE 0 END) AS BIGINT) AS tn
+              FROM t)
+        SELECT n, tp, fp, fn, tn,
+               tp * tn - fp * fn AS mcc_num,
+               (tp + fp) * (tn + fn) AS den2_pred,
+               (tp + fn) * (tn + fp) AS den2_act
+        FROM c"""))
   )
 }

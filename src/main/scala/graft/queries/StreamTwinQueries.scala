@@ -504,7 +504,55 @@ object StreamTwinQueries {
                 GROUP BY 1)
         SELECT p.t AS token, p.exact_n, e.est, e.est - p.exact_n AS overcount
         FROM probes p JOIN est e ON e.t = p.t
-        ORDER BY p.exact_n DESC, token"""))
+        ORDER BY p.exact_n DESC, token""")),
+
+    // B147 streamed twin: the Jensen–Shannon drift statistic over a
+    // streamed Complete-mode event-type histogram — the q195 contract
+    // verbatim (per-category counts are associative, so batch boundaries
+    // cannot leak into the hash); the certified micronat floors then run
+    // on the drained ≤|categories|-row table through the SAME jsCounts
+    // the batch path uses, and the q256 oracle hash-checks both.
+    Q(
+      "q258_stream_jsd",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), (col("user_id") % 2 === 0).as("s1"),
+            col("event_type"))
+        val tmp = graft.Q.scratchDir("stream_jsd")
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        writeReplayFile(ev.filter(col("event_id") % 2 === 0), src, "half_a", 0)
+        writeReplayFile(ev.filter(col("event_id") % 2 === 1), src, "half_b", 1)
+        val table = s"jsd_hist_${jsdHistRuns.incrementAndGet()}"
+        withStreamPartitions(s, 2) {
+          val q = s.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .groupBy("event_type")
+            .agg(
+              sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+              sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
+            .writeStream.format("memory").queryName(table)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Complete)
+            .start()
+          q.awaitTermination()
+        }
+        graft.operators.EvalMetrics.jsCounts(
+          s.table(table).select(col("event_type").as("v"), col("p"), col("q")))
+      },
+      Some("""
+        WITH t AS (SELECT user_id % 2 = 0 AS s1, event_type AS v FROM events),
+        pv AS (SELECT v,
+                      CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                      CAST(SUM(CASE WHEN s1 THEN 0 ELSE 1 END) AS BIGINT) AS q
+               FROM t GROUP BY v),
+        n AS (SELECT CAST(SUM(p) AS BIGINT) AS n1, CAST(SUM(q) AS BIGINT) AS n2 FROM pv),
+        terms AS (SELECT p, q, n1, n2, p * n2 + q * n1 AS mden FROM pv, n),
+        fl AS (SELECT p, q, n1, n2,
+                      CASE WHEN p > 0 THEN CAST(floor(-ln(CAST(mden AS DOUBLE) / CAST(2 * p * n2 AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS tp,
+                      CASE WHEN q > 0 THEN CAST(floor(-ln(CAST(mden AS DOUBLE) / CAST(2 * q * n1 AS DOUBLE)) * 1e6) AS BIGINT) ELSE 0 END AS tq
+               FROM terms)
+        SELECT n1, n2, CAST(SUM(p * tp) AS BIGINT) AS jsp_num,
+               CAST(SUM(q * tq) AS BIGINT) AS jsq_num
+        FROM fl GROUP BY 1, 2"""))
   )
 
   /** Memory-sink table names must be unique per drain within a session
@@ -515,4 +563,5 @@ object StreamTwinQueries {
   private val benfordRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val digestRuns = new java.util.concurrent.atomic.AtomicInteger(0)
   private val countMinRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val jsdHistRuns = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -1359,6 +1359,9 @@ object TextQueries {
     // says to downscale counts). Evidence floor c_vw ≥ 5 (PMI is
     // notoriously noisy on hapax pairs), top-20 via ONE desc bottom-k
     // aggregate (ties to (v, w) asc) — never a corpus window sort.
+    // Measured margins (graft.tools.FloatMargin): the PMI grid's minimum
+    // boundary distance is 5.3e-4 at sf0.01 / 4.9e-4 at sf0.1, >= 1.1e6x
+    // the lnMicronatFloor refusal threshold — the guard is insurance.
     Q(
       "q257_pmi_collocations",
       (s, dir) => {
@@ -1411,7 +1414,83 @@ object TextQueries {
               FROM bc JOIN cv USING (v) JOIN cw USING (w) CROSS JOIN n
               WHERE c_vw >= 5),
         r AS (SELECT *, CAST(row_number() OVER (ORDER BY pmi_micro DESC, v, w) AS INT) AS rk FROM p)
-        SELECT v, w, c_vw, pmi_micro, rk FROM r WHERE rk <= 20 ORDER BY rk"""))
+        SELECT v, w, c_vw, pmi_micro, rk FROM r WHERE rk <= 20 ORDER BY rk""")),
+
+    // B149: TextRank keyword extraction (Mihalcea & Tarau 2004, public
+    // method) — corpus keywords as the stationary mass of a random walk
+    // over the word co-occurrence graph: adjacency-window-2 edges
+    // (adjacent token pairs), evidence floor c >= 5, symmetrized, then
+    // the EXACT integer PageRank B52 already ships (4 rounds, x10^12
+    // grid, 85/100 damping — bit-identical across engines, zero new
+    // float surface). Pure OPERATOR COMPOSITION: the bigram scan is
+    // q257's, the fixpoint is q137's — the graph wing consuming the
+    // text wing. Node ids are hash60(word) (the oracle replays the same
+    // hash, so even a collision is computed identically both sides);
+    // the evidence-floored co-occurrence graph is vocabulary-bounded,
+    // far under PageRank's in-memory routing budget, so the rounds cost
+    // zero distributed jobs after the one corpus-scale bigram count.
+    Q(
+      "q259_textrank_keywords",
+      (s, dir) => {
+        import graft.operators.KneserNey
+        val bg = Tables.documents(s, dir)
+          .select(explode(KneserNey.bigramsFromTokens(
+            tokens(lower(col("text"))))).as("bg"))
+          .select(col("bg.v").as("v"), col("bg.w").as("w"))
+          .filter(col("v") =!= col("w"))
+          .groupBy("v", "w").agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 5L)
+        val und = bg.select(col("v"), col("w"))
+          .union(bg.select(col("w").as("v"), col("v").as("w")))
+          .distinct()
+        val edges = und.select(
+          hash60("trk", col("v")).as("src"), hash60("trk", col("w")).as("dst"))
+          .distinct()
+        val dict = und.select(col("v").as("word")).distinct()
+          .select(col("word"), hash60("trk", col("word")).as("node"))
+        val pr = graft.operators.PageRank.run(edges, "src", "dst", iters = 4)
+        pr.join(dict, "node")
+          .select(col("word"), col("score"))
+          .orderBy(col("score").desc, col("word"))
+          .limit(20)
+      },
+      Some {
+        val (scale, dampNum, dampDen) = (1000000000000L, 85L, 100L)
+        val base = s"(SELECT (($scale * ${dampDen - dampNum}) // $dampDen) // COUNT(*) FROM nodes)"
+        val iterCtes = (1 to 4).map { i =>
+          s"""it$i AS (
+            SELECT n.node, $base + COALESCE(m.mass, 0) AS score
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node,
+                     SUM(((p.score * $dampNum) // $dampDen) // d.outdeg) AS mass
+              FROM edges e JOIN it${i - 1} p ON e.src = p.node
+                           JOIN deg d ON d.src = e.src
+              GROUP BY e.dst) m ON m.node = n.node)"""
+        }.mkString(",\n")
+        raw"""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '') AS ts
+                      FROM documents),
+        idx AS (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks),
+        bc AS (SELECT ts[i] AS v, ts[i + 1] AS w, COUNT(*) AS c
+               FROM idx WHERE ts[i] <> ts[i + 1] GROUP BY 1, 2),
+        fl AS (SELECT v, w FROM bc WHERE c >= 5),
+        und AS (SELECT DISTINCT v, w FROM (SELECT v, w FROM fl UNION ALL SELECT w, v FROM fl)),
+        edges AS (SELECT DISTINCT
+                    ('0x' || substr(md5('trk:' || v), 1, 15))::BIGINT AS src,
+                    ('0x' || substr(md5('trk:' || w), 1, 15))::BIGINT AS dst
+                  FROM und),
+        dict AS (SELECT word, ('0x' || substr(md5('trk:' || word), 1, 15))::BIGINT AS node
+                 FROM (SELECT DISTINCT v AS word FROM und)),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        it0 AS (SELECT node, $scale // (SELECT COUNT(*) FROM nodes) AS score FROM nodes),
+        $iterCtes
+        SELECT d.word, CAST(p.score AS BIGINT) AS score
+        FROM it4 p JOIN dict d ON d.node = p.node
+        ORDER BY score DESC, word
+        LIMIT 20"""
+      })
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

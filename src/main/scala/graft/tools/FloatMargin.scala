@@ -140,9 +140,38 @@ object FloatMargin {
           - col("lw").cast("double") / lit(1e6)).as("ky"))
       val g245 = minGap(k245, grouped = false)
 
+      // q256 grid: per event-type category, both JSD mixture ratios
+      // (mden, 2·p·n2) and (mden, 2·q·n1) — the jsDivergence algebra
+      val ev = graft.Tables.events(spark, dir)
+        .select((col("user_id") % 2 === 0).as("s1"), col("event_type").as("v"))
+        .groupBy("v")
+        .agg(sum(when(col("s1"), 1L).otherwise(0L)).as("p"),
+          sum(when(col("s1"), 0L).otherwise(1L)).as("q"))
+      val evTot = ev.agg(sum("p").as("n1"), sum("q").as("n2"))
+      val jsGrid = ev.crossJoin(broadcast(evTot))
+        .withColumn("mden", col("p") * col("n2") + col("q") * col("n1"))
+        .select(col("mden"), col("p"), col("q"), col("n1"), col("n2"))
+      val jsNd = jsGrid.filter(col("p") > 0)
+        .select(col("mden").as("num"), (lit(2L) * col("p") * col("n2")).as("den"))
+        .unionAll(jsGrid.filter(col("q") > 0)
+          .select(col("mden").as("num"), (lit(2L) * col("q") * col("n1")).as("den")))
+      val (d256, m256) = boundary(jsNd)
+
+      // q257 grid: one PMI ratio (c_v·c_w, N·c_vw) per bigram above the
+      // evidence floor — the q257 algebra over the same bc/ctx counts
+      val pmiCv = bc.groupBy("v").agg(sum("c_vw").as("c_v"))
+      val pmiCw = bc.groupBy("w").agg(sum("c_vw").as("c_w"))
+      val pmiN = bc.agg(sum("c_vw").as("nn"))
+      val pmiNd = bc.filter(col("c_vw") >= 5L)
+        .join(pmiCv, "v").join(pmiCw, "w").crossJoin(broadcast(pmiN))
+        .select((col("c_v") * col("c_w")).as("num"), (col("nn") * col("c_vw")).as("den"))
+      val (d257, m257) = boundary(pmiNd)
+
       println(s"""{"dir":"$dir","q120_min_boundary_dist":$d120,"q120_margin_x":$m120,""" +
         s""""q243_min_boundary_dist":$d243,"q243_margin_x":$m243,""" +
         s""""q245_min_boundary_dist":$d245,"q245_margin_x":$m245,""" +
+        s""""q256_min_boundary_dist":$d256,"q256_margin_x":$m256,""" +
+        s""""q257_min_boundary_dist":$d257,"q257_margin_x":$m257,""" +
         s""""q147_min_rel_key_gap":$g147,"q151_min_rel_key_gap":$g151,""" +
         s""""q245_min_rel_key_gap":$g245}""")
     }

@@ -110,7 +110,17 @@ object ScaleBench {
     "q250_fs_linkage", "q251_itemsets_apriori",
     // the daily-sketch + register-window rollup and the one-count-then-
     // tiny-model absorption chain
-    "q252_sliding_hll", "q253_absorb_funnel")
+    "q252_sliding_hll", "q253_absorb_funnel",
+    // r13 third wing: the 64-replicate bootstrap expansion (the one
+    // deliberate row-multiplying pass in the repo — partial agg must
+    // absorb it), the two bottom-k ranking aggregates, the JSD count
+    // shuffle, and the PMI bigram count + type join-backs
+    "q254_bootstrap_ci", "q255_ndcg_ranking", "q256_js_drift",
+    "q257_pmi_collocations",
+    // its streamed twin (state-store fixed overhead, e ~ 0 expected),
+    // the TextRank composition (bigram count + in-memory PageRank), and
+    // the single-pass MCC confusion
+    "q258_stream_jsd", "q259_textrank_keywords", "q260_mcc")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

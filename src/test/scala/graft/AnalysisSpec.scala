@@ -986,6 +986,32 @@ class AnalysisSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("mcc equals the direct confusion formula; constant classifier refuses") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(300)((rng.nextBoolean(), rng.nextInt(3) > 0))
+      val got = EvalMetrics
+        .mcc(rows.toDF("y", "yh"), col("y"), col("yh"))
+        .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+      val tp = rows.count(r => r._1 && r._2).toLong
+      val fp = rows.count(r => !r._1 && r._2).toLong
+      val fn = rows.count(r => r._1 && !r._2).toLong
+      val tn = rows.count(r => !r._1 && !r._2).toLong
+      assert(got == ((300L, tp, fp, fn, tn, tp * tn - fp * fn,
+        (tp + fp) * (tn + fn), (tp + fn) * (tn + fp))), s"trial $trial: $got")
+    }
+    // perfect classifier: mcc_num^2 == den2_pred * den2_act (MCC = 1)
+    val perfect = Seq.fill(40)((true, true)) ++ Seq.fill(60)((false, false))
+    val p = EvalMetrics.mcc(perfect.toDF("y", "yh"), col("y"), col("yh"))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(p._6 * p._6 == p._7 * p._8 && p._6 > 0, p.toString)
+    // constant classifier: zero predicted-positive margin -> refusal
+    val const = Seq((true, false), (false, false)).toDF("y", "yh")
+    val e = intercept[Exception] {
+      EvalMetrics.mcc(const, col("y"), col("yh")).collect()
+    }
+    assert(e.getMessage.contains("no defined MCC"), e.getMessage)
+  }
+
   test("ndcgAtK equals the brute-force reference (score rank vs ideal rank)") {
     val disc = EvalMetrics.ndcgDiscounts(4)
     for (trial <- 1 to 3) {

@@ -530,6 +530,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!pm.contains("windowspecdefinition"), s"q257 grew a window sort:\n$pm")
     assert(!pm.contains("n_chars") && !pm.contains("lang") && !pm.contains("source"),
       s"q257 reads unused documents columns:\n$pm")
+    // q259: the TextRank composition — the bigram/edge derivation stays
+    // partial-agg'd equi work (no cartesian, no window sort; the
+    // PageRank rounds run on the in-memory route for this
+    // vocabulary-bounded graph) and the scan reads text only.
+    val tr = plan("q259_textrank_keywords")
+    assert(!tr.contains("CartesianProduct"), s"q259 went cartesian:\n$tr")
+    assert(!tr.contains("windowspecdefinition"), s"q259 grew a window sort:\n$tr")
+    assert(!tr.contains("n_chars") && !tr.contains("lang"),
+      s"q259 reads unused documents columns:\n$tr")
+    // q260: one partial->final aggregate to the 2x2 confusion — no join,
+    // no shuffle beyond the single-row final.
+    val mc = plan("q260_mcc")
+    assert(mc.contains("partial_count") || mc.contains("partial_sum"),
+      s"q260 confusion not partial-agg'd:\n$mc")
+    assert(!mc.contains("Join"), s"q260 grew a join:\n$mc")
+    assert(!mc.contains("props"), s"q260 reads unused events columns:\n$mc")
   }
 
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {

@@ -24,7 +24,7 @@ class RegistrySpec extends SparkSpec {
     "q192_w1_drift", "q194_drift_panel", "q195_stream_tvd", "q218_trend_test",
     "q220_cvm_drift", "q224_mh_odds_ratio", "q229_assortativity",
     "q230_modularity", "q231_ams_joinsize", "q232_stream_digest",
-    "q236_mcnemar", "q256_js_drift")
+    "q236_mcnemar", "q256_js_drift", "q258_stream_jsd", "q260_mcc")
 
   test("every registry entry analyzes against the live testdata (schema-drift guard)") {
     // Standing guard for the r7 failure mode: the driver regenerated
