@@ -1034,6 +1034,42 @@ object EvalMetrics {
       ((col("tp") + col("fn")) * (col("tn") + col("fp"))).as("den2_act"))
   }
 
+  /** Per-group Shannon entropy of a categorical column, in integer
+    * micronats — the diversity audit beside [[concentrationPerGroup]]'s
+    * Gini impurity: H = Σ −p ln p distinguishes "one dominant category +
+    * a long tail" from "a few equal categories" where Gini barely moves,
+    * and is THE standard curation read for "how language/source-diverse
+    * is each slice". H = 0 iff single-category; H = ln(n_distinct) iff
+    * uniform.
+    *
+    * Integer posture: every per-category term is non-negative (c ≤ n so
+    * −ln(c/n) ≥ 0), taken through the certified
+    * [[Guards.lnMicronatFloor]] (the c = n single-category case is the
+    * whitelisted exact ln(1) = 0), the c·t product division-guarded, and
+    * the final h_num div n divides non-negatives — Spark div and DuckDB
+    * // agree, so unlike jsDivergence the division IS emitted.
+    *
+    * Scale shape: one partial-agg'd (g, v) count, a per-group totals
+    * join BY GROUP KEY (never a broadcast of the group frame), one final
+    * partial-agg'd sum. Output: (g, n, n_distinct, entropy_micro). */
+  def entropyPerGroup(df: DataFrame, grp: Column, value: Column): DataFrame = {
+    val cv = df.select(grp.as("g"), value.as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val ng = cv.groupBy("g").agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+    cv.join(ng, "g")
+      .withColumn("t", Guards.lnMicronatFloor(col("c"), col("n"), "entropy"))
+      .withColumn("ct", Guards(
+        col("c") <= expr(s"${Long.MaxValue}L div greatest(t, 1L)"),
+        col("c") * col("t"),
+        Guards.msg("entropy",
+          lit("term c*t = "), col("c"), lit("*"), col("t"),
+          lit(" would overflow int64 - downscale the per-category counts"))))
+      .groupBy("g", "n", "n_distinct")
+      .agg(sum("ct").as("h_num"))
+      .select(col("g"), col("n"), col("n_distinct"),
+        expr("h_num div n").as("entropy_micro"))
+  }
+
   /** The NDCG@k discount ladder floor(10⁶/log₂(i+1)), i = 1..k — shared
     * by the plan and the oracle-SQL builder so both engines compare the
     * SAME integer constants. */

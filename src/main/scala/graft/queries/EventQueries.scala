@@ -1210,6 +1210,105 @@ object EventQueries {
                FROM states),
         $steps
         $sel ORDER BY k, state"""
-      })
+      }),
+
+    // B151: multi-touch conversion attribution — which channel (event
+    // type) gets credit for each purchase, under all three standard
+    // models at once: FIRST touch (brand discovery), LAST touch (the
+    // closer), and LINEAR (every touch in the journey splits the credit).
+    // Journey = the touches between consecutive conversions of a user
+    // (the running-conversion-count window segments the stream; a
+    // conversion with no preceding touches earns no attribution —
+    // identically on both sides). Credit is EXACT on the ppm grid: each
+    // conversion distributes exactly 10⁶ ppm per model — linear uses the
+    // q166 largest-remainder split (base = 10⁶ div n to every touch, the
+    // 10⁶ mod n remainder to the EARLIEST touches), so Σ = n·base + r =
+    // 10⁶ with no rounding loss, pinned in AnalysisSpec. All windows
+    // partition on user_id (never a global sort); ties break on
+    // (ts, event_id), the q198 contract.
+    Q(
+      "q261_attribution",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("is_conv",
+            when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .withColumn("cum", sum("is_conv").over(w))
+        val touches = ev.filter(col("is_conv") === 0L)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type").as("channel"), (col("cum") + 1L).as("conv_no"))
+        val convs = ev.filter(col("is_conv") === 1L)
+          .select(col("user_id"), col("cum").as("conv_no"))
+        val wt = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "conv_no").orderBy("ts", "event_id")
+        val wn = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "conv_no")
+        touches.join(convs, Seq("user_id", "conv_no"))
+          .withColumn("pos", row_number().over(wt).cast("long"))
+          .withColumn("n", count(lit(1)).over(wn))
+          .select(col("channel"),
+            when(col("pos") === 1L, 1000000L).otherwise(0L).as("ft"),
+            when(col("pos") === col("n"), 1000000L).otherwise(0L).as("lt"),
+            (expr("1000000L div n") +
+              when(col("pos") <= expr("1000000L % n"), 1L).otherwise(0L)).as("ln_ppm"))
+          .groupBy("channel")
+          .agg(sum("ft").as("first_touch_ppm"), sum("lt").as("last_touch_ppm"),
+            sum("ln_ppm").as("linear_ppm"), count(lit(1)).as("n_touches"))
+          .orderBy("channel")
+      },
+      Some("""
+        WITH ev AS (SELECT user_id, ts, event_id, event_type,
+                           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+                           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cum
+                    FROM events),
+        touches AS (SELECT user_id, ts, event_id, event_type AS channel,
+                           cum + 1 AS conv_no
+                    FROM ev WHERE is_conv = 0),
+        convs AS (SELECT user_id, cum AS conv_no FROM ev WHERE is_conv = 1),
+        seg AS (SELECT t.channel, t.user_id, t.conv_no, t.ts, t.event_id
+                FROM touches t JOIN convs c
+                  ON c.user_id = t.user_id AND c.conv_no = t.conv_no),
+        pos AS (SELECT channel,
+                       row_number() OVER (PARTITION BY user_id, conv_no
+                                          ORDER BY ts, event_id) AS pos,
+                       COUNT(*) OVER (PARTITION BY user_id, conv_no) AS n
+                FROM seg)
+        SELECT channel,
+               CAST(SUM(CASE WHEN pos = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS first_touch_ppm,
+               CAST(SUM(CASE WHEN pos = n THEN 1000000 ELSE 0 END) AS BIGINT) AS last_touch_ppm,
+               CAST(SUM(1000000 // n + CASE WHEN pos <= 1000000 % n THEN 1 ELSE 0 END) AS BIGINT) AS linear_ppm,
+               CAST(COUNT(*) AS BIGINT) AS n_touches
+        FROM pos GROUP BY 1 ORDER BY channel""")),
+
+    // B152: per-source language entropy — the diversity audit of the
+    // curation wing (EvalMetrics.entropyPerGroup): H = Σ −p ln p in
+    // integer micronats distinguishes "one dominant language + tail"
+    // from "few equal languages" where q193's Gini impurity barely
+    // moves; H = 0 iff monolingual, ln(n_distinct) iff uniform. Every
+    // term rides the certified micronat floor (non-negative, so the
+    // final div is emitted — unlike q256's sign-mixed sums).
+    Q(
+      "q262_source_entropy",
+      (s, dir) =>
+        graft.operators.EvalMetrics.entropyPerGroup(
+            Tables.documents(s, dir), col("source"), col("lang"))
+          .withColumnRenamed("g", "source")
+          .orderBy("source"),
+      Some("""
+        WITH cv AS (SELECT source AS g, lang AS v, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM documents GROUP BY 1, 2),
+        ng AS (SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+                      CAST(COUNT(*) AS BIGINT) AS n_distinct
+               FROM cv GROUP BY 1),
+        t AS (SELECT cv.g, n, n_distinct, c,
+                     CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS t
+              FROM cv JOIN ng USING (g)),
+        h AS (SELECT g, n, n_distinct, CAST(SUM(c * t) AS BIGINT) AS h_num
+              FROM t GROUP BY 1, 2, 3)
+        SELECT g AS source, n, n_distinct, h_num // n AS entropy_micro
+        FROM h ORDER BY source"""))
   )
 }

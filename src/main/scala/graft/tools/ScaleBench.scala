@@ -120,7 +120,10 @@ object ScaleBench {
     // its streamed twin (state-store fixed overhead, e ~ 0 expected),
     // the TextRank composition (bigram count + in-memory PageRank), and
     // the single-pass MCC confusion
-    "q258_stream_jsd", "q259_textrank_keywords", "q260_mcc")
+    "q258_stream_jsd", "q259_textrank_keywords", "q260_mcc",
+    // the per-user attribution windows + segment join, and the
+    // per-group entropy count/join/sum chain
+    "q261_attribution", "q262_source_entropy")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

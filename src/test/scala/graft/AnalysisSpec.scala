@@ -1012,6 +1012,48 @@ class AnalysisSpec extends SparkSpec {
     assert(e.getMessage.contains("no defined MCC"), e.getMessage)
   }
 
+  test("entropyPerGroup equals the floored reference; 0 on single-category, ln k on uniform") {
+    for (trial <- 1 to 3) {
+      val rows = Seq.fill(300)((s"g${rng.nextInt(4)}", s"v${rng.nextInt(6)}"))
+      val got = EvalMetrics
+        .entropyPerGroup(rows.toDF("g", "v"), col("g"), col("v"))
+        .orderBy("g")
+        .as[(String, Long, Long, Long)].collect()
+      val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rs) =>
+        val cs = rs.groupBy(_._2).values.map(_.size.toLong)
+        val n = cs.sum
+        val h = cs.map(c =>
+          c * math.floor(-math.log(c.toDouble / n.toDouble) * 1e6).toLong).sum
+        (g, n, cs.size.toLong, h / n)
+      }
+      assert(got.toSeq == want, s"trial $trial")
+    }
+    // single category -> exactly 0 (the whitelisted ln(1) case)
+    val mono = Seq.fill(50)(("g", "only")).toDF("g", "v")
+    val m = EvalMetrics.entropyPerGroup(mono, col("g"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(m == (("g", 50L, 1L, 0L)), m.toString)
+    // uniform over k categories -> floor-sum of ln k (within 1 micronat
+    // of k*(n/k)*ln(k)*1e6 / n = ln(k)*1e6, up to the per-term floor)
+    val k = 8
+    val uni = (1 to 400).map(i => ("g", s"v${i % k}")).toDF("g", "v")
+    val u = EvalMetrics.entropyPerGroup(uni, col("g"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head
+    val lnk = math.floor(math.log(k.toDouble) * 1e6).toLong
+    assert(math.abs(u._4 - lnk) <= 1L, s"uniform entropy ${u._4} vs ln k grid $lnk")
+  }
+
+  test("q261 attribution: every model distributes exactly 10^6 ppm per attributed conversion") {
+    val q = QueryRegistry.byName("q261_attribution")
+      .run(spark, "/root/testdata/sf0.001")
+    val r = q.agg(
+      sum("first_touch_ppm"), sum("last_touch_ppm"), sum("linear_ppm"))
+      .as[(Long, Long, Long)].collect().head
+    assert(r._1 == r._2 && r._2 == r._3, s"models disagree on total credit: $r")
+    assert(r._1 > 0 && r._1 % 1000000L == 0L,
+      s"total credit not a whole number of conversions: $r")
+  }
+
   test("ndcgAtK equals the brute-force reference (score rank vs ideal rank)") {
     val disc = EvalMetrics.ndcgDiscounts(4)
     for (trial <- 1 to 3) {

@@ -546,6 +546,24 @@ class PlanQualitySpec extends SparkSpec {
       s"q260 confusion not partial-agg'd:\n$mc")
     assert(!mc.contains("Join"), s"q260 grew a join:\n$mc")
     assert(!mc.contains("props"), s"q260 reads unused events columns:\n$mc")
+    // q261: every window partitions on user_id (no global event sort),
+    // the touch↔conversion meet is an equi join, the final rollup is
+    // partial-agg'd, and the scan leaves value/props behind.
+    val at = plan("q261_attribution")
+    assert(!at.contains("CartesianProduct"), s"q261 went cartesian:\n$at")
+    assert(at.contains("windowspecdefinition(user_id"),
+      s"q261 window not user-partitioned:\n$at")
+    assert(at.contains("partial_sum"), s"q261 rollup not partial-agg'd:\n$at")
+    assert(!at.contains("props") && !at.contains("value:double"),
+      s"q261 reads unused events columns:\n$at")
+    // q262: per-group counts partial-aggregate and the totals attach by
+    // GROUP KEY (equi join), never a broadcast nested loop over groups.
+    val en = plan("q262_source_entropy")
+    assert(!en.contains("CartesianProduct") && !en.contains("BroadcastNestedLoopJoin"),
+      s"q262 totals not equi-joined:\n$en")
+    assert(en.contains("partial_count"), s"q262 counts not partial-agg'd:\n$en")
+    assert(!en.contains("n_chars") && !en.contains("text"),
+      s"q262 reads unused documents columns:\n$en")
   }
 
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
