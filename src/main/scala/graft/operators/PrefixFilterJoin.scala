@@ -87,6 +87,69 @@ object PrefixFilterJoin {
         lit(tPpm) * col("union_sz"))
   }
 
+  /** EXACT containment join — the ASYMMETRIC tier of the family: all
+    * (probe x, corpus y) pairs with C(x→y) = |x∩y| / |x| ≥ t, no false
+    * negatives. This is the decontamination question proper ("is this
+    * TEST SET inside that training document"), which Jaccard understates
+    * whenever |y| ≫ |x|: a 50-shingle benchmark fully contained in a
+    * 5000-shingle document has J ≈ 0.01 but C = 1.0.
+    *
+    * Prefix filter, containment form: C ≥ t forces the overlap
+    * o ≥ ⌈t·|x|⌉, which cannot hide entirely in the ⌈t·|x|⌉ − 1
+    * elements past x's prefix of p = |x| − ⌈t·|x|⌉ + 1 elements — the
+    * pigeonhole needs ONLY x's prefix, so y indexes its FULL element
+    * list (the overlap may sit anywhere in y; a y-side prefix would
+    * break the no-false-negative contract). The canonical order ranks
+    * x's elements by CORPUS document frequency asc (rarest first, the
+    * selectivity argument); probe elements absent from the corpus get
+    * df = 0 and sort first — they match nothing, and the pigeonhole
+    * holds for ANY total order, so correctness is unaffected. Length
+    * filter: |y| ≥ ⌈t·|x|⌉. Verification is the jaccardJoin idiom —
+    * per-candidate sorted-array attach + hash array_intersect, never a
+    * candidate×element explode. All exact-integer arithmetic
+    * (cross-multiplied threshold compare).
+    *
+    * Returns `(xid, yid, inter, szx, containment_ppm)` for all pairs
+    * with C ≥ tPpm/10⁶, containment_ppm floored. Callers wanting
+    * probe-side self-exclusion filter ids themselves.
+    */
+  def containmentJoin(probes: DataFrame, corpus: DataFrame, idCol: String,
+      elemCol: String, tPpm: Long): DataFrame = {
+    require(tPpm >= 1L && tPpm <= 1000000L,
+      s"PrefixFilterJoin wants tPpm in [1, 10^6], got $tPpm")
+    val px = graft.Q.persistOnce(
+      probes.select(col(idCol).as("xid"), col(elemCol).as("elem"))
+        .filter(col("elem").isNotNull).distinct())
+    val py = graft.Q.persistOnce(
+      corpus.select(col(idCol).as("yid"), col(elemCol).as("elem"))
+        .filter(col("elem").isNotNull).distinct())
+    val sx = px.groupBy("xid").agg(count(lit(1)).as("szx"))
+    val dfreq = py.groupBy("elem").agg(count(lit(1)).as("df"))
+    val ranked = px.join(dfreq, Seq("elem"), "left")
+      .withColumn("dfc", coalesce(col("df"), lit(0L)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("xid").orderBy(col("dfc"), col("elem"))))
+      .join(sx, "xid")
+    // x prefix p = szx − ⌈t·szx⌉ + 1; the y side is the full index
+    val pref = ranked.filter(
+      col("pos") <= col("szx") - expr(s"($tPpm * szx + 999999) div 1000000") + 1L)
+      .select(col("elem"), col("xid"), col("szx"))
+    val sy = py.groupBy("yid").agg(count(lit(1)).as("szy"))
+    val cand = pref.join(py, "elem")
+      .join(sy, "yid")
+      .filter(lit(1000000L) * col("szy") >= lit(tPpm) * col("szx"))
+      .select(col("xid"), col("yid"), col("szx"))
+      .distinct()
+    val xa = px.groupBy("xid").agg(sort_array(collect_list("elem")).as("arr_x"))
+    val ya = py.groupBy("yid").agg(sort_array(collect_list("elem")).as("arr_y"))
+    cand.join(xa, "xid").join(ya, "yid")
+      .select(col("xid"), col("yid"), col("szx"),
+        size(array_intersect(col("arr_x"), col("arr_y"))).cast("long").as("inter"))
+      .filter(lit(1000000L) * col("inter") >= lit(tPpm) * col("szx"))
+      .select(col("xid"), col("yid"), col("inter"), col("szx"),
+        expr("(1000000 * inter) div szx").as("containment_ppm"))
+  }
+
   /** Candidate pairs `(id_a, id_b)` surviving the prefix + length (+
     * positional, when enabled) filters over a deduped non-null
     * `(id, elem)` frame. Package-private with the `positional` toggle so

@@ -1490,7 +1490,102 @@ object TextQueries {
         FROM it4 p JOIN dict d ON d.node = p.node
         ORDER BY score DESC, word
         LIMIT 20"""
-      })
+      }),
+
+    // B153: cross-source duplication matrix — EXACT pairwise Jaccard
+    // over each source's distinct 3-shingle set: the corpus-level
+    // "which SOURCES republish each other" read that the doc-level dedup
+    // tiers (q56/q57/q234) can't give directly. The pair frame is
+    // bounded by construction: per shingle the sources sharing it are
+    // collected once (≤ |sources| = 20) and combinations explode to
+    // ≤ C(20,2) = 190 rows — never a doc×doc or shingle×shingle join;
+    // marginals are |sources|-row aggregates. Pure int64 with the ·10⁶
+    // grid wrap-guarded in-plan.
+    Q(
+      "q263_source_overlap",
+      (s, dir) => {
+        import graft.operators.Guards
+        val docs = Tables.documents(s, dir)
+        val sh = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text", 3)
+          .join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .select(col("source"), col("shingle")).distinct()
+        val ns = sh.groupBy("source").agg(count(lit(1)).as("n"))
+        val pairs = sh.groupBy("shingle")
+          .agg(sort_array(collect_set("source")).as("ss"))
+          .select(explode(flatten(transform(col("ss"), (a, i) =>
+            transform(slice(col("ss"), i + 2, size(col("ss"))),
+              b => struct(a.as("s1"), b.as("s2"))))))
+            .as("p"))
+          .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+          .agg(count(lit(1)).as("c"))
+        pairs
+          .join(ns.select(col("source").as("s1"), col("n").as("n1")), "s1")
+          .join(ns.select(col("source").as("s2"), col("n").as("n2")), "s2")
+          .select(col("s1"), col("s2"), col("c"), col("n1"), col("n2"),
+            Guards(col("c") <= lit(Long.MaxValue / 1000000L),
+              expr("(c * 1000000) div (n1 + n2 - c)"),
+              Guards.msg("source-overlap",
+                lit("shared-shingle count "), col("c"),
+                lit(" wraps the x10^6 grid; coarsen"))).as("jac_ppm"))
+          .orderBy("s1", "s2")
+      },
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+                      FROM documents),
+        sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+                  FROM toks)),
+        sh AS (SELECT DISTINCT d.source, sh0.sh
+               FROM sh0 JOIN documents d USING (doc_id)),
+        ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+        p AS (SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS c
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT s1, s2, c, n1.n AS n1, n2.n AS n2,
+               (c * 1000000) // (n1.n + n2.n - c) AS jac_ppm
+        FROM p JOIN ns n1 ON n1.source = p.s1 JOIN ns n2 ON n2.source = p.s2
+        ORDER BY s1, s2""")),
+
+    // B154: EXACT containment decontamination — the asymmetric question
+    // q234's Jaccard tier understates: "how much of test document x is
+    // INSIDE training document y" (a 50-shingle benchmark fully inside a
+    // 5000-shingle doc has J ≈ 0.01 but C = 1.0). zh-language docs play
+    // the test set, the rest the training corpus, threshold 80% of the
+    // probe's 3-shingles. The prefix filter needs only the PROBE side
+    // (overlap ≥ ⌈t·|x|⌉ cannot hide past x's prefix — see
+    // operators/PrefixFilterJoin.containmentJoin); the oracle is the
+    // brute-force all-pairs join, the standing no-false-negative proof.
+    Q(
+      "q264_containment_decon",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sh = graft.operators.Dedup.shingleIndex(docs, "doc_id", "text", 3)
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        graft.operators.PrefixFilterJoin.containmentJoin(
+            probes = sh.filter(col("lang") === "zh"),
+            corpus = sh.filter(col("lang") =!= "zh"),
+            idCol = "doc_id", elemCol = "shingle", tPpm = 800000L)
+          .orderBy("xid", "yid")
+      },
+      Some(raw"""
+        WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS ts
+                      FROM documents),
+        sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+                  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 2, 0) + 1),
+                                        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sh
+                  FROM toks)),
+        shl AS (SELECT sh0.doc_id, d.lang, sh0.sh
+                FROM sh0 JOIN documents d USING (doc_id)),
+        px AS (SELECT doc_id AS xid, sh FROM shl WHERE lang = 'zh'),
+        py AS (SELECT doc_id AS yid, sh FROM shl WHERE lang <> 'zh'),
+        nx AS (SELECT xid, CAST(COUNT(*) AS BIGINT) AS szx FROM px GROUP BY 1),
+        ov AS (SELECT xid, yid, CAST(COUNT(*) AS BIGINT) AS inter
+               FROM px JOIN py USING (sh) GROUP BY 1, 2)
+        SELECT xid, yid, inter, szx, (1000000 * inter) // szx AS containment_ppm
+        FROM ov JOIN nx USING (xid)
+        WHERE 1000000 * inter >= 800000 * szx
+        ORDER BY xid, yid"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair

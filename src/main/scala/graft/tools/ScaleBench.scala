@@ -123,7 +123,10 @@ object ScaleBench {
     "q258_stream_jsd", "q259_textrank_keywords", "q260_mcc",
     // the per-user attribution windows + segment join, and the
     // per-group entropy count/join/sum chain
-    "q261_attribution", "q262_source_entropy")
+    "q261_attribution", "q262_source_entropy",
+    // the bounded per-shingle source-pair explode and the asymmetric
+    // containment prefix join (probe prefix vs full corpus index)
+    "q263_source_overlap", "q264_containment_decon")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

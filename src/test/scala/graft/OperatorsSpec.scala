@@ -503,6 +503,55 @@ class OperatorsSpec extends SparkSpec {
       s"null elements skewed the join: $gotN")
   }
 
+  test("PrefixFilterJoin.containmentJoin equals the brute-force all-pairs join") {
+    import graft.operators.PrefixFilterJoin
+    val rnd = new Random(17)
+    for (trial <- 1 to 3; tPpm <- Seq(300000L, 500000L, 800000L)) {
+      // small probes vs larger corpus docs, clustered so containment
+      // (not just Jaccard) pairs exist — the |y| >> |x| regime the
+      // asymmetric tier is FOR
+      val probes = (1L to 12L).map { id =>
+        val base = (id % 4) * 15
+        id -> (0 until (3 + rnd.nextInt(5))).map(_ => s"e${base + rnd.nextInt(20)}").toSet
+      }
+      val corpus = (101L to 125L).map { id =>
+        val base = (id % 4) * 15
+        id -> (0 until (10 + rnd.nextInt(25))).map(_ => s"e${base + rnd.nextInt(30)}").toSet
+      }
+      val pdf = probes.flatMap { case (id, es) => es.map(e => (id, e)) }.toDF("id", "el")
+      val cdf = corpus.flatMap { case (id, es) => es.map(e => (id, e)) }.toDF("id", "el")
+      val got = PrefixFilterJoin.containmentJoin(pdf, cdf, "id", "el", tPpm)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val want = (for {
+        (x, sx) <- probes; (y, sy) <- corpus
+        inter = (sx intersect sy).size.toLong
+        szx = sx.size.toLong
+        if 1000000L * inter >= tPpm * szx
+      } yield (x, y, inter, szx, 1000000L * inter / szx)).toSet
+      assert(got == want, s"trial $trial t=$tPpm: got ${got.size} want ${want.size}")
+    }
+    // the pigeonhole edge the y-side prefix would break: y's matching
+    // elements are its most FREQUENT (sort last in the canonical order),
+    // so any y-side prefix filter would miss the pair — the full y index
+    // must find it. x = {a,b}, every corpus doc contains a and b plus
+    // rare private elements; C(x->y) = 1.0 for all.
+    val px = Seq((1L, "a"), (1L, "b")).toDF("id", "el")
+    val py = (101L to 105L).flatMap(y =>
+      Seq((y, "a"), (y, "b"), (y, s"rare$y"), (y, s"solo$y"))).toDF("id", "el")
+    val full = PrefixFilterJoin.containmentJoin(px, py, "id", "el", 1000000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(full == (101L to 105L).map(y => (1L, y, 2L, 2L, 1000000L)).toSet,
+      s"full-index contract broken: $full")
+    // probe elements ABSENT from the corpus (df 0, sort first in the
+    // prefix) must not create false negatives: x = {a, zz} with zz
+    // nowhere in the corpus still reaches C = 1/2 pairs at t = 0.5
+    val pxa = Seq((1L, "a"), (1L, "zz")).toDF("id", "el")
+    val half = PrefixFilterJoin.containmentJoin(pxa, py, "id", "el", 500000L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(half == (101L to 105L).map(y => (1L, y, 1L, 2L, 500000L)).toSet,
+      s"absent-element prefix slot caused a false negative: $half")
+  }
+
   test("CountMin never undercounts, matches exact within the 2N/width bound, and merges by sum") {
     import graft.operators.CountMin
     val rnd = new Random(23)

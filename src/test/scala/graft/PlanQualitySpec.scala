@@ -564,6 +564,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(en.contains("partial_count"), s"q262 counts not partial-agg'd:\n$en")
     assert(!en.contains("n_chars") && !en.contains("text"),
       s"q262 reads unused documents columns:\n$en")
+    // q263: the pair frame comes from the bounded per-shingle
+    // combination explode — every join is an equi join, no window, and
+    // the scan skips the documents payload.
+    val so = plan("q263_source_overlap")
+    assert(!so.contains("CartesianProduct"), s"q263 went cartesian:\n$so")
+    assert(!so.contains("windowspecdefinition"), s"q263 grew a window sort:\n$so")
+    assert(so.contains("partial_count"), s"q263 counts not partial-agg'd:\n$so")
+    assert(!so.contains("n_chars") && !so.contains("lang"),
+      s"q263 reads unused documents columns:\n$so")
+    // q264: containment candidates meet on the element equi join (the
+    // probe prefix vs the full corpus index) — no cartesian anywhere;
+    // the probe ranking window partitions per set id.
+    val cd = plan("q264_containment_decon")
+    assert(!cd.contains("CartesianProduct"), s"q264 went cartesian:\n$cd")
+    assert(cd.contains("windowspecdefinition(xid"),
+      s"q264 prefix rank not per-probe-partitioned:\n$cd")
+    assert(!cd.contains("n_chars") && !cd.contains("source"),
+      s"q264 reads unused documents columns:\n$cd")
   }
 
   test("q134: coordinated sample is one partial-agg'd aggregate, never a window sort") {
