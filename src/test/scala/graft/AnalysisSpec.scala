@@ -977,6 +977,19 @@ class AnalysisSpec extends SparkSpec {
     assert(d == ((80L, 120L, 80L * 693147L, 120L * 693147L)), d.toString)
   }
 
+  test("jsCounts (the streamed-twin entry) equals jsDivergence on the same data") {
+    val rows = Seq.fill(200)((rng.nextBoolean(), s"c${rng.nextInt(5)}"))
+    val viaRows = EvalMetrics
+      .jsDivergence(rows.toDF("s1", "v"), col("s1"), col("v"))
+      .as[(Long, Long, Long, Long)].collect().head
+    val counts = rows.groupBy(_._2).toSeq.map { case (v, rs) =>
+      (v, rs.count(_._1).toLong, rs.count(!_._1).toLong)
+    }
+    val viaCounts = EvalMetrics.jsCounts(counts.toDF("v", "p", "q"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(viaRows == viaCounts, s"$viaRows vs $viaCounts")
+  }
+
   test("jsDivergence refuses an empty sample loudly") {
     val df = Seq((true, "a"), (true, "b")).toDF("s1", "v")
     val e = intercept[Exception] {

@@ -107,6 +107,22 @@ class BootstrapSpec extends SparkSpec {
       e.getMessage)
   }
 
+  test("meanCi percentile extremes clamp to the first/last order statistic") {
+    val df = (1 to 30).map(i => ("g", s"x$i", (i % 11).toLong)).toDF("g", "id", "y")
+    val r = Bootstrap.meanCi(df, col("g"), col("id"), col("y"), 16, "ext",
+      loPpm = 0L, hiPpm = 1000000L).collect().head
+    // replay: lo clamps to rank 1 (ceil(0*16)=0 -> max(1,.)), hi = rank 16
+    val mus = (0 until 16).map { rep =>
+      val (sky, sk) = (1 to 30).foldLeft((0L, 0L)) { case ((a, b), i) =>
+        val k = drawRef(hash60(s"ext:x$i:$rep"))
+        (a + k * (i % 11).toLong, b + k)
+      }
+      (sky * 1000000L) / sk
+    }.sorted
+    assert(r.getLong(3) == mus.head && r.getLong(4) == mus.last,
+      s"extremes ${r.getLong(3)}/${r.getLong(4)} vs ${mus.head}/${mus.last}")
+  }
+
   test("meanCi rejects out-of-range reps and percentile bounds") {
     val df = Seq(("g", "a", 1L)).toDF("g", "id", "y")
     intercept[IllegalArgumentException] {
