@@ -32,6 +32,11 @@ import org.apache.spark.sql.functions._
   * A replicate whose k's all drew 0 (probability e⁻ⁿ per group — real
   * only for near-empty groups) has no defined mean and the guard
   * refuses loudly rather than silently skewing the order statistics.
+  *
+  * Sum posture: the intake bound makes each k·y term int64-safe; the
+  * Σ k·y replicate sums are ANSI-loud past 2⁶³ (Spark 4 default,
+  * pinned in AnsiOverflowSpec) — both engines error rather than
+  * silently diverging on a ≥ 10¹⁸-mass group.
   */
 object Bootstrap {
 

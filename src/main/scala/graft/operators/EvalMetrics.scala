@@ -884,7 +884,13 @@ object EvalMetrics {
   /** [[jsDivergence]] from PRE-AGGREGATED per-category counts `(v, p, q)`
     * — same guards and output columns as the row-level tier (the
     * tvdCounts split: per-category counts are associative, so a streamed
-    * Complete-mode histogram feeds this bit-identically). */
+    * Complete-mode histogram feeds this bit-identically).
+    *
+    * Sum posture (the Dsir contract): each per-term PRODUCT is
+    * division-guarded in-plan; the num sums themselves are ANSI-loud
+    * (Spark 4 default, pinned in AnsiOverflowSpec) — a corpus whose
+    * Σ p·t exceeds int64 errors on BOTH engines rather than silently
+    * diverging. */
   def jsCounts(perV: DataFrame): DataFrame = {
     val tot = perV.agg(sum("p").as("n1"), sum("q").as("n2"))
       .select(
@@ -946,7 +952,10 @@ object EvalMetrics {
     * `graft_bottom_k` aggregates (desc keys; ties break to the smaller
     * (item, rel) payload) — O(groups×k) shuffle, never a per-group
     * window sort; the DCG sums are zip_with/aggregate HOFs over the
-    * ≤k-element arrays, inside codegen.
+    * ≤k-element arrays, inside codegen. The intake bound makes each
+    * rel·d_i term int64-safe; the ≤k-term DCG fold itself is ANSI-loud
+    * past 2⁶³ (pinned in AnsiOverflowSpec) — both engines error, never
+    * a silent wrap.
     *
     * Output: (g, n_items, dcg_micro, idcg_micro, ndcg_ppm) per group.
     */
@@ -1051,7 +1060,10 @@ object EvalMetrics {
     *
     * Scale shape: one partial-agg'd (g, v) count, a per-group totals
     * join BY GROUP KEY (never a broadcast of the group frame), one final
-    * partial-agg'd sum. Output: (g, n, n_distinct, entropy_micro). */
+    * partial-agg'd sum. Output: (g, n, n_distinct, entropy_micro).
+    * The h_num sum is ANSI-loud past int64 (n·ln(n)·10⁶ reaches 2⁶³ at
+    * n ≈ 3·10¹¹ rows per group — both engines error there, pinned in
+    * AnsiOverflowSpec; downscale counts beyond). */
   def entropyPerGroup(df: DataFrame, grp: Column, value: Column): DataFrame = {
     val cv = df.select(grp.as("g"), value.as("v"))
       .groupBy("g", "v").agg(count(lit(1)).as("c"))
