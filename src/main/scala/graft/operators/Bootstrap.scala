@@ -20,8 +20,10 @@ import org.apache.spark.sql.functions._
   * PRECOMPUTED integer thresholds T_j = floor(P(K≤j)·2⁶⁰) (exact
   * 60-digit decimal arithmetic, baked as literals into plan AND oracle
   * — the NDCG posture: nothing floats at runtime). k = #{j : u ≥ T_j}
-  * ∈ [0, 9]; the tail P(K>8) ≈ 1.1·10⁻⁷ is truncated into k = 9
-  * IDENTICALLY on both engines, a bias ~10⁻⁷ of one row's weight.
+  * ∈ [0, 9]; the tail P(K>8) ≈ 1.1·10⁻⁶ draws k = 9 IDENTICALLY on
+  * both engines — of it only P(K≥10) ≈ 1.1·10⁻⁷ is mass MISASSIGNED
+  * to k = 9 (true K = 9 draws are exact), a bias ~10⁻⁷ of one row's
+  * weight.
   * Replicate means land on the ppm grid by integer division of
   * non-negative sums (Spark `div` and DuckDB `//` agree there — y < 0
   * refuses at intake, the Ablation posture), and the percentile bounds
@@ -42,7 +44,8 @@ object Bootstrap {
 
   /** Poisson(1) CDF on the 2⁶⁰ grid: T(j) = floor(P(K≤j)·2⁶⁰), j = 0..8
     * (e⁻¹·Σ_{i≤j} 1/i! at 60-digit precision; tail mass past j = 8 is
-    * 1.1e-7). Shared by the plan and the oracle-SQL builders. */
+    * P(K>8) ≈ 1.1e-6, of which P(K≥10) ≈ 1.1e-7 folds into the k = 9
+    * draw). Shared by the plan and the oracle-SQL builders. */
   val PoissonCdf60: Seq[Long] = Seq(
     424136118829305329L, // j=0, CDF .3678794411714423
     848272237658610659L, // j=1, .7357588823428847

@@ -884,14 +884,30 @@ object EvalMetrics {
   /** [[jsDivergence]] from PRE-AGGREGATED per-category counts `(v, p, q)`
     * — same guards and output columns as the row-level tier (the
     * tvdCounts split: per-category counts are associative, so a streamed
-    * Complete-mode histogram feeds this bit-identically).
+    * Complete-mode histogram feeds this bit-identically), PLUS a
+    * non-negativity intake guard on p/q that the row-level tier's
+    * groupBy counts can never trip: a malformed caller-supplied
+    * histogram refuses with the intake message instead of flowing a
+    * negative count into mden and a confusing ln-domain error.
     *
     * Sum posture (the Dsir contract): each per-term PRODUCT is
     * division-guarded in-plan; the num sums themselves are ANSI-loud
     * (Spark 4 default, pinned in AnsiOverflowSpec) — a corpus whose
     * Σ p·t exceeds int64 errors on BOTH engines rather than silently
     * diverging. */
-  def jsCounts(perV: DataFrame): DataFrame = {
+  def jsCounts(perV0: DataFrame): DataFrame = {
+    // intake contract on the pre-aggregated entry point: a malformed
+    // caller histogram with a NEGATIVE count must refuse with THIS
+    // message, not garble mden into an ln-domain error downstream. The
+    // guards ride p/q themselves, which EVERY consumer (the totals sums,
+    // mden, the p·t/q·t terms) reads — the row-level tier's groupBy
+    // counts can never trip them.
+    def nonNeg(c: String): Column = Guards(
+      col(c) >= 0L, col(c),
+      Guards.msg("js-drift",
+        lit(s"per-category counts must be non-negative, got $c = "),
+        col(c).cast("string"), lit(" - fix the caller-supplied histogram")))
+    val perV = perV0.select(col("v"), nonNeg("p").as("p"), nonNeg("q").as("q"))
     val tot = perV.agg(sum("p").as("n1"), sum("q").as("n2"))
       .select(
         guard(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -135,9 +135,17 @@ object PrefixFilterJoin {
       col("pos") <= col("szx") - expr(s"($tPpm * szx + 999999) div 1000000") + 1L)
       .select(col("elem"), col("xid"), col("szx"))
     val sy = py.groupBy("yid").agg(count(lit(1)).as("szy"))
+    // the ·10⁶ ppm products are wrap-guarded in-plan (the q263 jac_ppm
+    // posture): tPpm ≤ 10⁶, so one bound per factor covers both sides
+    // of each cross-multiplied compare
+    def ppm(c: Column, what: String): Column = Guards(
+      c <= lit(Long.MaxValue / 1000000L), lit(1000000L) * c,
+      Guards.msg("containment-join",
+        lit(s"$what = "), c.cast("string"),
+        lit(" wraps the x10^6 ppm grid; shard the element sets")))
     val cand = pref.join(py, "elem")
       .join(sy, "yid")
-      .filter(lit(1000000L) * col("szy") >= lit(tPpm) * col("szx"))
+      .filter(ppm(col("szy"), "corpus-set size szy") >= lit(tPpm) * col("szx"))
       .select(col("xid"), col("yid"), col("szx"))
       .distinct()
     val xa = px.groupBy("xid").agg(sort_array(collect_list("elem")).as("arr_x"))
@@ -145,8 +153,10 @@ object PrefixFilterJoin {
     cand.join(xa, "xid").join(ya, "yid")
       .select(col("xid"), col("yid"), col("szx"),
         size(array_intersect(col("arr_x"), col("arr_y"))).cast("long").as("inter"))
-      .filter(lit(1000000L) * col("inter") >= lit(tPpm) * col("szx"))
+      .filter(ppm(col("inter"), "overlap count inter") >= lit(tPpm) * col("szx"))
       .select(col("xid"), col("yid"), col("inter"), col("szx"),
+        // the filter above already consumed the guarded product for this
+        // exact inter; the re-multiply here is ANSI-loud besides
         expr("(1000000 * inter) div szx").as("containment_ppm"))
   }
 

@@ -990,6 +990,17 @@ class AnalysisSpec extends SparkSpec {
     assert(viaRows == viaCounts, s"$viaRows vs $viaCounts")
   }
 
+  test("jsCounts refuses a malformed histogram with negative counts loudly") {
+    // the pre-aggregated entry point takes caller-supplied counts the
+    // row-level tier can never produce — the intake contract must refuse
+    // with ITS message, not a downstream ln-domain garble
+    val bad = Seq(("a", 10L, 5L), ("b", -3L, 7L)).toDF("v", "p", "q")
+    val e = intercept[Exception] {
+      EvalMetrics.jsCounts(bad).collect()
+    }
+    assert(e.getMessage.contains("counts must be non-negative"), e.getMessage)
+  }
+
   test("jsDivergence refuses an empty sample loudly") {
     val df = Seq((true, "a"), (true, "b")).toDF("s1", "v")
     val e = intercept[Exception] {
