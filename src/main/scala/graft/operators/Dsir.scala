@@ -30,13 +30,21 @@ import org.apache.spark.sql.functions._
   *
   * The draw reuses the B59 exponential-race order in LOG space:
   * key = ln(−ln u) − lw/10⁶ with u the hash60 uniform ranks IDENTICALLY
-  * to esKey with w = exp(lw/10⁶) (ln is monotone) but never evaluates
-  * the exp — a +50-nat document would overflow a double weight. Rank
-  * comparisons absorb the libm ln wobble per the measured q147 contract:
-  * tools.FloatMargin measures THIS operator's channels directly — grid
-  * boundary distances ≥ 8.9e-4 (≥ 3.2e4× the lnMicronatFloor refusal
-  * threshold) and adjacent-key gaps 5.2e-5 at sf0.01 / 4.0e-8 at sf0.1,
-  * ≥ 7 orders above the 1-ulp wobble.
+  * to the raw esKey with w = exp(lw/10⁶) (ln is monotone) but never
+  * evaluates the exp — a +50-nat document would overflow a double
+  * weight. The ORDERING surface is the QUANTIZED key (the
+  * [[Sampling.esKeyMicro]] posture, adopted in r14 when FloatMargin
+  * showed the raw adjacent-key gap losing ~3 orders of magnitude per
+  * 10× of data — 5.2e-5 at sf0.01 → 4.0e-8 at sf0.1 → 1.8e-9 at 10× →
+  * 1.1e-10 at 30× (FLOATMARGIN_r14.jsonl), a ~1/n² trend crossing
+  * ln-wobble near 10⁹ docs): rank by (floor(key·10⁶), −h, doc_id),
+  * so near-ties collapse into one micro-cell and break on the hash
+  * deterministically on BOTH engines; the residual per-key cell-flip
+  * probability ~|kq|·1e-15 is membership-relevant only at the k-th cut
+  * (~1e-7 per query at k=25). tools.FloatMargin measures THIS
+  * operator's channels directly — the LM grid boundary distances
+  * (≥ 3.2e4× the lnMicronatFloor refusal threshold) and the race-key
+  * cell-boundary distances per scale point.
   *
   * Scale shape: corpus-scale work is ONE (doc, bucket) partial-agg'd
   * count; both LMs are ≤ `buckets`-row aggregates of it joined back as
@@ -88,7 +96,11 @@ object Dsir {
   }
 
   /** Importance-resampled top-k: (doc_id, lw_micro, rk), rk in 1..k by
-    * the exponential-race order (ties to the smaller doc_id).
+    * the QUANTIZED exponential-race order — floor(ky·10⁶) cells with the
+    * hash-desc in-cell tie-break, the [[Sampling.esKeyMicro]] posture
+    * (for equal-lw cellmates h desc equals the exact raw-key order:
+    * ln(−ln u) is decreasing in h for fixed lw), falling through to the
+    * smaller doc_id on exact (cell, hash) ties.
     * `ngramSeed` salts the bucket hash, `drawSeed` the race uniforms. */
   def resample(docs: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int, k: Int,
@@ -96,11 +108,11 @@ object Dsir {
     graft.plans.GraftExtensions.ensureRegistered(docs.sparkSession)
     val lw = logImportanceMicronats(docs, idCol, textCol, isTarget, buckets, ngramSeed)
     // the B59 (h+1)-then-cast uniform; /2^60 is exact (exponent shift)
-    val u = (graft.functions.GraftFunctions.hash60(drawSeed, col("doc_id"))
-      + lit(1L)).cast("double") / lit((1L << 60).toDouble)
+    val h = graft.functions.GraftFunctions.hash60(drawSeed, col("doc_id"))
+    val u = (h + lit(1L)).cast("double") / lit((1L << 60).toDouble)
     val ky = log(-log(u)) - col("lw_micro").cast("double") / lit(1e6)
     lw.agg(call_function("graft_bottom_k",
-        struct(ky.as("ky"), col("doc_id").as("doc_id")),
+        struct(floor(ky * lit(1e6)).as("kq"), (-h).as("tb")),
         struct(col("doc_id").as("doc_id"), col("lw_micro").as("lw_micro")),
         lit(k)).as("__bk"))
       .select(posexplode(col("__bk")).as(Seq("__pos", "__kv")))

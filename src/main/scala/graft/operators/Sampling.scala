@@ -101,41 +101,96 @@ object Sampling {
     * each map task ships at most k (key, id) pairs per group, O(groups×k)
     * shuffle whatever the table size, and the sample is a pure function
     * of (seed, data) — reproducible across runs, engines and
-    * partitionings. The minimum-key order (hence membership AND rank) is
-    * replayable in SQL from the same hash arithmetic; ln() may wobble by
-    * 1 ulp between engines, astronomically below the typical gap between
-    * adjacent keys, so rank outputs compare exactly (q147's oracle).
+    * partitionings. The ranking key is the QUANTIZED race key
+    * [[esKeyMicro]] — floor((-ln(u)/w)·10⁶) with a hash-desc in-cell
+    * tie-break — so membership AND rank replay exactly in SQL from the
+    * same integer+floor arithmetic (q147's oracle); see esKeyMicro for
+    * why the raw double key's between-rows wobble channel is closed by
+    * construction rather than absorbed by measured gap headroom.
     *
     * Rows with weight <= 0 (or null weight/id) are excluded — zero weight
     * means "never sample me", and a negative rate has no Exponential.
     * Output: groupCols ++ (idCol, rk) with rk in 1..k by key order.
     */
-  /** The Efraimidis–Spirakis ticket key as a column expression —
+  /** The raw Efraimidis–Spirakis ticket key as a column expression —
     * `-ln((hash60(seed, id) + 1) / 2^60) / w`, an Exponential(rate = w)
-    * draw that is a pure function of (seed, id, w). Shared by
-    * [[weightedBottomK]] and its streaming twin
-    * (StreamingJobs.samplerWeightedBottomK) so both rank identical keys.
-    *
-    * Cross-engine float posture (the measured counterpart of
-    * Guards.lnMicronatFloor's in-plan certificate — an ordering key has
-    * no single column for a boundary guard to ride, the boundary is
-    * BETWEEN rows): a rank flips only if two keys sit within the ~1-ulp
-    * (≈1e-16 relative) libm ln skew of each other. Measured minimum
-    * relative gap between rank-ADJACENT keys (graft.tools.FloatMargin):
-    * q147's global ranking 3.4e-5 at sf0.01 / 6.5e-9 at sf0.1, q151's
-    * per-language rankings 6.4e-5 / 8.2e-8 — ≥ 7 orders of magnitude of
-    * headroom over the wobble, over EVERY adjacent pair (the oracle
-    * only compares the top-k, whose gaps are far wider than the bulk
-    * minimum). Birthday arithmetic says the headroom shrinks ~linearly
-    * in corpus size, still ≥ 4 orders at 10^4× the measured scale.
+    * draw that is a pure function of (seed, id, w).
     * (h + 1) adds as INTEGER first, then one cast: 2^60 > 2^53, so
-    * cast-then-add would round differently than add-then-cast, and the
-    * oracle must replay the exact same order of operations. Dividing by
-    * 2^60 is exact (power of two — exponent shift, no rounding). */
+    * cast-then-add would round differently than add-then-cast, and any
+    * replay must follow the exact same order of operations. Dividing by
+    * 2^60 is exact (power of two — exponent shift, no rounding).
+    *
+    * NOT an ordering surface on its own anymore: ranking raw double
+    * keys carries the between-rows wobble channel the r13 verdict
+    * quantified, and the r14 four-point FloatMargin sweep confirmed
+    * the shrink by measurement (committed in FLOATMARGIN_r14.jsonl) —
+    * minimum adjacent-key relative gap at sf0.01 / sf0.1 / 10× / 30×:
+    * q147 3.4e-5 → 6.5e-9 → 2.7e-9 → 1.1e-10, q151 6.4e-5 → 8.2e-8 →
+    * 1.8e-8 → 1.4e-9, q245 5.2e-5 → 4.0e-8 → 1.8e-9 → 1.1e-10 —
+    * a ~1/n² birthday trend that crosses the ~1e-16 libm ln skew near
+    * 10⁹ rows, squarely inside the design-point range, making a
+    * cross-engine rank flip an expected event there. Rank through
+    * [[esKeyMicro]] instead. */
   def esKey(seed: String, idCol: Column, weightCol: Column): Column = {
     val u = (hash60(seed, idCol) + lit(1L)).cast("double") /
       lit((1L << 60).toDouble)
     -log(u) / weightCol.cast("double")
+  }
+
+  /** The QUANTIZED Efraimidis–Spirakis race key: the integer-grid
+    * ordering surface that closes the r13 between-rows wobble channel.
+    * A `struct(kq, tb)` ranked field-lexicographically:
+    *
+    *   kq = floor((-ln(u) / w) · 10⁶)   — the micro-key grid cell
+    *   tb = -hash60(seed, id)           — hash DESC within a cell
+    *
+    * Why this closes the channel: two rows whose raw keys near-tie
+    * (gap below the ln wobble — the flip case) land in the SAME 10⁻⁶
+    * cell with probability 1 − O(gap·10⁶), where the deterministic
+    * integer tie-break resolves them IDENTICALLY on both engines. The
+    * residual cross-engine surface is a key sitting within the ~6-ulp
+    * ln skew of a CELL boundary (the lnMicronatFloor geometry, measured
+    * per ranking by graft.tools.FloatMargin as a boundary distance):
+    * per-key flip probability ≈ |kq|·1e-15, and a flip moves the key by
+    * exactly ONE cell, which can change sample membership only at the
+    * k-th cut — ~k·|kq|·1e-15 per query (≈1e-7 at k=25), where the raw
+    * double order makes a flip SOMEWHERE in the ranking an expected
+    * event at ≥10⁹ rows. A cell flip is also self-announcing at the
+    * oracle (hash mismatch on one boundary row), never a silent
+    * membership drift.
+    *
+    * Why hash-DESC (not id) inside a cell: at corpus scale the whole
+    * top-k region can sit inside the lowest cells (cell occupancy
+    * ≈ Σw·10⁻⁶ rows), so the tie-break IS the within-cell sampler —
+    * id order would bias selection toward old/low ids, while h is
+    * uniform on (seed, id), keeping within-cell selection exchangeable;
+    * marginal inclusion stays ∝ w (cell membership is the
+    * weight-proportional Bernoulli, the tie-break a uniform subsample
+    * of it). For equal-weight rows h DESC even equals the exact raw-key
+    * order (-ln(u)/w is decreasing in h for fixed w). Exact (kq, tb)
+    * ties — h collisions — fall through to the bottom-k payload (the
+    * id), so the total order is (kq, h desc, id). The grid coarseness
+    * costs ≤10⁻⁶ relative key resolution, far below any statistical
+    * use of a sample.
+    *
+    * Measured (graft.tools.FloatMargin, committed in
+    * FLOATMARGIN_r14.jsonl): the membership-relevant minimum
+    * cell-boundary distance over each ranking's top-k region at
+    * sf0.01 / sf0.1 / 10× / 30× — q147 2.3e-3 / 6.0e-3 / 6.0e-3 /
+    * 4.8e-4, q151 4.4e-2 / 4.6e-2 / 1.9e-2 / 2.8e-3, q245 9.0e-3 /
+    * 3.5e-3 / 1.3e-3 / 5.7e-3 cells, vs a flip threshold of
+    * ~|s|·1e-15 ≈ 1e-9..1e-7 cells — 3-6 orders of headroom that does
+    * NOT ride a 1/n² trend (the statistic is over the k-bounded cut
+    * region; the all-rows minimum does shrink ~1/n and is recorded for
+    * honesty). Shared by [[weightedBottomK]], its streaming twin
+    * (StreamingJobs.samplerWeightedBottomK) and the SQL oracles, which
+    * replay floor(-ln(CAST(h+1 AS DOUBLE)/2^60) / w * 1e6) and -h
+    * verbatim. */
+  def esKeyMicro(seed: String, idCol: Column, weightCol: Column): Column = {
+    val h = hash60(seed, idCol)
+    struct(
+      floor(esKey(seed, idCol, weightCol) * lit(1e6)).as("kq"),
+      (-h).as("tb"))
   }
 
   def weightedBottomK(
@@ -146,7 +201,7 @@ object Sampling {
       k: Int,
       seed: String): DataFrame = {
     graft.plans.GraftExtensions.ensureRegistered(df.sparkSession)
-    val key = esKey(seed, col(idCol), weightCol)
+    val key = esKeyMicro(seed, col(idCol), weightCol)
     val picked = df
       .filter(weightCol > 0)
       .groupBy(groupCols.map(col): _*)

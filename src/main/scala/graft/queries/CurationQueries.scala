@@ -534,8 +534,10 @@ object CurationQueries {
     // PER GROUP (3 docs per language, weight ∝ doc length as a
     // fractional w = n_chars/1000) — one O(groups × k) aggregate
     // shuffle, same native graft_bottom_k path as q134, exact PPS at
-    // each group's first draw. Oracle replays the identical key
-    // arithmetic; ranks absorb the ≤1-ulp ln wobble (q147's contract).
+    // each group's first draw. Ranking key = the QUANTIZED race key
+    // (Sampling.esKeyMicro — micro-cell floor + hash-desc tie-break,
+    // the r14 wobble-channel closure); the oracle replays the identical
+    // floor arithmetic verbatim.
     Q(
       "q151_weighted_stratified_es",
       (s, dir) => {
@@ -547,16 +549,20 @@ object CurationQueries {
           .orderBy("lang", "rk")
       },
       Some(s"""
-        WITH keyed AS (
-          SELECT lang, doc_id,
-                 -ln(CAST(${h60("s151", "CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
-                     / 1152921504606846976.0)
-                   / (n_chars / 1000.0) AS ky
+        WITH hs AS (
+          SELECT lang, doc_id, n_chars,
+                 ${h60("s151", "CAST(doc_id AS VARCHAR)")} AS h
           FROM documents
           WHERE n_chars / 1000.0 > 0),
+        keyed AS (
+          SELECT lang, doc_id,
+                 CAST(floor(-ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0)
+                            / (n_chars / 1000.0) * 1000000.0) AS BIGINT) AS kq,
+                 -h AS tb
+          FROM hs),
         r AS (SELECT lang, doc_id,
                      CAST(ROW_NUMBER() OVER (
-                       PARTITION BY lang ORDER BY ky, doc_id) AS INT) AS rk
+                       PARTITION BY lang ORDER BY kq, tb, doc_id) AS INT) AS rk
               FROM keyed)
         SELECT lang, doc_id, rk FROM r WHERE rk <= 3
         ORDER BY lang, rk""")),
@@ -1186,8 +1192,9 @@ object CurationQueries {
     // then the B59 exponential race in LOG space (exp(lw) would overflow
     // a double at +710 nats). The drawn 25 skew heavily 'en' (19/25 at
     // sf0.01 vs a 218/500 base rate) — the importance tilt made visible.
-    // Oracle replays hash, counts, floors and race verbatim; ranks
-    // absorb the ln wobble per the measured q147 contract (FloatMargin).
+    // Ranking key = the QUANTIZED race key (floor(ky·1e6) cell +
+    // hash-desc tie-break — the Sampling.esKeyMicro posture, r14);
+    // oracle replays hash, counts, floors, cell and tie-break verbatim.
     Q(
       "q245_dsir_resample",
       (s, dir) => {
@@ -1217,11 +1224,15 @@ object CurationQueries {
                    - CAST(floor(-ln(CAST(COALESCE(t.c_t, 0) + 1 AS DOUBLE) / CAST(n_t + 4096 AS DOUBLE)) * 1e6) AS BIGINT) AS dlt
               FROM raw r LEFT JOIN tgt t USING (b), nr, nt),
         lw AS (SELECT doc_id, CAST(SUM(c_doc * dlt) AS BIGINT) AS lw_micro FROM db JOIN m USING (b) GROUP BY 1),
+        hs AS (SELECT doc_id, lw_micro,
+                      ('0x' || substr(md5('s245:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+               FROM lw),
         keyed AS (SELECT doc_id, lw_micro,
-                         ln(-ln(CAST(('0x' || substr(md5('s245:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS DOUBLE)
-                                / 1152921504606846976.0)) - CAST(lw_micro AS DOUBLE) / 1e6 AS ky
-                  FROM lw),
-        r AS (SELECT doc_id, lw_micro, CAST(ROW_NUMBER() OVER (ORDER BY ky, doc_id) AS INT) AS rk FROM keyed)
+                         CAST(floor((ln(-ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0))
+                                     - CAST(lw_micro AS DOUBLE) / 1e6) * 1000000.0) AS BIGINT) AS kq,
+                         -h AS tb
+                  FROM hs),
+        r AS (SELECT doc_id, lw_micro, CAST(ROW_NUMBER() OVER (ORDER BY kq, tb, doc_id) AS INT) AS rk FROM keyed)
         SELECT r.doc_id, d.lang, r.lw_micro, r.rk
         FROM r JOIN documents d USING (doc_id) WHERE rk <= 25 ORDER BY rk""")),
 

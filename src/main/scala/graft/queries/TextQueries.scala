@@ -668,10 +668,13 @@ object TextQueries {
     // Domain-mix subset draw — q115's ppm weights CONSUMED: an exact
     // Efraimidis–Spirakis one-ticket-per-row weighted sample of documents
     // with fractional weight = weight_ppm / 1e6 (over-sampled sources get
-    // weight < 1, which ticket replication cannot express). Key = -ln(u)/w
-    // on the hash-derived uniform; the oracle replays the identical
-    // arithmetic (integer hash + 1 → double → exact 2^60 scale → ln) and
-    // compares RANKS, which absorb the ≤1-ulp cross-engine ln wobble.
+    // weight < 1, which ticket replication cannot express). Ranking key =
+    // the QUANTIZED race key (Sampling.esKeyMicro): cell floor((-ln(u)/w)
+    // ·1e6), hash-desc in-cell tie-break, doc_id on exact ties — near-tied
+    // raw keys collapse into one micro-cell and resolve identically on
+    // both engines (the r14 closure of the measured gap-shrink channel).
+    // The oracle replays the identical arithmetic (integer hash + 1 →
+    // double → exact 2^60 scale → ln → ·1e6 → floor) verbatim.
     Q(
       "q147_weighted_subset_es",
       (s, dir) => {
@@ -703,15 +706,19 @@ object TextQueries {
                 FROM per_src),
         w AS (SELECT source, (total_tokens * 1000000) // (n_src * src_tokens) AS weight_ppm
               FROM per_src, tot),
-        keyed AS (
-          SELECT d.doc_id, d.source,
-                 -ln(CAST(${ohash("s147", "CAST(d.doc_id AS VARCHAR)")} + 1 AS DOUBLE)
-                     / 1152921504606846976.0)
-                   / (w.weight_ppm / 1000000.0) AS ky
+        hs AS (
+          SELECT d.doc_id, d.source, w.weight_ppm,
+                 ${ohash("s147", "CAST(d.doc_id AS VARCHAR)")} AS h
           FROM documents d JOIN w USING (source)
           WHERE w.weight_ppm > 0),
+        keyed AS (
+          SELECT doc_id, source,
+                 CAST(floor(-ln(CAST(h + 1 AS DOUBLE) / 1152921504606846976.0)
+                            / (weight_ppm / 1000000.0) * 1000000.0) AS BIGINT) AS kq,
+                 -h AS tb
+          FROM hs),
         r AS (SELECT doc_id, source,
-                     CAST(ROW_NUMBER() OVER (ORDER BY ky, doc_id) AS INT) AS rk
+                     CAST(ROW_NUMBER() OVER (ORDER BY kq, tb, doc_id) AS INT) AS rk
               FROM keyed)
         SELECT doc_id, source, rk FROM r WHERE rk <= 25
         ORDER BY rk""")),

@@ -387,16 +387,18 @@ object StreamingJobs {
       }
   }
 
-  case class SampleInW(grp: String, id: Long, key: Double)
+  case class SampleInW(grp: String, id: Long, kq: Long, tb: Long)
   case class SampleOutW(grp: String, seen: Long, ids: Seq[Long])
-  case class SampleStateW(pairs: Seq[(Double, Long)], seen: Long)
+  case class SampleStateW(pairs: Seq[(Long, Long, Long)], seen: Long)
 
   /** Streaming twin of `Sampling.weightedBottomK` (q147): the exact
     * Efraimidis–Spirakis weighted sample maintained incrementally. The
-    * caller computes `key = Sampling.esKey(seed, id, w)` — the same
-    * column arithmetic as the batch operator — and the per-group state
-    * keeps the k smallest (key, id) pairs seen so far. Order sampling is
-    * a pure min-k over per-row keys, so the sketch is mergeable and
+    * caller computes the QUANTIZED race key `Sampling.esKeyMicro(seed,
+    * id, w)` — the same integer-grid arithmetic as the batch operator —
+    * and ships its fields as `(kq, tb)`; the per-group state keeps the
+    * k smallest (kq, tb, id) triples seen so far, the batch side's
+    * exact (cell, hash desc, id) total order. Order sampling is a pure
+    * min-k over per-row keys, so the sketch is mergeable and
     * arrival-order-insensitive: the stream converges to exactly the
     * batch sample (pinned in StreamingSpec). State is O(k) per live
     * group. Same unique-per-(grp, id) input contract and `seen`
@@ -412,11 +414,11 @@ object StreamingJobs {
         (grp: String, it: Iterator[SampleInW], state: GroupState[SampleStateW]) =>
           val prev = state.getOption.getOrElse(SampleStateW(Seq.empty, 0L))
           val batch = it.toSeq
-          val merged = (prev.pairs ++ batch.map(r => (r.key, r.id)))
+          val merged = (prev.pairs ++ batch.map(r => (r.kq, r.tb, r.id)))
             .sorted.distinct.take(k)
           val seen = prev.seen + batch.size
           state.update(SampleStateW(merged, seen))
-          Iterator(SampleOutW(grp, seen, merged.map(_._2)))
+          Iterator(SampleOutW(grp, seen, merged.map(_._3)))
       }
   }
 

@@ -12,10 +12,17 @@ import org.apache.spark.sql.functions._
   *     that distance as a multiple of Guards.lnMicronatFloor's refusal
   *     threshold (|s|·4e-15 + 1e-12). A margin ≫ 1 means the in-plan
   *     guard is pure insurance on the real corpora;
-  *  2. the Efraimidis–Spirakis order keys (q147/q151) — minimum
-  *     relative gap between ADJACENT keys in each ranking, i.e. how far
-  *     the ordering is from a cross-engine 1-ulp ln wobble flipping a
-  *     rank. Gaps ~1e-3 vs wobble ~1e-16 is 13 orders of headroom.
+  *  2. the Efraimidis–Spirakis order keys (q147/q151/q245) — two
+  *     statistics per ranking: (a) the LEGACY minimum relative gap
+  *     between ADJACENT raw keys (the trend whose ~3-orders-per-10×
+  *     shrink motivated the r14 quantization — kept as the record, no
+  *     longer a safety margin), and (b) the QUANTIZED channel that
+  *     replaced it (Sampling.esKeyMicro): min distance of s = ky·10⁶
+  *     to its floor boundary, over all keys and over the top-k
+  *     membership-relevant region — a cross-engine cell flip needs a
+  *     key within ~|s|·1e-15 of a boundary, so top-k distances ≫ that
+  *     certify the sample, and the all-rows minimum records the 1/n
+  *     trend honestly.
   *
   * Prints one JSON line per sf dir. Not a driver surface — a committed,
   * reproducible measurement (the r12 verdict's "pinned measurement"
@@ -36,7 +43,10 @@ object FloatMargin {
     (r.getDouble(0), r.getDouble(1))
   }
 
-  /** Min relative gap between rank-adjacent keys (columns: grp?, ky). */
+  /** Min relative gap between rank-adjacent keys (columns: grp?, ky).
+    * The LEGACY raw-double-order channel: its measured shrink (~3 orders
+    * per 10× of data) is what motivated the r14 quantization — kept as
+    * the trend record, not a safety margin. */
   private def minGap(keyed: DataFrame, grouped: Boolean): Double = {
     val w = if (grouped) Window.partitionBy("grp").orderBy("ky")
             else Window.partitionBy(lit(1)).orderBy("ky")
@@ -45,6 +55,25 @@ object FloatMargin {
       .select(min((col("ky") - col("prev")) /
         greatest(abs(col("ky")), abs(col("prev")))).as("g"))
       .head.getDouble(0)
+  }
+
+  /** The r14 QUANTIZED-key channel (Sampling.esKeyMicro): min distance
+    * of s = ky·10⁶ to its floor boundary, (a) over every key and (b)
+    * over the top `topN` keys per ranking — the membership-relevant
+    * region (a cell flip elsewhere cannot change the sample). Distances
+    * are in CELLS: a flip needs ~|s|·1e-15 ≈ 1e-8..1e-6 of a cell, so
+    * any top-k distance ≫ that is engine-safe; the all-rows minimum
+    * shrinks like 1/n by uniformity and is reported for the trend. */
+  private def cellBoundary(keyed: DataFrame, grouped: Boolean, topN: Int): (Double, Double) = {
+    val s = col("ky") * lit(1e6)
+    val dist = abs(s - rint(s))
+    val all = keyed.select(min(dist).as("d")).head.getDouble(0)
+    val w = if (grouped) Window.partitionBy("grp").orderBy("ky")
+            else Window.partitionBy(lit(1)).orderBy("ky")
+    val top = keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topN)
+      .select(min(dist).as("d")).head.getDouble(0)
+    (all, top)
   }
 
   def main(args: Array[String]): Unit = {
@@ -98,6 +127,7 @@ object FloatMargin {
         .select(graft.operators.Sampling.esKey("s147", col("doc_id"),
           col("weight_ppm").cast("double") / 1000000.0).as("ky"))
       val g147 = minGap(k147, grouped = false)
+      val (cb147, cbTop147) = cellBoundary(k147, grouped = false, topN = 30)
 
       // q151 keys: per-language ES ranking weighted by doc length
       val k151 = docs
@@ -106,6 +136,7 @@ object FloatMargin {
           graft.operators.Sampling.esKey("s151", col("doc_id"),
             col("n_chars").cast("double") / 1000.0).as("ky"))
       val g151 = minGap(k151, grouped = true)
+      val (cb151, cbTop151) = cellBoundary(k151, grouped = true, topN = 8)
 
       // q245 grids + keys: the DSIR bucket LMs take 2·K lnMicronatFloor
       // floors (both smoothed ratios per bucket), and the draw ranks by
@@ -139,6 +170,7 @@ object FloatMargin {
             + lit(1L)).cast("double") / lit((1L << 60).toDouble)))
           - col("lw").cast("double") / lit(1e6)).as("ky"))
       val g245 = minGap(k245, grouped = false)
+      val (cb245, cbTop245) = cellBoundary(k245, grouped = false, topN = 30)
 
       // q256 grid: per event-type category, both JSD mixture ratios
       // (mden, 2·p·n2) and (mden, 2·q·n1) — the jsDivergence algebra
@@ -173,6 +205,9 @@ object FloatMargin {
         s""""q256_min_boundary_dist":$d256,"q256_margin_x":$m256,""" +
         s""""q257_min_boundary_dist":$d257,"q257_margin_x":$m257,""" +
         s""""q147_min_rel_key_gap":$g147,"q151_min_rel_key_gap":$g151,""" +
+        s""""q147_min_cell_dist":$cb147,"q147_topk_cell_dist":$cbTop147,""" +
+        s""""q151_min_cell_dist":$cb151,"q151_topk_cell_dist":$cbTop151,""" +
+        s""""q245_min_cell_dist":$cb245,"q245_topk_cell_dist":$cbTop245,""" +
         s""""q245_min_rel_key_gap":$g245}""")
     }
     spark.stop()

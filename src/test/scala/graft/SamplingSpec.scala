@@ -215,15 +215,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
-  test("weightedBottomK matches a local replay of the ES arithmetic") {
+  /** Local replica of the QUANTIZED race key (Sampling.esKeyMicro):
+    * (floor(esKey·1e6), -h) — the (cell, hash desc) ordering pair. */
+  private def esKeyMicroLocal(seed: String, id: Long, w: Double): (Long, Long) = {
+    val h = hash60Local(seed, id)
+    (math.floor(-math.log((h + 1L).toDouble / (1L << 60).toDouble) / w * 1e6).toLong, -h)
+  }
+
+  test("weightedBottomK matches a local replay of the quantized ES arithmetic") {
     val rows = (1 to 200).map(i => (i.toLong, Seq(0.5, 1.25, 3.0)(i % 3)))
     val df = rows.toDF("id", "w")
     val got = Sampling.weightedBottomK(df, Nil, "id", col("w"), 12, "es1")
       .orderBy("rk").collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rk")))
-    val want = rows.map { case (id, w) => (id, esKey("es1", id, w)) }
+    val want = rows.map { case (id, w) => (id, esKeyMicroLocal("es1", id, w)) }
       .sortBy { case (id, key) => (key, id) }
       .take(12).zipWithIndex.map { case ((id, _), i) => (id, i + 1) }
     assert(got.toSeq === want)
+    // the quantized order refines to the raw-key order except on
+    // micro-cell collisions — none among these 200 keys, so the two
+    // replays must agree here (the quantization is a posture change,
+    // not a semantics change, away from near-ties)
+    val wantRaw = rows.map { case (id, w) => (id, esKey("es1", id, w)) }
+      .sortBy { case (id, key) => (key, id) }
+      .take(12).map(_._1)
+    assert(got.map(_._1).toSeq === wantRaw)
   }
 
   test("weightedBottomK: grouped, excludes w <= 0, reproducible and seed-sensitive") {

@@ -519,7 +519,8 @@ class StreamingSpec extends SparkSpec {
     val df = data.toDF("grp", "id", "w")
     val inputs = df
       .select(col("grp"), col("id"),
-        graft.operators.Sampling.esKey("wseed", col("id"), col("w")).as("key"))
+        graft.operators.Sampling.esKeyMicro("wseed", col("id"), col("w")).as("k"))
+      .select(col("grp"), col("id"), col("k.kq").as("kq"), col("k.tb").as("tb"))
       .as[SampleInW].collect().toSeq
     val stream = MemoryStream[SampleInW](12, spark, None)
     val q = StreamingJobs.samplerWeightedBottomK(stream.toDS(), k).toDF()
