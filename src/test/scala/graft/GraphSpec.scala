@@ -139,4 +139,61 @@ class GraphSpec extends SparkSpec {
     assert(hs(0) == hs(1) && hs(0) != hs(2))
     assert(hs.forall(h => h >= 0 && h < (1L << 56)))
   }
+
+  /** Exact integer modularity numerator of a partition (the q230
+    * algebra, locally): q_num = 4m·Σe_in − Σd_c², over q_den = 4m². */
+  private def modularityNum(
+      edges: Seq[(Long, Long)], com: Map[Long, Long]): Long = {
+    val m = edges.size.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (n, xs) => n -> xs.size.toLong }
+    val eIn = edges.count(e => com(e._1) == com(e._2)).toLong
+    val sd2 = deg.groupBy { case (n, _) => com(n) }
+      .map { case (_, ds) => val d = ds.values.sum; d * d }.sum
+    4L * m * eIn - sd2
+  }
+
+  test("louvain: two cliques joined by a bridge separate into two communities") {
+    // K4 on {1..4} + K4 on {5..8} + one bridge (4,5): the canonical
+    // community structure — any sane detector must split at the bridge
+    val clique = (ns: Seq[Long]) =>
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+ ((4L, 5L))
+    val df = edges.toDF("a", "b")
+    val got = operators.Louvain.communities(df, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == (1L to 8L).toSet)
+    val left = Set(1L, 2L, 3L, 4L).map(got)
+    val right = Set(5L, 6L, 7L, 8L).map(got)
+    assert(left.size == 1, s"left clique not one community: $got")
+    assert(right.size == 1, s"right clique not one community: $got")
+    assert(left != right, s"bridge not cut: $got")
+  }
+
+  test("louvain: deterministic, and modularity is non-decreasing per round") {
+    // a 3-community co-occurrence-style graph with noise edges
+    val rng = new scala.util.Random(7)
+    val intra = for {
+      c <- 0 to 2
+      i <- 1 to 9; j <- (i + 1) to 10
+      if rng.nextDouble() < 0.6
+    } yield ((c * 10 + i).toLong, (c * 10 + j).toLong)
+    val inter = Seq((1L, 12L), (13L, 25L), (5L, 21L), (17L, 29L))
+    val edges = (intra ++ inter).distinct
+    val df = edges.toDF("a", "b")
+    val runs = (0 to 4).map(r =>
+      operators.Louvain.communities(df, rounds = r)
+        .as[(Long, Long)].collect().toMap)
+    // determinism: a re-run of the same round count is identical
+    val again = operators.Louvain.communities(df, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(again == runs(4))
+    // modularity non-decreasing across the fixed rounds (q_den constant,
+    // so comparing numerators compares Q exactly)
+    val qs = runs.map(modularityNum(edges, _))
+    qs.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"modularity decreased across a round: $qs")
+    }
+    assert(qs.last > qs.head, s"no improvement over init: $qs")
+  }
 }
