@@ -49,12 +49,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // re-assert: setLogLevel resets the root level these loggers inherit
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
+    // Local-iteration subset (the Verify SPARK_GRAFT_ONLY convention,
+    // prefix match). Unset = every registered query — the driver's
+    // contract. Added r14 for the carried-query drift attribution: run
+    // an older round's exact query set ALONE to separate suite-
+    // cumulative session pressure from per-plan cost.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.exists(name.startsWith))
+    }
     // Steady-state methodology: one untimed pass first, then the timed
     // passes. A single cold run charges JVM tiered-compilation (C2 only
     // kicks in at volume: measured 12.6s cold vs 1.7s steady on the
     // shingle self-join) and page-cache misses to whichever query runs
     // first, which measures the JVM, not the plans.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     // Min-of-N (N=2) per query: this host shows 5-8x transient swings
@@ -70,7 +79,7 @@ object Bench {
     // if at least one timed pass succeeded, and any query with zero
     // successful passes is reported in "errors" and fails the run (rc 1).
     def timeOnce(): Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); name -> Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

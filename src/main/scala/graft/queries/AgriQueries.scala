@@ -389,6 +389,79 @@ object AgriQueries {
                  FROM stq)
         SELECT sumf.*, sumq.*,
                (rows_scanned_qb < rows_scanned_fw) AS quantile_strictly_better
-        FROM sumf, sumq"""))
+        FROM sumf, sumq""")),
+
+    // B156: seasonal-naive decomposition of the 18-year daily mandi
+    // corpus — the seasonality split the time-series wing (trend B53/
+    // B103, changepoint B96, randomness B115) was missing, over data
+    // with STRONG crop seasonality. Month-of-year means on the exact
+    // integer paise grid: per eligible commodity (≥ 20k quotes — 23 of
+    // 316, keeps the checked output bounded at ≤ 276 rows),
+    // mu_cm = Σp div n per (commodity, month), mu_c over all months,
+    // seasonal index = mu_cm − mu_c, plus the residual read — how much
+    // of the total absolute deviation the month means absorb:
+    // resid_seasonal = Σ|p − mu_cm| vs resid_total = Σ|p − mu_c|,
+    // emitted as the exact integer PAIR (the num/den posture: a
+    // derived ratio can be negative when month means don't help, and
+    // Spark div truncates where DuckDB // floors). Scale shape: two
+    // grouped partial-agg passes over the row stream; the residual
+    // pass joins rows to a BROADCAST of the ≤ commodity×12 means —
+    // no window over raw history, no extra shuffle.
+    Q(
+      "q266_agri_seasonal",
+      (s, _) => {
+        val rows = Corpus(s)
+          .filter(col("arrival_date").isNotNull)
+          .select(col("commodity"),
+            month(col("arrival_date")).as("m"),
+            floor(col("modal_price") * 100).as("p"))
+        val cm = rows.groupBy("commodity", "m")
+          .agg(count(lit(1)).as("n_cm"), sum("p").as("s_cm"))
+        val mucm = cm.select(col("commodity"), col("m"), col("n_cm"),
+          expr("s_cm div n_cm").as("mu_cm"))
+        val elig = cm.groupBy("commodity")
+          .agg(sum("n_cm").as("n_c"), sum("s_cm").as("s_c"))
+          .filter(col("n_c") >= 20000L)
+          .select(col("commodity"), expr("s_c div n_c").as("mu_c"))
+        val resid = rows
+          .join(broadcast(mucm.select("commodity", "m", "mu_cm")), Seq("commodity", "m"))
+          .join(broadcast(elig), Seq("commodity"))
+          .groupBy("commodity")
+          .agg(sum(abs(col("p") - col("mu_cm"))).as("resid_seasonal"),
+            sum(abs(col("p") - col("mu_c"))).as("resid_total"))
+        mucm
+          .join(broadcast(elig), "commodity")
+          .join(broadcast(resid), "commodity")
+          .select(col("commodity"), col("m").cast("int").as("month"),
+            col("n_cm").as("n_quotes"), col("mu_cm").as("mean_paise"),
+            (col("mu_cm") - col("mu_c")).as("seasonal_paise"),
+            col("resid_seasonal"), col("resid_total"))
+          .orderBy("commodity", "month")
+      },
+      Some(s"""
+        WITH $OCORPUS,
+        rows_ AS (SELECT commodity, CAST(month(arrival_date) AS INT) AS m,
+                         CAST(floor(modal_price * 100) AS BIGINT) AS p
+                  FROM corpus WHERE arrival_date IS NOT NULL),
+        cm AS (SELECT commodity, m, CAST(COUNT(*) AS BIGINT) AS n_cm,
+                      CAST(SUM(p) AS BIGINT) AS s_cm
+               FROM rows_ GROUP BY 1, 2),
+        mucm AS (SELECT commodity, m, n_cm, s_cm // n_cm AS mu_cm FROM cm),
+        elig AS (SELECT commodity, s_c // n_c AS mu_c
+                 FROM (SELECT commodity, CAST(SUM(n_cm) AS BIGINT) AS n_c,
+                              CAST(SUM(s_cm) AS BIGINT) AS s_c
+                       FROM cm GROUP BY 1)
+                 WHERE n_c >= 20000),
+        resid AS (SELECT r.commodity,
+                         CAST(SUM(abs(r.p - mm.mu_cm)) AS BIGINT) AS resid_seasonal,
+                         CAST(SUM(abs(r.p - e.mu_c)) AS BIGINT) AS resid_total
+                  FROM rows_ r JOIN mucm mm USING (commodity, m)
+                       JOIN elig e USING (commodity)
+                  GROUP BY 1)
+        SELECT mm.commodity, mm.m AS month, mm.n_cm AS n_quotes,
+               mm.mu_cm AS mean_paise, mm.mu_cm - e.mu_c AS seasonal_paise,
+               rs.resid_seasonal, rs.resid_total
+        FROM mucm mm JOIN elig e USING (commodity) JOIN resid rs USING (commodity)
+        ORDER BY mm.commodity, month"""))
   )
 }
