@@ -11,10 +11,14 @@ import org.apache.spark.sql.functions._
   * generator grows TPC-H. Row counts scale ×factor, join fan-outs and
   * group cardinalities scale the way real growth scales them.
   *
-  * Embeddings get a deterministic per-replica jitter on one component
-  * (hash-derived, ±0.0005) so vector replicas are near but not bitwise
-  * duplicates — an ANN probe over exact duplicates would understate
-  * distance-computation cost.
+  * Embeddings MUTATE per replica (replica 0 keeps its coordinate
+  * order): a deterministic per-replica coordinate PERMUTATION — the
+  * vector-space analog of the document token rename below, adopted in
+  * r14 when the CandCount decomposition proved jitter-only replicas
+  * quadratic by construction (see the inline comment at the embeddings
+  * write) — plus the ±0.0005 first-component jitter so replicas are
+  * near but not bitwise duplicates and distance-computation cost is
+  * not understated.
   *
   * Documents MUTATE per replica (replica 0 stays verbatim): every token
   * is renamed through a deterministic per-replica vocabulary hash —
@@ -90,6 +94,34 @@ object ScaleGen {
         when(col("__rep") === 0, col("n_chars"))
           .otherwise(length(col("text")).cast("long")))
 
+  /** The per-replica embedding mutation (see object doc): replica 0
+    * keeps its coordinate order; every other replica permutes the
+    * coordinates by ONE deterministic per-replica order (positions
+    * sorted by xxhash64("rep:i")) — preserving every norm and every
+    * intra-replica dot product exactly while dropping cross-replica
+    * cosine to the random level and decorrelating cross-replica LSH
+    * sign patterns. The ±0.0005 first-component jitter then applies to
+    * every replica (keyed on the offset vec_id) so replicas are near-
+    * not-bitwise duplicates. Factored out of [[main]] so ScaleGenSpec
+    * can pin the invariants (intra-replica dot preservation up to the
+    * jitter, cross-replica dissimilarity, rep-0 coordinate order).
+    * Expects the `__rep` column. */
+  def mutateEmbeddings(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("embedding",
+        when(col("__rep") === 0, col("embedding")).otherwise(
+          transform(
+            array_sort(zip_with(
+              col("embedding"),
+              transform(col("embedding"), (_, i) =>
+                xxhash64(concat(col("__rep").cast("string"), lit(":"), i.cast("string")))),
+              (x, k) => struct(k.as("k"), x.as("x")))),
+            s => s.getField("x"))))
+      .withColumn("embedding", transform(col("embedding"), (x, i) =>
+        when(i === 0,
+          x + (pmod(xxhash64(col("vec_id")), lit(1000L)).cast("float") - 500f) / 1000000f)
+          .otherwise(x)))
+
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorS) = args
     val factor = factorS.toInt
@@ -129,14 +161,30 @@ object ScaleGen {
     write(mutateDocuments(
       offsetKeys(replicate(t("documents"), factor), Seq("doc_id"), Stride)), "documents")
 
-    // Embeddings: fresh ids + deterministic jitter on the first vector
-    // component so replicas are near-duplicates, not duplicates.
-    val emb = offsetKeys(replicate(t("embeddings"), factor), Seq("vec_id"), Stride)
-      .withColumn("embedding", transform(col("embedding"), (x, i) =>
-        when(i === 0,
-          x + (pmod(xxhash64(col("vec_id")), lit(1000L)).cast("float") - 500f) / 1000000f)
-          .otherwise(x)))
-    write(emb, "embeddings")
+    // Embeddings MUTATE per replica the way documents do (replica 0
+    // keeps its coordinate order): every replica > 0 applies ONE
+    // deterministic per-replica coordinate PERMUTATION (sort positions
+    // by xxhash64(rep:i)) — the vector-space analog of the document
+    // token rename. A fixed permutation preserves every norm and every
+    // INTRA-replica dot product exactly, so each replica contributes
+    // the original corpus's near-dup pair structure exactly once; the
+    // vectors are mean-zero, so CROSS-replica cosines drop to the
+    // random level (~±1/√d) and cross-replica LSH sign patterns are
+    // unrelated. The r14 CandCount decomposition proved the previous
+    // jitter-only replicas quadratic BY CONSTRUCTION: all f replicas
+    // of a vector kept identical hyperplane signs, contributing
+    // exactly n₀·C(f,2) same-bucket candidate pairs (measured 2000·45 /
+    // 2000·435 / 2000·4950 at f = 10/30/100) AND capping the distinct
+    // sign-pattern population at n₀, so occupancy — hence candidates
+    // per vector — grew with f no matter how many planes adaptivePlanes
+    // added. That measured q96's time exponent rising 0.66 → 0.90 at
+    // 30× while the PLAN was doing exactly what it should; the
+    // permutation removes the artifact the same way the token rename
+    // did for q111/q130/q59 in r9. The ±0.0005 first-component jitter
+    // stays (applied after the permutation) so replicas are still
+    // near-not-bitwise duplicates of nothing.
+    write(mutateEmbeddings(
+      offsetKeys(replicate(t("embeddings"), factor), Seq("vec_id"), Stride)), "embeddings")
 
     // Fixed dimensions: copy unchanged.
     write(t("nation").withColumn("__rep", lit(0)), "nation")

@@ -96,4 +96,61 @@ class ScaleGenSpec extends SparkSpec {
       .collect().sortBy(r => (r._1, r._2)).toSeq
     assert(a == b)
   }
+
+  // ---- the r14 embedding mutation (per-replica coordinate permutation) ----
+
+  private def embReplicas(factor: Int) = {
+    val rng = new scala.util.Random(11)
+    val base = (0L until 6L).map(id =>
+      (id, Array.fill(16)((rng.nextDouble() - 0.5).toFloat).toSeq))
+      .toDF("vec_id", "embedding")
+      .crossJoin(spark.range(factor.toLong).select(col("id").cast("int").as("__rep")))
+      .withColumn("vec_id", col("vec_id") + col("__rep").cast("long") * 100000000L)
+    graft.tools.ScaleGen.mutateEmbeddings(base)
+      .select(col("__rep"), col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).map { case (r, rows) =>
+        r -> rows.map(t => (t._2 % 100000000L) -> t._3.toVector).toMap
+      }
+  }
+
+  private def dot(a: Vector[Double], b: Vector[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+
+  test("embeddings: rep 0 keeps coordinate order; intra-replica dots are preserved up to jitter") {
+    val reps = embReplicas(3)
+    // the jitter touches only component 0 by ±0.0005: dots move by at
+    // most |x0·5e-4| + |y0·5e-4| + 2.5e-7 — bound everything by 1e-3
+    for (r <- 1 to 2; i <- 0L to 4L; j <- (i + 1) to 5L) {
+      val d0 = dot(reps(0)(i), reps(0)(j))
+      val dr = dot(reps(r)(i), reps(r)(j))
+      assert(math.abs(d0 - dr) < 1e-3,
+        s"rep $r pair ($i,$j): intra-replica dot $dr drifted from $d0")
+    }
+    // rep 0 order: the sorted multiset equals the per-coordinate values
+    // (jitter only on component 0) — check components 1..15 verbatim
+    val rng = new scala.util.Random(11)
+    val orig = (0L until 6L).map(id =>
+      id -> Array.fill(16)((rng.nextDouble() - 0.5).toFloat).toVector).toMap
+    for (i <- 0L to 5L; c <- 1 until 16)
+      assert(reps(0)(i)(c) == orig(i)(c).toDouble, s"rep0 vec $i comp $c reordered")
+  }
+
+  test("embeddings: permutation is a real reorder and cross-replica cosines are not near-dup") {
+    val reps = embReplicas(3)
+    for (r <- 1 to 2; i <- 0L to 5L) {
+      val a = reps(0)(i); val b = reps(r)(i)
+      // same multiset of components (up to the component-0 jitter both
+      // sides carry): sorted tails must agree in all but <= 2 slots
+      assert(a.sorted.zip(b.sorted).count { case (x, y) => math.abs(x - y) > 1e-3 } <= 2,
+        s"rep $r vec $i is not a permutation of rep 0")
+      // ...but NOT the identity order
+      assert(a.zip(b).count { case (x, y) => math.abs(x - y) > 1e-3 } >= 8,
+        s"rep $r vec $i kept rep 0's coordinate order")
+      // and the same-original cross-replica cosine sits at the random
+      // level, not the near-dup level the jitter-only replicas had
+      val cos = dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+      assert(math.abs(cos) < 0.8, s"rep $r vec $i cross-replica cos $cos still near-dup")
+    }
+  }
 }
