@@ -326,13 +326,23 @@ object Similarity {
     val probes = v.select(col("__id").as("a"),
       explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
     val others = v.select(col("__id").as("b"), col("__bucket"))
-    val cand = probes.join(others, "__bucket")
+    val cand = probes.join(others.hint("shuffle_hash"), "__bucket")
       .filter(col("a") < col("b"))
       .select("a", "b")
       .distinct()
+    // Re-attach hints (r14): past the broadcast threshold the vector
+    // table side must be a SHUFFLED HASH join, not the sort-merge
+    // default — SMJ SORTS the candidate frame (the big side, (p+1)·
+    // occupancy·n rows) on each id once per re-attach, and the 30×/100×
+    // probes measured exactly that: time exponent 1.16/1.24 against a
+    // candidate-count exponent ~1.0–1.17. Hashing the (small) vector
+    // side streams the candidate frame unsorted. Below the threshold
+    // Spark still broadcasts (the hint only changes the fallback).
     cand
-      .join(v.select(col("__id").as("a"), col("__v").as("va"), col("__nrm").as("na")), "a")
-      .join(v.select(col("__id").as("b"), col("__v").as("vb"), col("__nrm").as("nb")), "b")
+      .join(v.select(col("__id").as("a"), col("__v").as("va"), col("__nrm").as("na"))
+        .hint("shuffle_hash"), "a")
+      .join(v.select(col("__id").as("b"), col("__v").as("vb"), col("__nrm").as("nb"))
+        .hint("shuffle_hash"), "b")
       .select(col("a"), col("b"),
         round(cosinePre(call_function("graft_dot", col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
   }
@@ -382,12 +392,15 @@ object Similarity {
     val masks = 0 +: planes.indices.map(1 << _)
     val probes = l.select(col(leftId),
       explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
-    val cand = probes.join(r.select(col(rightId), col("__bucket")), "__bucket")
+    val cand = probes.join(r.select(col(rightId), col("__bucket")).hint("shuffle_hash"), "__bucket")
       .select(leftId, rightId)
       .distinct()
+    // same r14 re-attach posture as cosinePairsLsh: past the broadcast
+    // threshold the vector sides hash, so the candidate frame streams
+    // unsorted instead of being SMJ-sorted once per re-attach
     cand
-      .join(l.select(col(leftId), col("__lv"), col("__ln")), leftId)
-      .join(r.select(col(rightId), col("__rv"), col("__rn")), rightId)
+      .join(l.select(col(leftId), col("__lv"), col("__ln")).hint("shuffle_hash"), leftId)
+      .join(r.select(col(rightId), col("__rv"), col("__rn")).hint("shuffle_hash"), rightId)
       .select(col(leftId), col(rightId),
         round(cosinePre(call_function("graft_dot", col("__lv"), col("__rv")),
           col("__ln"), col("__rn")), 6).as("cos_r"))

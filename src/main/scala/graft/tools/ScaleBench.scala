@@ -126,7 +126,14 @@ object ScaleBench {
     "q261_attribution", "q262_source_entropy",
     // the bounded per-shingle source-pair explode and the asymmetric
     // containment prefix join (probe prefix vs full corpus index)
-    "q263_source_overlap", "q264_containment_decon")
+    "q263_source_overlap", "q264_containment_decon",
+    // r14: the Louvain per-round vote/sigma/argmax join chain (a new
+    // iterative shape). q266 (agri seasonal) is deliberately NOT here:
+    // it reads the fixed real 1.5M-row corpus whatever the sf dir, so
+    // a replica "exponent" would measure nothing — its scale shape is
+    // two grouped partial-agg passes + a broadcast join-back, argued
+    // in its registration comment like the other agri entries.
+    "q265_louvain_communities")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
