@@ -45,8 +45,16 @@ object Similarity {
     * Pure integer arithmetic (no log2 float) so the SQL oracle mirror
     * (`range(minPlanes, maxPlanes+1)` + `MIN(p) WHERE (1<<p)*target >= n`)
     * computes the identical count on every engine.
+    *
+    * maxPlanes raised 16 → 24 in r14: the 16-plane ceiling re-admits
+    * linear occupancy growth past 2^16·64 ≈ 4.2M vectors — squarely
+    * below a 100 TB embedding corpus — while 2^24·64 ≈ 10⁹ covers the
+    * design point. The marginal cost of a plane is one 64-dim dot in
+    * the scan stage and one extra Hamming-1 probe; recall per plane
+    * count is unchanged where n doesn't need the extra planes (the
+    * count only grows when n does).
     */
-  def adaptivePlanes(n: Long, targetBucket: Int = 64, minPlanes: Int = 4, maxPlanes: Int = 16): Int =
+  def adaptivePlanes(n: Long, targetBucket: Int = 64, minPlanes: Int = 4, maxPlanes: Int = 24): Int =
     (minPlanes to maxPlanes).find(p => (1L << p) * targetBucket >= n).getOrElse(maxPlanes)
 
   /** Deterministic ±1 sign matrix (Achlioptas sparse-projection family),

@@ -270,7 +270,7 @@ object VectorQueries {
     // B7/B43: candidate-pruned cosine near-dup pairs — the scale path of
     // q63. Candidates come from LSH buckets with Hamming-1 multi-probe
     // (no cross join), and the PLANE COUNT ADAPTS to corpus size
-    // (Similarity.adaptivePlanes: smallest p in [4,16] with 2^p·64 ≥ n) —
+    // (Similarity.adaptivePlanes: smallest p in [4,24] with 2^p·64 ≥ n) —
     // a fixed count leaves candidate volume Θ(n²/2^p), measured as
     // exponent 2.06 in the 10× scale probe; adaptive p holds expected
     // bucket occupancy ~64 so candidates stay ~(p+1)·64·n. Every emitted
@@ -291,16 +291,18 @@ object VectorQueries {
           .limit(50)
       },
       Some {
-        val planes = Similarity.hyperplanes(16, 64)
+        // r14: the inline plane table and both ranges track the widened
+        // adaptivePlanes ceiling [4, 24] (2^24*64 ~ 1e9 vectors)
+        val planes = Similarity.hyperplanes(24, 64)
         val values = (for {
-          p <- 0 until 16
+          p <- 0 until 24
           d <- 0 until 64
         } yield f"($p, ${d + 1}, ${planes(p)(d)}%.3f)").mkString(", ")
         s"""
         WITH $OPOS,
         w(p, i, wt) AS (SELECT * FROM (VALUES $values) t(p, i, wt)),
-        params AS (SELECT COALESCE(CAST(MIN(p) AS INT), 16) AS np
-                   FROM range(4, 17) t(p), (SELECT COUNT(*) AS n FROM embeddings) c
+        params AS (SELECT COALESCE(CAST(MIN(p) AS INT), 24) AS np
+                   FROM range(4, 25) t(p), (SELECT COUNT(*) AS n FROM embeddings) c
                    WHERE (1 << p) * 64 >= c.n),
         sig AS (SELECT vec_id, CAST(SUM(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END) AS INT) AS bucket
                 FROM (SELECT e.vec_id, w.p, SUM(e.v * CAST(w.wt AS DOUBLE)) AS s
@@ -311,7 +313,7 @@ object VectorQueries {
         pr AS (SELECT vec_id, bucket AS probe FROM sig
                UNION ALL
                SELECT s.vec_id, xor(s.bucket, (1 << m.p)) AS probe
-               FROM sig s CROSS JOIN range(0, 16) m(p) CROSS JOIN params
+               FROM sig s CROSS JOIN range(0, 24) m(p) CROSS JOIN params
                WHERE m.p < params.np),
         cand AS (SELECT DISTINCT pr.vec_id AS a, s2.vec_id AS b
                  FROM pr JOIN sig s2 ON pr.probe = s2.bucket AND pr.vec_id < s2.vec_id),

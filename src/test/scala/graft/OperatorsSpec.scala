@@ -218,15 +218,20 @@ class OperatorsSpec extends SparkSpec {
   test("adaptivePlanes: integer-exact bucket-count schedule and bounds") {
     import Similarity.adaptivePlanes
     // The schedule the q96 oracle mirrors with MIN(p) WHERE (1<<p)*64 >= n:
-    // smallest p in [4,16] with 2^p*64 >= n. Boundary rows are the cases a
-    // float log2 could round differently between engines.
+    // smallest p in [4,24] with 2^p*64 >= n (ceiling raised 16 -> 24 in
+    // r14: 2^16*64 ~ 4.2M vectors re-admitted linear occupancy growth
+    // well below the design point; 2^24*64 ~ 1e9 covers it). Boundary
+    // rows are the cases a float log2 could round differently between
+    // engines.
     assert(adaptivePlanes(1L) === 4)
     assert(adaptivePlanes(500L) === 4)   // sf0.001 / sf0.01 — unchanged vs fixed-4
     assert(adaptivePlanes(1024L) === 4)  // exact boundary: 2^4*64 == 1024
     assert(adaptivePlanes(1025L) === 5)
     assert(adaptivePlanes(2000L) === 5)  // sf0.1
     assert(adaptivePlanes(20000L) === 9) // 10x probe
-    assert(adaptivePlanes(Long.MaxValue) === 16) // capped — never unbounded fan-out
+    assert(adaptivePlanes((1L << 16) * 64) === 16)     // the old ceiling, now interior
+    assert(adaptivePlanes((1L << 16) * 64 + 1) === 17) // past it: planes keep adapting
+    assert(adaptivePlanes(Long.MaxValue) === 24) // capped — never unbounded fan-out
   }
 
   test("cosinePairsLsh: no cross join in the plan; agrees with exact on overlap") {
