@@ -317,7 +317,8 @@ object Similarity {
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      planes: Array[Array[Double]]): DataFrame = {
+      planes: Array[Array[Double]],
+      hashReattach: Boolean = false): DataFrame = {
     GraftExtensions.ensureRegistered(vectors.sparkSession)
     // The bucketed projection feeds four plan branches (probes, bucket
     // partners, two vector re-attaches). It is NOT persisted: each branch
@@ -334,23 +335,27 @@ object Similarity {
     val probes = v.select(col("__id").as("a"),
       explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
     val others = v.select(col("__id").as("b"), col("__bucket"))
-    val cand = probes.join(others.hint("shuffle_hash"), "__bucket")
-      .filter(col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-    // Re-attach hints (r14): past the broadcast threshold the vector
-    // table side must be a SHUFFLED HASH join, not the sort-merge
+    // Re-attach strategy (r14): past the broadcast threshold the vector
+    // table sides must be SHUFFLED HASH joins, not the sort-merge
     // default — SMJ SORTS the candidate frame (the big side, (p+1)·
     // occupancy·n rows) on each id once per re-attach, and the 30×/100×
     // probes measured exactly that: time exponent 1.16/1.24 against a
-    // candidate-count exponent ~1.0–1.17. Hashing the (small) vector
-    // side streams the candidate frame unsorted. Below the threshold
-    // Spark still broadcasts (the hint only changes the fallback).
+    // candidate-count exponent ~1.0–1.17; the hints cut the 30× wall
+    // 57.6 s → 16.6 s and the 100× wall 314 s → 72.6 s. But a
+    // shuffle_hash HINT also overrides the broadcast choice Spark would
+    // make below the threshold (measured +1 s at sf0.1's 2000 vectors),
+    // so the caller gates it: pass hashReattach = true when the vector
+    // table is past broadcast size (q96 uses n > 32768 — it already
+    // counts n for adaptivePlanes). The per-partition hash build is a
+    // slice of the vector table, bounded at any corpus size.
+    def side(d: DataFrame): DataFrame = if (hashReattach) d.hint("shuffle_hash") else d
+    val cand = probes.join(side(others), "__bucket")
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
     cand
-      .join(v.select(col("__id").as("a"), col("__v").as("va"), col("__nrm").as("na"))
-        .hint("shuffle_hash"), "a")
-      .join(v.select(col("__id").as("b"), col("__v").as("vb"), col("__nrm").as("nb"))
-        .hint("shuffle_hash"), "b")
+      .join(side(v.select(col("__id").as("a"), col("__v").as("va"), col("__nrm").as("na"))), "a")
+      .join(side(v.select(col("__id").as("b"), col("__v").as("vb"), col("__nrm").as("nb"))), "b")
       .select(col("a"), col("b"),
         round(cosinePre(call_function("graft_dot", col("va"), col("vb")), col("na"), col("nb")), 6).as("cos_r"))
   }
@@ -381,7 +386,8 @@ object Similarity {
       right: DataFrame,
       rightId: String,
       rightVec: String,
-      planes: Array[Array[Double]]): DataFrame = {
+      planes: Array[Array[Double]],
+      hashReattach: Boolean = false): DataFrame = {
     require(Seq(leftId, leftVec, rightId, rightVec).distinct.size == 4,
       "leftId/leftVec/rightId/rightVec must be four distinct column names")
     GraftExtensions.ensureRegistered(left.sparkSession)
@@ -400,15 +406,17 @@ object Similarity {
     val masks = 0 +: planes.indices.map(1 << _)
     val probes = l.select(col(leftId),
       explode(array(masks.map(m => col("__bucket").bitwiseXOR(lit(m))): _*)).as("__bucket"))
-    val cand = probes.join(r.select(col(rightId), col("__bucket")).hint("shuffle_hash"), "__bucket")
+    // same r14 re-attach posture as cosinePairsLsh: when the caller says
+    // the train side is past broadcast size, the vector sides hash, so
+    // the candidate frame streams unsorted instead of being SMJ-sorted
+    // once per re-attach; below it the broadcast default stays
+    def side(d: DataFrame): DataFrame = if (hashReattach) d.hint("shuffle_hash") else d
+    val cand = probes.join(side(r.select(col(rightId), col("__bucket"))), "__bucket")
       .select(leftId, rightId)
       .distinct()
-    // same r14 re-attach posture as cosinePairsLsh: past the broadcast
-    // threshold the vector sides hash, so the candidate frame streams
-    // unsorted instead of being SMJ-sorted once per re-attach
     cand
-      .join(l.select(col(leftId), col("__lv"), col("__ln")).hint("shuffle_hash"), leftId)
-      .join(r.select(col(rightId), col("__rv"), col("__rn")).hint("shuffle_hash"), rightId)
+      .join(side(l.select(col(leftId), col("__lv"), col("__ln"))), leftId)
+      .join(side(r.select(col(rightId), col("__rv"), col("__rn"))), rightId)
       .select(col(leftId), col(rightId),
         round(cosinePre(call_function("graft_dot", col("__lv"), col("__rv")),
           col("__ln"), col("__rn")), 6).as("cos_r"))

@@ -284,9 +284,13 @@ object VectorQueries {
       (s, dir) => {
         val v = Tables.embeddings(s, dir)
           .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-        val np = Similarity.adaptivePlanes(v.count())
+        val n = v.count()
+        val np = Similarity.adaptivePlanes(n)
         val planes = Similarity.hyperplanes(np, 64)
-        Similarity.cosinePairsLsh(v, "vec_id", "vec", planes)
+        // hash the re-attach sides only past broadcast size (n already
+        // counted for adaptivePlanes) - the hint would otherwise override
+        // the broadcast Spark picks at small n
+        Similarity.cosinePairsLsh(v, "vec_id", "vec", planes, hashReattach = n > 32768)
           .orderBy(col("cos_r").desc, col("a"), col("b"))
           .limit(50)
       },

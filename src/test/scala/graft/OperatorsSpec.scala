@@ -257,6 +257,35 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"top-pair recall $recall too low")
   }
 
+  test("cosinePairsLsh: past the broadcast threshold the re-attach joins hash, never sort-merge") {
+    // the r14 re-tier pin: at corpus scale the vector re-attach sides
+    // exceed the broadcast threshold and the sort-merge default would
+    // SORT the (p+1)*occupancy*n candidate frame once per re-attach
+    // (measured 57.6s -> 16.6s at 30x when the shuffle_hash hints
+    // landed). Simulate past-threshold by disabling auto-broadcast and
+    // assert the hint holds the plan on hash joins.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val v = Tables.embeddings(spark, "/root/testdata/sf0.001")
+        .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      val plan = Similarity
+        .cosinePairsLsh(v, "vec_id", "vec", Similarity.hyperplanes(4, 64),
+          hashReattach = true)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"re-attach fell back to sort-merge past the broadcast threshold:\n$plan")
+      assert(plan.contains("ShuffledHashJoin"), s"expected hash joins:\n$plan")
+      // and WITHOUT the flag the broadcast default is untouched at small n
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      val planSmall = Similarity
+        .cosinePairsLsh(v, "vec_id", "vec", Similarity.hyperplanes(4, 64))
+        .queryExecution.executedPlan.toString
+      assert(planSmall.contains("BroadcastHashJoin"),
+        s"small-n path lost its broadcasts:\n$planSmall")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("random projection: linear, deterministic, and distance-preserving on average") {
     val signs = Similarity.signMatrix("rp", 8, 64)
     assert(Similarity.signMatrix("rp", 8, 64).map(_.toSeq).toSeq === signs.map(_.toSeq).toSeq)
