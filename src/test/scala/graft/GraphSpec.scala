@@ -170,6 +170,35 @@ class GraphSpec extends SparkSpec {
     assert(left != right, s"bridge not cut: $got")
   }
 
+  test("louvain: no raw-row window sort anywhere; per-round work is checkpoint-bounded") {
+    // localCheckpoint cuts lineage per round, so the returned frame's
+    // plan covers only the final projection — count the Spark jobs
+    // instead: each round must cost a BOUNDED number of materializing
+    // jobs (the checkpoint), not re-run prior rounds (the LabelProp
+    // lineage contract), and no plan in the session may window-sort.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("a", "b")
+    val plan = operators.Louvain.communities(edges, rounds = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window sort in the output plan:\n$plan")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      operators.Louvain.communities(edges, rounds = 2).count()
+      Thread.sleep(500) // listener events are async - let the bus drain
+      val twoRounds = jobs
+      jobs = 0
+      operators.Louvain.communities(edges, rounds = 4).count()
+      Thread.sleep(500)
+      // linear in rounds: 2 extra rounds cost ~2x the per-round jobs,
+      // never a lineage re-execution blowup
+      assert(jobs <= twoRounds * 2 + 4, s"2 rounds: $twoRounds jobs, 4 rounds: $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("louvain: deterministic, and modularity is non-decreasing per round") {
     // a 3-community co-occurrence-style graph with noise edges
     val rng = new scala.util.Random(7)
