@@ -861,9 +861,11 @@ object EvalMetrics {
     * exact integer pair jsp_num = Σ p·t_p, jsq_num = Σ q·t_q — so
     * JSD_micronats = jsp_num/(2·n1) + jsq_num/(2·n2), a rational the
     * caller divides (num/den emission, the tvdTest posture: per-term
-    * floors make the summands possibly negative, and Spark's `div`
-    * truncates where DuckDB's `//` floors — emitting the division would
-    * re-open the exact divergence channel r12 closed).
+    * floors make the summands possibly negative; an r14 spot-measurement
+    * found current DuckDB's `//` truncating toward zero exactly like
+    * Spark's `div`, but sign-mixed integer division semantics are an
+    * engine-VERSION hazard, and the num/den pair is exact regardless —
+    * so the division stays unemitted).
     *
     * Scale shape: one partial-agg'd shuffle to per-category counts, a
     * 1-row totals broadcast, no cumulative pass — the tvdTest shape.

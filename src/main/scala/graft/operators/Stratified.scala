@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * deterministic hash rank so the whole chain replays in any engine.
   *
   * Exact-integer determinism contract:
-  *  - y must be NON-NEGATIVE (enforced in-plan per stratum: Spark's
-  *    `div` truncates toward zero where DuckDB's `//` floors, so a
-  *    negative stratum sum would silently diverge cross-engine and the
-  *    "FLOORED stratum mean" claim below would be false — the Ablation
-  *    posture);
+  *  - y must be NON-NEGATIVE (enforced in-plan per stratum: on
+  *    non-negative operands every engine's integer division agrees;
+  *    sign-mixed division is an engine-version hazard (an r14
+  *    spot-measurement found current DuckDB's `//` truncating like
+  *    Spark's `div`, but that is not a contract either side documents)
+  *    and the "FLOORED stratum mean" claim below would be ambiguous —
+  *    the Ablation posture);
   *  - per-stratum spread S_h = isqrt(Σ(y − μ̂)² div (n_h − 1)) with
   *    μ̂_h the FLOORED stratum mean — a two-pass integer variance (the
   *    one-pass n·Σy² − (Σy)² form overflows int64 at corpus scale; the
