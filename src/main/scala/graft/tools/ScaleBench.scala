@@ -128,11 +128,12 @@ object ScaleBench {
     // containment prefix join (probe prefix vs full corpus index)
     "q263_source_overlap", "q264_containment_decon",
     // r14: the Louvain per-round vote/sigma/argmax join chain (a new
-    // iterative shape). q266 (agri seasonal) is deliberately NOT here:
-    // it reads the fixed real 1.5M-row corpus whatever the sf dir, so
-    // a replica "exponent" would measure nothing — its scale shape is
-    // two grouped partial-agg passes + a broadcast join-back, argued
-    // in its registration comment like the other agri entries.
+    // iterative shape). q266/q267 (agri seasonal tiers) are deliberately
+    // NOT here: they read the fixed real 1.5M-row corpus whatever the
+    // sf dir, so a replica "exponent" would measure nothing — their
+    // scale shapes (one corpus-scale grouped aggregate each, then
+    // broadcast join-backs / ≤216-row-per-series windows) are argued in
+    // their registration comments like the other agri entries.
     "q265_louvain_communities")
 
   def main(args: Array[String]): Unit = {
