@@ -136,16 +136,21 @@ object PrefixFilterJoin {
       .select(col("elem"), col("xid"), col("szx"))
     val sy = py.groupBy("yid").agg(count(lit(1)).as("szy"))
     // the ·10⁶ ppm products are wrap-guarded in-plan (the q263 jac_ppm
-    // posture): tPpm ≤ 10⁶, so one bound per factor covers both sides
-    // of each cross-multiplied compare
-    def ppm(c: Column, what: String): Column = Guards(
-      c <= lit(Long.MaxValue / 1000000L), lit(1000000L) * c,
+    // posture). BOTH factors of each cross-multiplied compare pass the
+    // same Long.MaxValue/10⁶ bound: tPpm ≤ 10⁶, so bounding a count c by
+    // that constant covers 10⁶·c on the left AND tPpm·c on the right —
+    // an oversized probe set refuses with the containment-join message,
+    // never an opaque ANSI overflow (r15: szx previously rode unbounded).
+    def bounded(c: Column, what: String): Column = Guards(
+      c <= lit(Long.MaxValue / 1000000L), c,
       Guards.msg("containment-join",
         lit(s"$what = "), c.cast("string"),
         lit(" wraps the x10^6 ppm grid; shard the element sets")))
+    def ppm(c: Column, what: String): Column = lit(1000000L) * bounded(c, what)
     val cand = pref.join(py, "elem")
       .join(sy, "yid")
-      .filter(ppm(col("szy"), "corpus-set size szy") >= lit(tPpm) * col("szx"))
+      .filter(ppm(col("szy"), "corpus-set size szy") >=
+        lit(tPpm) * bounded(col("szx"), "probe-set size szx"))
       .select(col("xid"), col("yid"), col("szx"))
       .distinct()
     val xa = px.groupBy("xid").agg(sort_array(collect_list("elem")).as("arr_x"))
@@ -153,7 +158,8 @@ object PrefixFilterJoin {
     cand.join(xa, "xid").join(ya, "yid")
       .select(col("xid"), col("yid"), col("szx"),
         size(array_intersect(col("arr_x"), col("arr_y"))).cast("long").as("inter"))
-      .filter(ppm(col("inter"), "overlap count inter") >= lit(tPpm) * col("szx"))
+      .filter(ppm(col("inter"), "overlap count inter") >=
+        lit(tPpm) * bounded(col("szx"), "probe-set size szx"))
       .select(col("xid"), col("yid"), col("inter"), col("szx"),
         // the filter above already consumed the guarded product for this
         // exact inter; the re-multiply here is ANSI-loud besides

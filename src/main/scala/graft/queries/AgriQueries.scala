@@ -414,7 +414,19 @@ object AgriQueries {
           .filter(col("arrival_date").isNotNull)
           .select(col("commodity"),
             month(col("arrival_date")).as("m"),
-            floor(col("modal_price") * 100).as("p"))
+            // non-negativity enforced IN-PLAN (the Stratified posture):
+            // every paise division below (s_cm div n_cm, s_c div n_c)
+            // assumes non-negative sums — one negative quote would make
+            // them sign-mixed, the exact cross-engine div/floor hazard
+            // the num/den emission rules exist for. TRY_CAST admits any
+            // sign, so the intake refuses loudly instead of diverging.
+            graft.operators.Guards(col("modal_price") >= 0,
+              floor(col("modal_price") * 100),
+              concat(lit("[agri-seasonal] negative modal_price "),
+                col("modal_price").cast("string"),
+                lit(" - paise-mean divisions assume non-negative quotes; "),
+                lit("filter the corpus or emit the (sum, n) pair instead")))
+              .as("p"))
         val cm = rows.groupBy("commodity", "m")
           .agg(count(lit(1)).as("n_cm"), sum("p").as("s_cm"))
         val mucm = cm.select(col("commodity"), col("m"), col("n_cm"),
