@@ -479,57 +479,43 @@ object AgriQueries {
     // B157: CLASSICAL seasonal decomposition (2x12 moving-average trend
     // tier) — q266's month-of-year means conflate the 18-year price
     // trend into the seasonal index wherever months are unevenly
-    // sampled; the classical fix detrends FIRST: trend_t = the centered
-    // 2x12 MA over the monthly-mean grid, computed in pure integers as
-    // (SUM rows(-6,+5) + SUM rows(-5,+6)) div 24 (the half-weight
-    // endpoints fall out of the two-frame sum identity), defined only
-    // where all 13 calendar months have data (gap-filled calendar, the
-    // q107 idiom); seasonal index = per month-of-year mean of the
-    // DETRENDED series — a sign-mixed sum; both engines' integer
-    // division TRUNCATES toward zero (Spark div ≡ DuckDB //, verified
-    // on negative numerators in r14: -7//2 = -3 on both), so the plain
-    // div is emitted — and residual = detrended - seasonal. Three staples
-    // keep the checked output bounded (~630 rows). Scale shape: ONE
-    // corpus-scale grouped aggregate to the monthly grid; every window
-    // after it runs over <= 216 rows per commodity with bounded ROWS
-    // frames.
+    // sampled; the classical fix detrends FIRST. r15: the algebra moved
+    // from inline query code into operators/Seasonal.classicalMonthly
+    // (calendar fill -> two-frame 2x12 MA -> detrended month-of-year
+    // means, spec-pinned exact on synthetic series), and the scope
+    // widened from three hardcoded staples to q266's DATA-DERIVED
+    // eligibility gate (>= 20k quotes -> 23 commodities, ~3.6k checked
+    // rows). Every sign-mixed numerator (the detrended sums) divides
+    // through the PORTABLE truncating CASE (both branches divide
+    // non-negatives, where floor = truncate in every engine version —
+    // the r14 bare `div` relied on a spot-measurement of DuckDB's
+    // current `//`), replayed branch-for-branch by the oracle. Scale
+    // shape: ONE corpus-scale grouped aggregate to the monthly grid;
+    // every window after it runs per commodity over <= 216 rows with
+    // bounded ROWS frames.
     Q(
       "q267_agri_seasonal_ma",
       (s, _) => {
-        val staples = Seq("Carrot", "Banana", "Apple")
         val monthly = Corpus(s)
-          .filter(col("commodity").isin(staples: _*) && col("arrival_date").isNotNull)
+          .filter(col("arrival_date").isNotNull)
           .groupBy(col("commodity"),
             date_trunc("month", col("arrival_date")).cast(DateType).as("month"))
           .agg(count(lit(1)).as("n_quotes"),
-            sum(floor(col("modal_price") * 100)).as("sp"))
+            sum(graft.operators.Guards(col("modal_price") >= 0,
+              floor(col("modal_price") * 100),
+              concat(lit("[agri-seasonal] negative modal_price "),
+                col("modal_price").cast("string"),
+                lit(" - paise-mean divisions assume non-negative quotes; "),
+                lit("filter the corpus or emit the (sum, n) pair instead"))))
+              .as("sp"))
           .withColumn("mu", expr("sp div n_quotes"))
-        val cal = monthly.groupBy("commodity")
-          .agg(min("month").as("d0"), max("month").as("d1"))
-          .select(col("commodity"),
-            explode(expr("sequence(d0, d1, interval 1 month)")).as("month"))
-        val filled = cal.join(monthly, Seq("commodity", "month"), "left")
-        val wA = Window.partitionBy("commodity").orderBy("month").rowsBetween(-6, 5)
-        val wB = Window.partitionBy("commodity").orderBy("month").rowsBetween(-5, 6)
-        val wC = Window.partitionBy("commodity").orderBy("month").rowsBetween(-6, 6)
-        val tr = filled
-          .withColumn("sA", sum("mu").over(wA))
-          .withColumn("sB", sum("mu").over(wB))
-          .withColumn("c13", count(col("mu")).over(wC))
-          .withColumn("trend", when(col("c13") === 13, expr("(sA + sB) div 24")))
-          .filter(col("trend").isNotNull)
-          .select(col("commodity"), col("month"), col("n_quotes"), col("mu"),
-            col("trend"), (col("mu") - col("trend")).as("d"),
-            month(col("month")).as("moy"))
-        val sea = tr.groupBy("commodity", "moy")
-          .agg(sum("d").as("sdet"), count(lit(1)).as("ny"))
-          .select(col("commodity"), col("moy"),
-            expr("sdet div ny").as("seasonal"))
-        tr.join(broadcast(sea), Seq("commodity", "moy"))
-          .select(col("commodity"), col("month"), col("n_quotes"),
+        graft.operators.Seasonal
+          .classicalMonthly(monthly, "commodity", "month", "n_quotes", "mu",
+            eligibleMinN = 20000L)
+          .select(col("commodity"), col("month"), col("n").as("n_quotes"),
             col("mu").as("mu_paise"), col("trend").as("trend_paise"),
             col("seasonal").as("seasonal_paise"),
-            (col("d") - col("seasonal")).as("residual_paise"))
+            col("residual").as("residual_paise"))
           .orderBy("commodity", "month")
       },
       Some(s"""
@@ -539,29 +525,33 @@ object AgriQueries {
                  CAST(COUNT(*) AS BIGINT) AS n_quotes,
                  CAST(SUM(CAST(floor(modal_price * 100) AS BIGINT)) AS BIGINT) AS sp
           FROM corpus
-          WHERE commodity IN ('Carrot', 'Banana', 'Apple') AND arrival_date IS NOT NULL
+          WHERE arrival_date IS NOT NULL
           GROUP BY 1, 2),
-        m2 AS (SELECT *, sp // n_quotes AS mu FROM monthly),
+        elig AS (SELECT commodity FROM monthly GROUP BY 1 HAVING SUM(n_quotes) >= 20000),
+        m2 AS (SELECT monthly.*, sp // n_quotes AS mu
+               FROM monthly JOIN elig USING (commodity)),
         cal AS (SELECT commodity,
                        CAST(unnest(generate_series(d0, d1, INTERVAL 1 MONTH)) AS DATE) AS month
                 FROM (SELECT commodity, MIN(month) AS d0, MAX(month) AS d1 FROM m2 GROUP BY 1)),
         filled AS (SELECT c.commodity, c.month, m2.n_quotes, m2.mu
                    FROM cal c LEFT JOIN m2 ON m2.commodity = c.commodity AND m2.month = c.month),
         tr AS (SELECT *,
-                      CAST(SUM(mu) OVER wa AS BIGINT) AS sa,
-                      CAST(SUM(mu) OVER wb AS BIGINT) AS sb,
+                      CAST(SUM(mu) OVER wa AS BIGINT) + CAST(SUM(mu) OVER wb AS BIGINT) AS sab,
                       COUNT(mu) OVER wc AS c13
                FROM filled
                WINDOW wa AS (PARTITION BY commodity ORDER BY month ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
                       wb AS (PARTITION BY commodity ORDER BY month ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING),
                       wc AS (PARTITION BY commodity ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)),
         d2 AS (SELECT commodity, month, n_quotes, mu,
-                      (sa + sb) // 24 AS trend,
-                      mu - (sa + sb) // 24 AS d,
+                      CASE WHEN sab >= 0 THEN sab // 24 ELSE -((-sab) // 24) END AS trend,
+                      mu - CASE WHEN sab >= 0 THEN sab // 24 ELSE -((-sab) // 24) END AS d,
                       CAST(month(month) AS INT) AS moy
                FROM tr WHERE c13 = 13),
         sea AS (SELECT commodity, moy,
-                       CAST(SUM(d) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS seasonal
+                       CASE WHEN SUM(d) >= 0
+                            THEN CAST(SUM(d) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+                            ELSE -(CAST(-SUM(d) AS BIGINT) // CAST(COUNT(*) AS BIGINT))
+                       END AS seasonal
                 FROM d2 GROUP BY 1, 2)
         SELECT d2.commodity, d2.month, d2.n_quotes, d2.mu AS mu_paise,
                d2.trend AS trend_paise, sea.seasonal AS seasonal_paise,
