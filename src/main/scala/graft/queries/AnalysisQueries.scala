@@ -1883,6 +1883,123 @@ object AnalysisQueries {
         $rounds
         SELECT CAST(node AS BIGINT) AS node, CAST(com AS BIGINT) AS com
         FROM s4 ORDER BY node"""
+      }),
+
+    // B155 (r15): FULL Louvain — phase-1 local moves to convergence-or-
+    // budget, then the phase-2 COMMUNITY CONTRACTION (communities
+    // collapse to super-nodes, intra-community weight becomes self-loops
+    // counted twice in degrees, total weight m invariant) and a second
+    // local-move pass on the contracted graph — the step that merges
+    // whole communities no single node move can justify (GraphSpec pins
+    // the 16-path: pairs q_num 366 -> blocks 494). Output per ORIGINAL
+    // node: final community, the converged WITNESS (two consecutive
+    // moveless rounds per level — a fixed point for both progressive
+    // directions, so any longer unroll is the identity), and the exact
+    // integer modularity numerator of the final partition over the
+    // original graph (q230's algebra: q_num = 4m·e_in − Σd_c², q_den =
+    // 4m² implied) — detect-then-score in one checked result. The
+    // oracle unrolls BOTH levels' rounds as weighted CTEs, replays the
+    // contraction, and re-derives converged from the last three states
+    // per level (equivalent to the early-exit witness: a fixed point
+    // propagates to the tail of any fixed-round unroll).
+    Q(
+      "q268_louvain_multilevel",
+      (s, dir) => {
+        val edges = coPurchaseEdges(s, dir)
+        val part = graft.operators.Louvain
+          .communitiesMultiLevel(edges, maxRoundsPerLevel = 4, levels = 2)
+        val m = edges.agg(
+          graft.operators.Guards(count(lit(1)) <= lit(1L << 30), count(lit(1)),
+            "[louvain-score] edge count exceeds 2^30 - 4m*e_in would " +
+              "overflow int64").as("m"))
+        val ein = edges
+          .join(part.select(col("node").as("a"), col("com").as("ca")), "a")
+          .join(part.select(col("node").as("b"), col("com").as("cb")), "b")
+          .agg(sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("e_in"))
+        val sd2 = edges
+          .select(explode(array(col("a"), col("b"))).as("node"))
+          .groupBy("node").agg(count(lit(1)).as("k"))
+          .join(part.select("node", "com"), "node")
+          .groupBy("com").agg(sum("k").as("dc"))
+          .agg(sum(
+            graft.operators.Guards(col("dc") <= lit(1L << 31), col("dc") * col("dc"),
+              "[louvain-score] community degree exceeds 2^31 - dc^2 would " +
+                "overflow int64")).as("sum_d2"))
+        val score = m.crossJoin(ein).crossJoin(sd2)
+          .select((lit(4L) * col("m") * col("e_in") - col("sum_d2")).as("q_num"))
+        part.crossJoin(broadcast(score))
+          .select(col("node"), col("com"), col("converged"), col("q_num"))
+          .orderBy("node")
+      },
+      Some {
+        def level(p: String, edgesCte: String, rounds: Int): String = {
+          val init = s"""
+          ${p}m AS MATERIALIZED (SELECT CAST(SUM(w) AS BIGINT) AS m FROM $edgesCte),
+          ${p}sym AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM $edgesCte WHERE a <> b
+                      UNION ALL SELECT b, a, w FROM $edgesCte WHERE a <> b),
+          ${p}deg AS MATERIALIZED (SELECT node, CAST(SUM(w) AS BIGINT) AS k FROM (
+                        SELECT dst AS node, w FROM ${p}sym
+                        UNION ALL
+                        SELECT a AS node, 2 * w AS w FROM $edgesCte WHERE a = b)
+                      GROUP BY 1),
+          ${p}s0 AS MATERIALIZED (SELECT node, node AS com FROM ${p}deg)"""
+          val rs = (1 to rounds).map { r =>
+            s"""
+          ${p}v$r AS MATERIALIZED (SELECT sym.dst AS node, pp.com, CAST(SUM(sym.w) AS BIGINT) AS wv
+               FROM ${p}sym sym JOIN ${p}s${r - 1} pp ON pp.node = sym.src
+               GROUP BY 1, 2),
+          ${p}c$r AS MATERIALIZED (SELECT node, com, CAST(MAX(wv) AS BIGINT) AS wv FROM (
+                 SELECT node, com, wv FROM ${p}v$r
+                 UNION ALL SELECT node, com, CAST(0 AS BIGINT) FROM ${p}s${r - 1})
+               GROUP BY 1, 2),
+          ${p}sg$r AS MATERIALIZED (SELECT pp.com, CAST(SUM(d.k) AS BIGINT) AS s_tot
+                FROM ${p}s${r - 1} pp JOIN ${p}deg d USING (node) GROUP BY 1),
+          ${p}g$r AS MATERIALIZED (SELECT c.node, c.com, pp.com AS own,
+                  2 * m.m * c.wv - d.k * (sg.s_tot - CASE WHEN c.com = pp.com THEN d.k ELSE 0 END) AS gain
+               FROM ${p}c$r c JOIN ${p}deg d USING (node)
+                    JOIN ${p}s${r - 1} pp USING (node)
+                    JOIN ${p}sg$r sg ON sg.com = c.com CROSS JOIN ${p}m m),
+          ${p}p$r AS MATERIALIZED (SELECT node, com AS picked, own FROM (
+                 SELECT node, com, own,
+                        ROW_NUMBER() OVER (PARTITION BY node ORDER BY gain DESC, com) AS rn
+                 FROM ${p}g$r) WHERE rn = 1),
+          ${p}s$r AS MATERIALIZED (SELECT node, CASE WHEN ${if (r % 2 == 1) "picked < own" else "picked > own"} THEN picked ELSE own END AS com
+               FROM ${p}p$r)"""
+          }.mkString(",")
+          init + "," + rs
+        }
+        def diff(x: String, y: String): String =
+          s"(SELECT COUNT(*) FROM $x xx JOIN $y yy ON xx.node = yy.node AND xx.com <> yy.com)"
+        s"""
+        WITH $OEDGES,
+        e1 AS MATERIALIZED (SELECT a, b, CAST(1 AS BIGINT) AS w FROM edges),
+        ${level("l1", "e1", 4)},
+        e2 AS MATERIALIZED (SELECT least(sa.com, sb.com) AS a, greatest(sa.com, sb.com) AS b,
+                      CAST(SUM(e.w) AS BIGINT) AS w
+               FROM e1 e JOIN l1s4 sa ON sa.node = e.a
+                    JOIN l1s4 sb ON sb.node = e.b
+               GROUP BY 1, 2),
+        ${level("l2", "e2", 4)},
+        fmap AS MATERIALIZED (SELECT s1.node, s2.com
+                 FROM l1s4 s1 JOIN l2s4 s2 ON s2.node = s1.com),
+        conv AS (SELECT (${diff("l1s4", "l1s3")} + ${diff("l1s3", "l1s2")}
+                       + ${diff("l2s4", "l2s3")} + ${diff("l2s3", "l2s2")}) = 0
+                   AS converged),
+        mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e1),
+        odeg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS k FROM (
+                   SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+                 GROUP BY 1),
+        ein AS (SELECT CAST(SUM(CASE WHEN fa.com = fb.com THEN 1 ELSE 0 END) AS BIGINT) AS e_in
+                FROM e1 e JOIN fmap fa ON fa.node = e.a
+                     JOIN fmap fb ON fb.node = e.b),
+        sd2 AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS sum_d2 FROM (
+                  SELECT f.com, CAST(SUM(d.k) AS BIGINT) AS dc
+                  FROM fmap f JOIN odeg d USING (node) GROUP BY 1))
+        SELECT CAST(f.node AS BIGINT) AS node, CAST(f.com AS BIGINT) AS com,
+               conv.converged AS converged,
+               CAST(4 * mm.m * ein.e_in - sd2.sum_d2 AS BIGINT) AS q_num
+        FROM fmap f, conv, mm, ein, sd2
+        ORDER BY node"""
       })
   )
 }

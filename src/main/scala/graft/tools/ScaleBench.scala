@@ -134,7 +134,10 @@ object ScaleBench {
     // scale shapes (one corpus-scale grouped aggregate each, then
     // broadcast join-backs / ≤216-row-per-series windows) are argued in
     // their registration comments like the other agri entries.
-    "q265_louvain_communities")
+    "q265_louvain_communities",
+    // r15: the full multi-level tier (local moves + contraction + second
+    // level) — same per-round join chain plus the contraction groupBy
+    "q268_louvain_multilevel")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -225,4 +225,99 @@ class GraphSpec extends SparkSpec {
     }
     assert(qs.last > qs.head, s"no improvement over init: $qs")
   }
+
+  test("louvain multilevel: contraction merges what no single node move can") {
+    // a 16-path: phase-1 local moves settle on 8 adjacent pairs (no
+    // SINGLE node move improves modularity from there), but merging
+    // neighboring pair-communities does — exactly the move only the
+    // phase-2 contraction can express. Measured: q_num 366 (pairs) ->
+    // 494 (4 blocks of 4) on the exact integer grid.
+    val edges = (1L to 15L).map(i => (i, i + 1))
+    val df = edges.toDF("a", "b")
+    val l1 = operators.Louvain.communities(df, 8)
+      .as[(Long, Long)].collect().toMap
+    val ml = operators.Louvain.communitiesMultiLevel(df, 8, levels = 3)
+      .select("node", "com").as[(Long, Long)].collect().toMap
+    val q1 = modularityNum(edges, l1)
+    val qm = modularityNum(edges, ml)
+    assert(q1 == 366L, s"phase-1 baseline moved: $q1")
+    assert(qm == 494L, s"multilevel modularity: $qm")
+    assert(ml.values.toSet.size == 4, s"expected 4 block communities: $ml")
+    // blocks are contiguous runs of 4
+    (1L to 16L).grouped(4).foreach { g =>
+      assert(g.map(ml).toSet.size == 1, s"block $g split: $ml")
+    }
+  }
+
+  test("louvain multilevel: stable partitions survive contraction, converged witness true") {
+    val clique = (ns: Seq[Long]) =>
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val edges = clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+ ((4L, 5L))
+    val df = edges.toDF("a", "b")
+    val out = operators.Louvain.communitiesMultiLevel(df, 8, levels = 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.forall(_._3), "two-clique graph did not converge")
+    val got = out.map(r => r._1 -> r._2).toMap
+    assert(Set(1L, 2L, 3L, 4L).map(got).size == 1)
+    assert(Set(5L, 6L, 7L, 8L).map(got).size == 1)
+    assert(got(1L) != got(5L), s"bridge not cut: $got")
+    // same partition as phase-1 (already optimal at this scale), and a
+    // re-run is identical (determinism through the contraction)
+    val again = operators.Louvain.communitiesMultiLevel(df, 8, levels = 2)
+      .as[(Long, Long, Boolean)].collect()
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
+
+  test("louvain: early exit makes extra rounds free once settled") {
+    // the two-clique graph settles in <= 3 rounds; a 16-round budget
+    // must cost the same jobs as a 4-round one (the drained-frontier
+    // posture), never 4x the per-round work
+    val clique = (ns: Seq[Long]) =>
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val edges =
+      (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+ ((4L, 5L)))
+        .toDF("a", "b")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      operators.Louvain.communities(edges, rounds = 4).count()
+      Thread.sleep(500)
+      val atFour = jobs
+      jobs = 0
+      operators.Louvain.communities(edges, rounds = 16).count()
+      Thread.sleep(500)
+      assert(jobs <= atFour + 2, s"4 rounds: $atFour jobs, 16 rounds: $jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("louvain: intake refuses self-loops and duplicate edges loudly") {
+    val selfLoop = Seq((1L, 2L), (3L, 3L)).toDF("a", "b")
+    val e1 = intercept[Exception] {
+      operators.Louvain.communities(selfLoop, 2).collect()
+    }
+    assert(e1.getMessage.contains("[louvain]") &&
+      e1.getMessage.contains("self-loop"), e1.getMessage)
+    val dup = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("a", "b")
+    val e2 = intercept[Exception] {
+      operators.Louvain.communities(dup, 2).collect()
+    }
+    assert(e2.getMessage.contains("[louvain]") &&
+      e2.getMessage.contains("duplicate"), e2.getMessage)
+  }
+
+  test("louvain: converged state is a fixed point - longer budgets change nothing") {
+    val clique = (ns: Seq[Long]) =>
+      for (i <- ns.indices; j <- i + 1 until ns.size) yield (ns(i), ns(j))
+    val df = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(5L, 6L, 7L, 8L)) :+ ((4L, 5L)))
+      .toDF("a", "b")
+    val a = operators.Louvain.communitiesMultiLevel(df, 4, levels = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    val b = operators.Louvain.communitiesMultiLevel(df, 16, levels = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(a.sameElements(b), s"budget changed a converged result:\n$a\nvs\n$b")
+  }
 }
