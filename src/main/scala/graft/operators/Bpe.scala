@@ -235,6 +235,12 @@ object Bpe {
     c < 0 || (c == 0 && utf8Compare(x._2, y._2) < 0)
   }
 
+  /** Driver-side ordering under the same UTF-8 binary order — for
+    * assigning deterministic symbol ids that DuckDB's default (binary)
+    * ORDER BY reproduces exactly. */
+  private[graft] val utf8Ordering: Ordering[String] =
+    (x: String, y: String) => utf8Compare(x, y)
+
   private def utf8Compare(x: String, y: String): Int = {
     val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)

@@ -1182,6 +1182,113 @@ object TextQueries {
       },
       Some(bpeEncodeOracle(6))),
 
+    // B158 (r15): BPE corpus encode TO TOKEN IDS — the missing step
+    // between "tokenizer trained" (q159) and "training shards written":
+    // q169 counts learned-vocabulary tokens, this emits the encoded
+    // SEQUENCE. Symbol ids are dense 1-based under UTF-8 BINARY order
+    // (driver-side sort via Bpe.utf8Ordering == DuckDB's default ORDER
+    // BY — collation-proof by construction); each dict word pre-encodes
+    // DRIVER-SIDE to its id string (the dict is Heaps-law bounded, see
+    // Bpe.train), so the corpus-scale plan is ONE broadcast dictionary
+    // join + one per-doc ordered aggregate — the corpus is never
+    // re-walked per merge, and no per-symbol explode happens at corpus
+    // scale. The per-doc id stream is pinned as md5 of the space-joined
+    // ids in word order (the q167 posture: the exact string both
+    // engines built), beside the token count.
+    Q(
+      "q269_bpe_token_ids",
+      (s, dir) => {
+        import s.implicits._
+        val (_, dict) = trainedBpe(s, dir, 6)
+        val symId = dict.iterator.flatMap(_._3).toSet.toSeq
+          .sorted(graft.operators.Bpe.utf8Ordering)
+          .zipWithIndex.map { case (sym, i) => sym -> (i + 1) }.toMap
+        val wordEnc = dict.map { case (w, _, toks) =>
+          (w, toks.length.toLong, toks.map(symId).mkString(" "))
+        }.toDF("word", "n_sym", "ids")
+        Tables.documents(s, dir).filter(col("lang") === "en")
+          .select(col("doc_id"),
+            posexplode(tokens(lower(col("text")))).as(Seq("wp", "word")))
+          .join(wordEnc, "word")
+          .groupBy("doc_id")
+          .agg(
+            sum("n_sym").as("n_bpe_tokens"),
+            count(lit(1)).as("n_words"),
+            md5(array_join(transform(
+              array_sort(collect_list(struct(col("wp"), col("ids")))),
+              x => x.getField("ids")), " ")).as("ids_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""
+        WITH ${bpeCtes(6)},
+        syms AS (SELECT DISTINCT unnest(toks) AS sym FROM it6),
+        symids AS (SELECT sym, CAST(ROW_NUMBER() OVER (ORDER BY sym) AS BIGINT) AS id
+                   FROM syms),
+        wsym AS (SELECT word, u.p, u.sym FROM (
+                   SELECT word, unnest(list_transform(range(1, len(toks) + 1),
+                            i -> struct_pack(p := CAST(i AS INT), sym := toks[i]))) AS u
+                   FROM it6)),
+        wenc AS (SELECT w.word, CAST(COUNT(*) AS BIGINT) AS n_sym,
+                        string_agg(CAST(si.id AS VARCHAR), ' ' ORDER BY w.p) AS ids
+                 FROM wsym w JOIN symids si USING (sym) GROUP BY w.word),
+        dw AS (SELECT doc_id, u.wp, u.word FROM (
+                 SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+                          i -> struct_pack(wp := CAST(i - 1 AS INT), word := ws[i]))) AS u
+                 FROM (SELECT doc_id, list_filter(
+                         string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '') AS ws
+                       FROM documents WHERE lang = 'en')))
+        SELECT doc_id,
+               CAST(SUM(v.n_sym) AS BIGINT) AS n_bpe_tokens,
+               COUNT(*) AS n_words,
+               md5(string_agg(v.ids, ' ' ORDER BY dw.wp)) AS ids_md5
+        FROM dw JOIN wenc v USING (word)
+        GROUP BY doc_id
+        ORDER BY doc_id""")),
+
+    // B158 (r15): token-budget shard packing over the LEARNED
+    // vocabulary — q217 packs on whitespace-regex counts, which is the
+    // wrong budget once a tokenizer exists: shard budgets are BPE-token
+    // budgets. Same algebra (deterministic doc order, PrefixSum
+    // range-exchange running sum, START-aligned greedy 4096-token
+    // shards, audit columns), with the per-doc count coming from the
+    // q169 dictionary join — closing the train-tokenizer -> encode ->
+    // write-shards arc end to end.
+    Q(
+      "q270_bpe_packing",
+      (s, dir) => {
+        import s.implicits._
+        val vocab = trainedBpe(s, dir, 6)._2.toDF("word", "freq", "toks")
+        val toks = Tables.documents(s, dir).filter(col("lang") === "en")
+          .select(col("doc_id"), explode(tokens(lower(col("text")))).as("word"))
+          .join(vocab.select(col("word"), size(col("toks")).cast(LongType).as("n_sym")),
+            "word")
+          .groupBy("doc_id").agg(sum("n_sym").as("tok"))
+        val cum = graft.operators.PrefixSum
+          .runningSums(toks, Seq(col("doc_id")), Seq("tok"))
+        cum.select(expr("(c_tok - tok) div 4096").as("shard"), col("tok"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"))
+          .select(col("shard"), col("n_docs"), col("tok_sum"),
+            (col("tok_sum") > 4096L).as("over_budget"),
+            expr("(1000000 * tok_sum) div 4096").as("utilization_ppm"))
+          .orderBy("shard")
+      },
+      Some(s"""
+        WITH ${bpeCtes(6)},
+        dw AS (SELECT doc_id, unnest(list_filter(
+                 string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS word
+               FROM documents WHERE lang = 'en'),
+        dt AS (SELECT doc_id, CAST(SUM(len(v.toks)) AS BIGINT) AS tok
+               FROM dw JOIN it6 v USING (word) GROUP BY doc_id),
+        cum AS (SELECT doc_id, tok, CAST(SUM(tok) OVER (ORDER BY doc_id) AS BIGINT) AS c
+                FROM dt),
+        sh AS (SELECT (c - tok) // 4096 AS shard, tok FROM cum)
+        SELECT CAST(shard AS BIGINT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tok) AS BIGINT) AS tok_sum,
+               SUM(tok) > 4096 AS over_budget,
+               CAST((1000000 * SUM(tok)) // 4096 AS BIGINT) AS utilization_ppm
+        FROM sh GROUP BY 1 ORDER BY 1""")),
+
     // B122: winnowing (MOSS) fingerprint overlap — the guaranteed-recall
     // substring-overlap sketch beside the probabilistic minhash/simhash
     // tiers: any shared run of >= w+k-1 = 20 tokens yields an identical

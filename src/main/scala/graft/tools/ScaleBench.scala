@@ -137,7 +137,11 @@ object ScaleBench {
     "q265_louvain_communities",
     // r15: the full multi-level tier (local moves + contraction + second
     // level) — same per-round join chain plus the contraction groupBy
-    "q268_louvain_multilevel")
+    "q268_louvain_multilevel",
+    // r15: the BPE encode-to-ids join + per-doc ordered md5 aggregate,
+    // and the BPE-budget packing (dictionary join + PrefixSum) — the
+    // corpus-scale halves of the tokenizer arc, measured from day one
+    "q269_bpe_token_ids", "q270_bpe_packing")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()

@@ -118,4 +118,25 @@ class BpeSpec extends SparkSpec {
     assert(merges == Seq((1, "a", "b", 2L)))
     assert(fin == Seq(("ab", 2L, Vector("ab"))))
   }
+
+  test("token-id encoding (the q269 map) round-trips: ids -> symbols -> the word") {
+    // the encode step is only honest if the id sequence DECODES back to
+    // the exact word under the learned vocabulary
+    val corpus = Seq("the cat sat on the mat", "the cats sat", "a cat on a mat")
+      .flatMap(_.split(' ')).groupBy(identity)
+      .map { case (w, xs) =>
+        (w, xs.size.toLong, w.map(_.toString).toVector)
+      }.toSeq
+    val (_, dict) = Bpe.trainLocalRows(corpus, 4)
+    val syms = dict.iterator.flatMap(_._3).toSet.toSeq.sorted(Bpe.utf8Ordering)
+    val symId = syms.zipWithIndex.map { case (s, i) => s -> (i + 1) }.toMap
+    val idSym = symId.map(_.swap)
+    dict.foreach { case (w, _, toks) =>
+      val ids = toks.map(symId)
+      assert(ids.map(idSym).mkString("") == w,
+        s"$w -> $toks -> $ids does not decode back")
+    }
+    // utf8Ordering is total and strict on the symbol set (dense ids)
+    assert(symId.values.toSeq.sorted == (1 to syms.size))
+  }
 }
