@@ -57,6 +57,26 @@ object Similarity {
   def adaptivePlanes(n: Long, targetBucket: Int = 64, minPlanes: Int = 4, maxPlanes: Int = 24): Int =
     (minPlanes to maxPlanes).find(p => (1L << p) * targetBucket >= n).getOrElse(maxPlanes)
 
+  /** Should [[cosinePairsLsh]]/[[crossCosineLsh]] force their vector
+    * re-attach sides to shuffled-hash joins? True exactly when the
+    * estimated vector-table bytes exceed the SESSION's broadcast
+    * threshold — past it Spark's default is a sort-merge join that sorts
+    * the (p+1)·occupancy·n candidate frame per re-attach (measured: 30×
+    * wall 57.6 s → 16.6 s, 100× 314 s → 72.6 s from the hints), below it
+    * the hint would override the broadcast Spark correctly picks
+    * (measured +1 s at 2000 vectors). r15: the boundary used to be a
+    * hardcoded `n > 32768` that silently encoded "64-dim × ~300 B ≈ the
+    * 10 MB default" — wrong the moment a session tunes
+    * autoBroadcastJoinThreshold or the vectors widen; now it derives
+    * from the live config and the estimated UnsafeRow width (id 8 B +
+    * array header ~16 B + 8 B/dim + ~24 B row/null overhead). A
+    * disabled threshold (≤ 0 = never broadcast) always hashes. */
+  def reattachPastBroadcast(spark: org.apache.spark.sql.SparkSession,
+      n: Long, dim: Int): Boolean = {
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    threshold <= 0 || n * (8L * dim + 48L) > threshold
+  }
+
   /** Deterministic ±1 sign matrix (Achlioptas sparse-projection family),
     * derived from md5 so the SQL oracle re-derives it bit-for-bit. */
   def signMatrix(seed: String, outDims: Int, inDims: Int): Array[Array[Int]] = {

@@ -289,8 +289,11 @@ object VectorQueries {
         val planes = Similarity.hyperplanes(np, 64)
         // hash the re-attach sides only past broadcast size (n already
         // counted for adaptivePlanes) - the hint would otherwise override
-        // the broadcast Spark picks at small n
-        Similarity.cosinePairsLsh(v, "vec_id", "vec", planes, hashReattach = n > 32768)
+        // the broadcast Spark picks at small n. The boundary derives from
+        // the session's autoBroadcastJoinThreshold + estimated row width
+        // (Similarity.reattachPastBroadcast), not a hardcoded count.
+        Similarity.cosinePairsLsh(v, "vec_id", "vec", planes,
+          hashReattach = Similarity.reattachPastBroadcast(s, n, dim = 64))
           .orderBy(col("cos_r").desc, col("a"), col("b"))
           .limit(50)
       },

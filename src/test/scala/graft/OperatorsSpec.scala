@@ -286,6 +286,27 @@ class OperatorsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("reattachPastBroadcast derives from the live config, not a row-count constant") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760b")
+    try {
+      // default 10 MB threshold, 64-dim doubles ~ 560 B/row: the flip
+      // sits at threshold/(8*64+48) = 18,724 rows
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      assert(!Similarity.reattachPastBroadcast(spark, 10000L, 64))
+      assert(Similarity.reattachPastBroadcast(spark, 32768L, 64))
+      // a session that tunes the threshold moves the boundary with it -
+      // the r14 constant (n > 32768) would silently keep the old tier
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 1024L)
+      assert(Similarity.reattachPastBroadcast(spark, 10L, 64))
+      // wider vectors lower the row boundary at the same threshold
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      assert(Similarity.reattachPastBroadcast(spark, 10000L, 1024))
+      // broadcast disabled = never broadcast = always hash the re-attach
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1L)
+      assert(Similarity.reattachPastBroadcast(spark, 1L, 4))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("random projection: linear, deterministic, and distance-preserving on average") {
     val signs = Similarity.signMatrix("rp", 8, 64)
     assert(Similarity.signMatrix("rp", 8, 64).map(_.toSeq).toSeq === signs.map(_.toSeq).toSeq)
