@@ -609,6 +609,64 @@ object VectorQueries {
         SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors_total,
                TRUE AS codes_in_range,
                TRUE AS recall_ge_half
-        FROM embeddings"""))
+        FROM embeddings""")),
+
+    // B159: MMR diversity re-ranking (operators/Mmr) — greedy picks
+    // maximizing wRel·rel − wDiv·max-sim-to-selected on the ×1000
+    // integer grid, query = vec_id 0's embedding, k=8 at λ=3/5. Every
+    // round is one scan of the checkpointed (id, grid, rel) frame + a
+    // top-1 TakeOrdered; the oracle unrolls the 8 rounds as CTEs with
+    // the identical grid, weights and smallest-id tie rule.
+    Q(
+      "q271_mmr_rerank",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // query vector: one bounded 1-row collect (the Coverage
+        // driver-touchpoint posture), floored onto the shared grid
+        val qraw = emb.filter(col("vec_id") === 0)
+          .select(asDouble(col("embedding"))).head().getSeq[Double](0)
+        graft.operators.Mmr.rerank(
+            emb.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+            graft.operators.Mmr.gridOf(qraw), k = 8, wRel = 3, wDiv = 2)
+          .withColumnRenamed("id", "vec_id")
+          .orderBy("round")
+      },
+      Some {
+        val k = 8
+        val rounds = (2 to k).map { r =>
+          val sel = (1 until r).map(i => s"SELECT vec_id FROM p$i")
+            .mkString(" UNION ALL ")
+          s"""sel$r AS ($sel),
+        ms$r AS (SELECT a_vid AS vec_id, CAST(MAX(d) AS BIGINT) AS ms FROM (
+            SELECT a.vec_id AS a_vid, b.vec_id AS b_vid,
+                   CAST(SUM(a.qv * b.qv) AS BIGINT) AS d
+            FROM c a JOIN c b ON a.i = b.i
+                 AND b.vec_id IN (SELECT vec_id FROM sel$r)
+            GROUP BY 1, 2) GROUP BY 1),
+        p$r AS MATERIALIZED (SELECT r.vec_id, r.rel, m.ms,
+            CAST(3 * r.rel - 2 * m.ms AS BIGINT) AS score
+            FROM rel r JOIN ms$r m ON m.vec_id = r.vec_id
+            WHERE r.vec_id NOT IN (SELECT vec_id FROM sel$r)
+            ORDER BY score DESC, r.vec_id LIMIT 1)"""
+        }.mkString(",\n        ")
+        val finalSel = (1 to k).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS round, vec_id, rel, ms AS max_sim, score FROM p$r")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH g AS MATERIALIZED (
+          SELECT vec_id, i, CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS qv
+          FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)),
+        q AS (SELECT i, qv FROM g WHERE vec_id = 0),
+        c AS MATERIALIZED (SELECT * FROM g WHERE vec_id <> 0),
+        rel AS MATERIALIZED (SELECT c.vec_id, CAST(SUM(c.qv * q.qv) AS BIGINT) AS rel
+            FROM c JOIN q USING (i) GROUP BY 1),
+        p1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS BIGINT) AS ms,
+            CAST(3 * rel AS BIGINT) AS score
+            FROM rel ORDER BY score DESC, vec_id LIMIT 1),
+        $rounds
+        $finalSel
+        ORDER BY round"""
+      })
   )
 }

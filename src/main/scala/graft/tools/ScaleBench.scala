@@ -153,12 +153,19 @@ object ScaleBench {
     // without paying for the whole Heavy list.
     val subset = args.lift(3).map(_.split(',').map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // A/B conf overrides (the Bench hook), applied AFTER the defaults so
+    // an experiment can move spark.sql.shuffle.partitions etc. — added
+    // r15 for the 100x exponent-substrate attribution runs.
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val spark = extra.foldLeft(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true"))(
+      (b, kv) => b.config(kv._1, kv._2))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // re-assert: setLogLevel resets the root level these loggers inherit
