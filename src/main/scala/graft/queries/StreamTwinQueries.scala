@@ -552,7 +552,71 @@ object StreamTwinQueries {
                FROM terms)
         SELECT n1, n2, CAST(SUM(p * tp) AS BIGINT) AS jsp_num,
                CAST(SUM(q * tq) AS BIGINT) AS jsq_num
-        FROM fl GROUP BY 1, 2"""))
+        FROM fl GROUP BY 1, 2""")),
+
+    // B160 oracle twin: WATERMARKED STREAM-STREAM INNER JOIN — the one
+    // marquee stateful operator the twin set lacked (q170–q258 cover
+    // ingest/watermark-agg/dedup/sketches, none holds TWO sides in
+    // state). Two streaming readers share the same replay sequence,
+    // each filtering its event_type, so the view side lands entirely in
+    // micro-batch 1 and every purchase joins against VIEW STATE in
+    // batch 2 — the cross-batch state matching a within-batch join
+    // would not prove — and the drained sink must equal the batch join
+    // exactly (every pair once: state loss drops pairs, replay
+    // duplicates them, either breaks the hash). Deliberately NOT
+    // pinned: late-input drop and state eviction, because for
+    // stream-stream joins the watermark cleanup is BEST-EFFORT by
+    // contract (the SS guide: state "may or may not" serve a late row
+    // before cleanup — measured here: duplicates of already-joined
+    // rows re-matched when replayed after the watermark passed them).
+    // The deterministic late-drop guarantee lives with the AGGREGATION
+    // watermark, which q171 pins; the watermarks here still bound the
+    // state the join must retain — the 100-TB property.
+    Q(
+      "q272_stream_stream_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val tmp = graft.Q.scratchDir("stream_ssj")
+        val src = s"$tmp/src"; Files.createDirectories(Paths.get(src))
+        val pick = ev.select(col("ts"), col("event_type"), col("event_id"), col("user_id"))
+        val views = pick.filter(col("event_type") === "view")
+        val purchases = pick.filter(col("event_type") === "purchase")
+        writeReplayFile(views, src, "b0_views", 0)
+        writeReplayFile(purchases, src, "b1_purchases", 1)
+        val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+        withStreamPartitions(s, 2) {
+          def side(tpe: String, idAs: String, tsAs: String, userAs: String) =
+            s.readStream.schema(pick.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .filter(col("event_type") === tpe)
+              .select(col("ts").as(tsAs), col("event_id").as(idAs),
+                col("user_id").as(userAs))
+              .withWatermark(tsAs, "1 hour")
+          val a = side("view", "a_id", "ats", "a_user")
+          val b = side("purchase", "b_id", "bts", "b_user")
+          val q = a
+            .join(b, expr(
+              "a_user = b_user AND bts >= ats AND bts <= ats + interval 1 day"))
+            .selectExpr("a_id", "b_id",
+              "(unix_micros(bts) - unix_micros(ats)) div 60000000 AS lag_min")
+            .writeStream.format("parquet")
+            .option("path", sink).option("checkpointLocation", ckpt)
+            .trigger(Trigger.AvailableNow()).outputMode(OutputMode.Append)
+            .start()
+          q.awaitTermination()
+        }
+        s.read.parquet(sink).orderBy("a_id", "b_id")
+      },
+      Some("""
+        WITH a AS (SELECT event_id AS a_id, user_id, CAST(ts AS TIMESTAMP) AS ats
+                   FROM events WHERE event_type = 'view'),
+        b AS (SELECT event_id AS b_id, user_id, CAST(ts AS TIMESTAMP) AS bts
+              FROM events WHERE event_type = 'purchase')
+        SELECT a.a_id, b.b_id,
+               CAST((epoch_us(b.bts) - epoch_us(a.ats)) // 60000000 AS BIGINT) AS lag_min
+        FROM a JOIN b ON a.user_id = b.user_id
+        WHERE b.bts >= a.ats AND b.bts <= a.ats + INTERVAL 1 DAY
+        ORDER BY a_id, b_id"""))
   )
 
   /** Memory-sink table names must be unique per drain within a session
