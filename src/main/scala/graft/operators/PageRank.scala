@@ -64,6 +64,66 @@ object PageRank {
     out
   }
 
+  /** PERSONALIZED PageRank (random walk with restart to a seed set —
+    * Page et al. 1999 §6's personalized vector, Jeh & Widom 2003):
+    * identical recurrence, but the restart mass lands uniformly on the
+    * SEED NODES instead of all nodes, and the walk starts there:
+    *
+    *   it0:  score_v = scale/|S| if v ∈ S else 0
+    *   base: base_v  = (scale·(dampDen−dampNum)/dampDen)/|S| iff v ∈ S
+    *
+    * The curation read: proximity to a trusted seed set (hand-audited
+    * domains, a language's hub sources) rather than global authority —
+    * the standard trust-propagation signal next to the global rank.
+    *
+    * Seeds must be non-empty and every seed must be a node of the
+    * graph — a silently absorbing typo'd seed would redistribute its
+    * restart share to nothing, so missing seeds refuse loudly instead
+    * (driver-side: the seed set is bounded by contract, ≤ 2^20).
+    * Duplicate seed rows are collapsed. Same local/distributed routing
+    * and integer algebra as [[run]]; scores are out of `scale` and sum
+    * to ≤ scale (dangling + truncation loss, as for the global rank).
+    */
+  def runPersonalized(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      dampNum: Long = 85L,
+      dampDen: Long = 100L,
+      localEdgeLimit: Long = 4L << 20): DataFrame = {
+    require(iters >= 0 && dampNum >= 0 && dampNum <= dampDen,
+      "need iters >= 0 and 0 <= dampNum <= dampDen")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .cache()
+    val m = e.count()
+    require(m > 0, "empty graph")
+    val seedRows = seeds.select(col(seedCol).cast("long")).distinct()
+      .limit((1 << 16) + 1).collect()
+    require(seedRows.nonEmpty, "[ppr] empty seed set")
+    require(seedRows.length <= (1 << 16), "[ppr] seed set past the 2^16 driver bound")
+    val seedSet = seedRows.map(_.getLong(0)).toSet
+    // membership audit via one broadcast semi-join (never an In-literal
+    // of the whole seed set): every seed must be a graph node
+    val seedDf = seedFrame(e.sparkSession, seedSet)
+    val present = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedDf), Seq("node"), "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val missing = seedSet -- present
+    require(missing.isEmpty,
+      s"[ppr] seeds not in the graph: ${missing.toSeq.sorted.take(5).mkString(", ")}")
+    val out =
+      if (m <= localEdgeLimit) runLocalSeeded(e, seedSet, iters, scale, dampNum, dampDen)
+      else runDistributedSeeded(e, seedSet, iters, scale, dampNum, dampDen)
+    e.unpersist()
+    out
+  }
+
   /** Driver-side loop for graphs whose EDGE LIST is bounded (node state
     * is strictly smaller). Same recurrence, zero per-round Spark jobs. */
   private def runLocal(
@@ -85,6 +145,77 @@ object PageRank {
       e.sparkSession.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("node", LongType, nullable = false),
         StructField("score", LongType, nullable = false))))
+  }
+
+  private def seedFrame(spark: org.apache.spark.sql.SparkSession, seedSet: Set[Long]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(seedSet.toSeq.sorted.map(Row(_)), 1),
+      StructType(Seq(StructField("node", LongType, nullable = false))))
+
+  /** Seeded twin of [[runLocal]]: restart mass and it0 on the seed set. */
+  private def runLocalSeeded(
+      e: DataFrame, seedSet: Set[Long], iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    val es = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val k = seedSet.size.toLong
+    val outdeg = es.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val baseSeed = (scale * (dampDen - dampNum) / dampDen) / k
+    var score = nodes.map(v => v -> (if (seedSet(v)) scale / k else 0L)).toMap
+    for (_ <- 0 until iters) {
+      val in = es.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        (score(s) * dampNum / dampDen) / outdeg(s)
+      }.sum).toMap
+      score = nodes.map(v =>
+        v -> ((if (seedSet(v)) baseSeed else 0L) + in.getOrElse(v, 0L))).toMap
+    }
+    val rows = nodes.map(v => Row(v, score(v))).toSeq
+    e.sparkSession.createDataFrame(
+      e.sparkSession.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("score", LongType, nullable = false))))
+  }
+
+  /** Seeded twin of [[runDistributed]]: the seed flag rides the node
+    * set via one broadcast join; everything else is the same loop. */
+  private def runDistributedSeeded(
+      e: DataFrame, seedSet: Set[Long], iters: Int, scale: Long,
+      dampNum: Long, dampDen: Long): DataFrame = {
+    val spark = e.sparkSession
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .join(broadcast(seedFrame(spark, seedSet).withColumn("is_seed", lit(true))),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .cache()
+    val k = seedSet.size.toLong
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val baseSeed = (scale * (dampDen - dampNum) / dampDen) / k
+    var scores = nodes
+      .select(col("node"),
+        when(col("is_seed"), lit(scale / k)).otherwise(lit(0L)).as("score"))
+    var previous: Option[DataFrame] = None
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(scores.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst"),
+          expr(s"(score * $dampNum) div $dampDen div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("in_mass"))
+      val next = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("is_seed"), lit(baseSeed)).otherwise(lit(0L)) +
+            coalesce(col("in_mass"), lit(0L))).as("score"))
+        .cache()
+      next.count()
+      previous.foreach(_.unpersist())
+      previous = Some(next)
+      scores = next
+    }
+    nodes.unpersist()
+    deg.unpersist()
+    scores
   }
 
   /** Distributed join-aggregate loop for graphs past the driver bound. */

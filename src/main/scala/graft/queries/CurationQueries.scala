@@ -54,6 +54,51 @@ object CurationQueries {
       ORDER BY n.n_name"""
   }
 
+  /** q273's oracle: [[pagerankSql]] with the restart mass confined to
+    * the seed set (supplier nations of region 2) — seed CASE in it0 and
+    * in every iteration's base term, same truncating `//` algebra. */
+  private def pprSql(iters: Int, scale: Long, dampNum: Long, dampDen: Long): String = {
+    val baseSeed =
+      s"(SELECT (($scale * ${dampDen - dampNum}) // $dampDen) // COUNT(*) FROM seeds)"
+    val iterCtes = (1 to iters).map { i =>
+      s"""it$i AS (
+        SELECT n.node,
+               (CASE WHEN s.node IS NOT NULL THEN $baseSeed ELSE 0 END)
+                 + COALESCE(m.mass, 0) AS score
+        FROM nodes n
+        LEFT JOIN seeds s ON s.node = n.node
+        LEFT JOIN (
+          SELECT e.dst AS node,
+                 SUM(((p.score * $dampNum) // $dampDen) // d.outdeg) AS mass
+          FROM edges e JOIN it${i - 1} p ON e.src = p.node
+                       JOIN deg d ON d.src = e.src
+          GROUP BY e.dst) m ON m.node = n.node)"""
+    }.mkString(",\n")
+    s"""
+      WITH edges AS (
+        SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_nationkey <> c.c_nationkey),
+      nodes AS (SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges),
+      seeds AS (SELECT DISTINCT e.src AS node
+                FROM edges e JOIN nation n ON n.n_nationkey = e.src
+                WHERE n.n_regionkey = 2),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+      it0 AS (SELECT n.node,
+                     CASE WHEN s.node IS NOT NULL
+                          THEN $scale // (SELECT COUNT(*) FROM seeds)
+                          ELSE 0 END AS score
+              FROM nodes n LEFT JOIN seeds s ON s.node = n.node),
+      $iterCtes
+      SELECT n.n_name, CAST(p.score AS BIGINT) AS score
+      FROM it$iters p JOIN nation n ON n.n_nationkey = p.node
+      ORDER BY n.n_name"""
+  }
+
   val qs: Seq[Q] = Seq(
     // Coordinated bottom-k sampling per language — executed as ONE
     // partial-aggregated shuffle via the native graft_bottom_k
@@ -165,6 +210,40 @@ object CurationQueries {
           .orderBy("n_name")
       },
       Some(pagerankSql(iters = 4, scale = 1000000000000L, dampNum = 85L, dampDen = 100L))),
+
+    // B161: PERSONALIZED PageRank — the same shipping graph and integer
+    // recurrence as q137, but the restart mass lands uniformly on a
+    // SEED SET (the supplier nations of region 2, derived from the
+    // edges so the subset contract holds at every SF) instead of all
+    // nodes: proximity-to-trusted-seeds, the trust-propagation signal
+    // next to q137's global authority. The oracle unrolls the same 4
+    // iterations with the seed CASE in base and it0.
+    Q(
+      "q273_ppr_seeded",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val su = Tables.supplier(s, dir)
+        val edges = li
+          .join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, li("l_suppkey") === su("s_suppkey"))
+          .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"))
+          .filter(col("src") =!= col("dst"))
+          .distinct()
+        val cached = graft.Q.persistOnce(edges)
+        val seeds = cached
+          .join(Tables.nation(s, dir), col("src") === col("n_nationkey"))
+          .filter(col("n_regionkey") === 2)
+          .select(col("src").as("node")).distinct()
+        val pr = graft.operators.PageRank
+          .runPersonalized(cached, "src", "dst", seeds, "node", iters = 4)
+        pr.join(Tables.nation(s, dir), col("node") === col("n_nationkey"))
+          .select(col("n_name"), col("score"))
+          .orderBy("n_name")
+      },
+      Some(pprSql(iters = 4, scale = 1000000000000L, dampNum = 85L, dampDen = 100L))),
 
     // Grouped OLS trend: slope of quantity vs ship-day per return flag,
     // reported as the exact integer numerator/denominator of the

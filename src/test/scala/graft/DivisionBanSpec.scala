@@ -44,7 +44,8 @@ class DivisionBanSpec extends AnyFunSuite {
     "Compact.scala" -> Seq(
       "(totalBytes + targetFileBytes - 1) / targetFileBytes"), // Scala Long ceil-div
     "PageRank.scala" -> Seq(
-      "dampDen) / n", "dampDen) / outdeg(s)"), // Scala Long driver loop
+      "dampDen) / n", "dampDen) / outdeg(s)",
+      "dampDen) / k"), // Scala Long driver loop (incl. the seeded base)
     "AmsSketch.scala" -> Seq("(g + 1) / 2"), // Scala Int median index
     "PagedSource.scala" -> Seq(
       "- 1) / numPartitions", "- 1) / pageSize"), // Scala Long ceil-div
