@@ -562,6 +562,76 @@ object VectorQueries {
         HAVING COUNT(*) >= 2
         ORDER BY comp""")),
 
+    // B162: LEAKAGE-SAFE train/val/test split — the assignment step a
+    // training pipeline runs AFTER near-dup detection. Splitting by doc
+    // hash leaks: near-duplicate pairs straddle train/test and inflate
+    // eval, so the unit of assignment is the SEMANTIC COMPONENT (q133's
+    // connected components over the cosine-threshold pairs) and every
+    // doc inherits its component's bucket — hash60("split:" + comp) mod
+    // 10 → 0–7 train, 8 val, 9 test (~80/10/10 in expectation,
+    // deterministic, engine-replayable). The leak audit rides the
+    // result: edges whose endpoints land in different splits —
+    // identically ZERO under component assignment, the invariant per-doc
+    // hashing breaks on every similar pair.
+    Q(
+      "q274_leakage_safe_split",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+        val pairs = graft.Q.persistOnce(
+          Similarity.cosinePairs(v, "vec_id", "vec", cap = 4096)
+            .filter(col("cos_r") >= 0.42).select(col("a"), col("b")))
+        val capped = v.orderBy("vec_id").limit(4096).select(col("vec_id"))
+        val comp = graft.operators.ConnectedComponents
+          .components(capped, pairs, "vec_id")
+        val bucket = hash60("split", col("comp")) % 10
+        val assigned = graft.Q.persistOnce(comp
+          .withColumn("split",
+            when(bucket <= 7, "train").when(bucket === 8, "val").otherwise("test")))
+        val leaks = pairs
+          .join(assigned.select(col("vec_id").as("a"), col("split").as("sa")), "a")
+          .join(assigned.select(col("vec_id").as("b"), col("split").as("sb")), "b")
+          .agg(coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+            .as("leak_edges"))
+        assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"), countDistinct(col("comp")).as("n_comps"))
+          .crossJoin(broadcast(leaks))
+          .orderBy("split")
+      },
+      Some(s"""
+        WITH RECURSIVE $OPOS,
+        capped AS (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 4096),
+        nrm AS (SELECT vec_id, sqrt(SUM(v * v)) AS nrm FROM e GROUP BY 1),
+        dots AS (SELECT a.vec_id AS a, b.vec_id AS b, SUM(a.v * b.v) AS d
+                 FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+                 JOIN capped ca ON ca.vec_id = a.vec_id
+                 JOIN capped cb ON cb.vec_id = b.vec_id
+                 GROUP BY 1, 2),
+        edges AS (SELECT a, b FROM (SELECT a, b, round(d / (na.nrm * nb.nrm), 6) AS c
+                  FROM dots JOIN nrm na ON na.vec_id = a JOIN nrm nb ON nb.vec_id = b)
+                  WHERE c >= 0.42),
+        sym AS (SELECT a AS src, b AS dst FROM edges
+                UNION ALL SELECT b, a FROM edges),
+        reach(node, lbl) AS (
+          SELECT vec_id, vec_id FROM capped
+          UNION
+          SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+        ),
+        comp AS (SELECT node, MIN(lbl) AS comp FROM reach GROUP BY node),
+        asg AS (SELECT node, comp,
+                       CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+                            ELSE 'test' END AS split
+                FROM (SELECT node, comp,
+                             ('0x' || substr(md5('split:' || CAST(comp AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+                      FROM comp)),
+        leaks AS (SELECT CAST(COALESCE(SUM(CASE WHEN x.split <> y.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leak_edges
+                  FROM edges eg JOIN asg x ON x.node = eg.a JOIN asg y ON y.node = eg.b)
+        SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT comp) AS n_comps,
+               (SELECT leak_edges FROM leaks) AS leak_edges
+        FROM asg
+        GROUP BY split
+        ORDER BY split""")),
+
     // B43's memory-bound tier: product quantization (Jégou et al. 2011).
     // 64-dim float vectors collapse to 4 one-byte codes (4 subspaces x 16
     // learned centroids); query scoring is 4 table lookups per row (ADC)
