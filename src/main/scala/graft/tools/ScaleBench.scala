@@ -141,7 +141,15 @@ object ScaleBench {
     // r15: the BPE encode-to-ids join + per-doc ordered md5 aggregate,
     // and the BPE-budget packing (dictionary join + PrefixSum) — the
     // corpus-scale halves of the tokenizer arc, measured from day one
-    "q269_bpe_token_ids", "q270_bpe_packing")
+    "q269_bpe_token_ids", "q270_bpe_packing",
+    // r15: MMR greedy (k bounded scans of the checkpointed grid frame —
+    // expected ~linear), and the stream-stream join twin (two-sided
+    // state, the q258 streaming-fixed-cost shape). q273/q274 are
+    // deliberately NOT here: q273's per-round cost is q137's 25-node
+    // nation graph (the corpus-scale part is the edge derivation both
+    // already pay), q274's heavy part is exactly q133's capped cosine
+    // self-join + CC, already probed.
+    "q271_mmr_rerank", "q272_stream_stream_join")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
