@@ -2000,6 +2000,73 @@ object AnalysisQueries {
                CAST(4 * mm.m * ein.e_in - sd2.sum_d2 AS BIGINT) AS q_num
         FROM fmap f, conv, mm, ein, sd2
         ORDER BY node"""
-      })
+      }),
+
+    // B164: Weight-of-Evidence binned encoding + information value —
+    // the interpretable credit-scoring read next to B92's LOO target
+    // encoding and B108's chi² ranking: per equal-width bin of `value`,
+    // WOE = ln((good_b/TG)/(bad_b/TB)) says WHICH side of the label the
+    // bin leans and how hard; IV = Σ (good_b/TG − bad_b/TB)·WOE ranks
+    // the whole feature. All integer-exact: bins on the floored micro
+    // grid via driver min/max scalars (the q171 posture), Laplace +1
+    // per bin so no zero count reaches the log, WOE in certified
+    // micronats (Guards.lnMicronatFloor — woe = floor(ln(g·TB/(b·TG))
+    // ·10⁶) = lnMicronatFloor(b·TG, g·TB)), and the IV contribution
+    // emitted as the exact integer product dnum·woe_micro with dnum =
+    // g·TB − b·TG (den TG·TB·10⁶ — the num/den posture, never divided).
+    // One scan to (bin, label) counts + a 1-row broadcast of totals.
+    Q(
+      "q276_woe_binning",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(floor(col("value") * 1e6).cast("long").as("vm"),
+            (col("event_type") === "purchase").as("pos"))
+        val mm = ev.agg(min(col("vm")), max(col("vm"))).head()
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val nb = 8L
+        val width = hi - lo + 1
+        val binned = ev.select(
+          expr(s"((vm - $lo) * $nb) div $width").as("bin"), col("pos"))
+        val counts = graft.Q.persistOnce(binned.groupBy("bin")
+          .agg((sum(when(col("pos"), 1L).otherwise(0L)) + 1L).as("g"),
+            (sum(when(col("pos"), 0L).otherwise(1L)) + 1L).as("b")))
+        val tot = counts.agg(sum(col("g")).as("tg"), sum(col("b")).as("tb"))
+        // domain: per-bin counts <= 2^28 keep every pair product g·tb /
+        // b·tg exact (totals <= 8·2^28 = 2^31, products <= 2^59); the
+        // final iv product gets the dynamic factor-vs-quotient guard
+        val gOk = col("g") <= lit(1L << 28) && col("b") <= lit(1L << 28)
+        val dnum = col("g") * col("tb") - col("b") * col("tg")
+        val ivOk = abs(dnum) <= expr(s"${Long.MaxValue}L div greatest(abs(woe_micro), 1L)")
+        counts.crossJoin(broadcast(tot))
+          .withColumn("woe_micro", graft.operators.Guards.lnMicronatFloor(
+            graft.operators.Guards(gOk, col("b") * col("tg"),
+              graft.operators.Guards.msg("q276",
+                lit("per-bin count past the 2^28 exact-product domain"))),
+            col("g") * col("tb"), "q276"))
+          .select(col("bin"), col("g"), col("b"), col("tg"), col("tb"),
+            col("woe_micro"),
+            graft.operators.Guards(ivOk, dnum * col("woe_micro"),
+              graft.operators.Guards.msg("q276",
+                lit("iv product leaves int64"))).as("iv_num"))
+          .orderBy("bin")
+      },
+      Some("""
+        WITH ev AS (SELECT CAST(floor(value * 1e6) AS BIGINT) AS vm,
+                           event_type = 'purchase' AS pos
+                    FROM events),
+        mm AS (SELECT MIN(vm) AS lo, MAX(vm) - MIN(vm) + 1 AS width FROM ev),
+        counts AS (SELECT ((vm - mm.lo) * 8) // mm.width AS bin,
+                          CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) + 1 AS BIGINT) AS g,
+                          CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) + 1 AS BIGINT) AS b
+                   FROM ev, mm GROUP BY 1),
+        tot AS (SELECT CAST(SUM(g) AS BIGINT) AS tg, CAST(SUM(b) AS BIGINT) AS tb
+                FROM counts),
+        woe AS (SELECT bin, g, b, tg, tb,
+                       CAST(floor(-ln(CAST(b * tg AS DOUBLE) / CAST(g * tb AS DOUBLE)) * 1e6) AS BIGINT) AS woe_micro
+                FROM counts, tot)
+        SELECT bin, g, b, tg, tb, woe_micro,
+               CAST((g * tb - b * tg) * woe_micro AS BIGINT) AS iv_num
+        FROM woe
+        ORDER BY bin"""))
   )
 }

@@ -1699,7 +1699,64 @@ object TextQueries {
         SELECT xid, yid, inter, szx, (1000000 * inter) // szx AS containment_ppm
         FROM ov JOIN nx USING (xid)
         WHERE 1000000 * inter >= 800000 * szx
-        ORDER BY xid, yid"""))
+        ORDER BY xid, yid""")),
+
+    // B163: TRIGRAM-INDEX substring search — the pg_trgm route: a
+    // substring probe over a 100-TB corpus cannot be LIKE '%p%' (a full
+    // scan per query); the index route materializes (trigram, doc)
+    // posting lists ONCE (write-side, linear), and each probe is an
+    // equi-join on the pattern's trigrams + a having-all count + an
+    // exact contains() verify on the candidates only. Zero false
+    // negatives BY CONSTRUCTION (a doc containing p contains every
+    // trigram of p), so index-route results = scan results — which is
+    // exactly what the oracle (the brute-force contains scan, with the
+    // patterns re-derived identically) hash-checks. Patterns are
+    // data-derived, never literals: the top-3 document-frequency ASCII
+    // words of length >= 6 (the [a-z]{6,} gate keeps the Scala
+    // char-sliding and both engines' char semantics trivially aligned;
+    // ties alphabetical). Driver touchpoint: 3 pattern strings.
+    Q(
+      "q275_trigram_search",
+      (s, dir) => {
+        import s.implicits._
+        val docs = graft.Q.persistOnce(Tables.documents(s, dir)
+          .select(col("doc_id"), lower(col("text")).as("t")))
+        val pats = docs
+          .select(explode(array_distinct(tokens(col("t")))).as("w"))
+          .filter(col("w").rlike("^[a-z]{6,}$"))
+          .groupBy("w").agg(count(lit(1)).as("df"))
+          .orderBy(col("df").desc, col("w")).limit(3)
+          .collect().map(_.getString(0))
+        // posting lists: distinct trigrams per doc (the write-side index)
+        val posting = docs.select(col("doc_id"), explode(array_distinct(
+            expr("transform(sequence(1, greatest(length(t) - 2, 1)), i -> substring(t, i, 3))")))
+          .as("tg"))
+        val probe = pats.toSeq
+          .flatMap(p => p.sliding(3).toSeq.distinct.map(tg => (p, tg)))
+          .toDF("pattern", "tg")
+        val sizes = pats.toSeq.map(p => (p, p.sliding(3).toSeq.distinct.size.toLong))
+          .toDF("pattern", "n_tg")
+        val cand = posting.join(broadcast(probe), "tg")
+          .groupBy("pattern", "doc_id").agg(count(lit(1)).as("hit"))
+          .join(broadcast(sizes), "pattern")
+          .filter(col("hit") === col("n_tg"))
+        cand.join(docs, "doc_id")
+          .filter(expr("contains(t, pattern)"))
+          .select(col("pattern"), col("doc_id"))
+          .orderBy("pattern", "doc_id")
+      },
+      Some("""
+        WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+        wd AS (SELECT doc_id, unnest(list_distinct(list_filter(
+                 string_split_regex(trim(t), '\s+'), x -> x <> ''))) AS w
+               FROM docs),
+        pats AS (SELECT w FROM (
+                   SELECT w, COUNT(*) AS df FROM wd
+                   WHERE regexp_matches(w, '^[a-z]{6,}$') GROUP BY w)
+                 ORDER BY df DESC, w LIMIT 3)
+        SELECT p.w AS pattern, d.doc_id
+        FROM docs d JOIN pats p ON contains(d.t, p.w)
+        ORDER BY pattern, doc_id"""))
   )
 
   /** The q159 oracle: BPE rounds unrolled as CTEs — per round, pair
