@@ -1855,31 +1855,31 @@ object AnalysisQueries {
         .orderBy("node"),
       Some {
         val rounds = (1 to 4).map { r =>
-          s"""v$r AS (SELECT sym.dst AS node, p.com, CAST(COUNT(*) AS BIGINT) AS w
+          s"""v$r AS MATERIALIZED (SELECT sym.dst AS node, p.com, CAST(COUNT(*) AS BIGINT) AS w
                FROM sym JOIN s${r - 1} p ON p.node = sym.src GROUP BY 1, 2),
-          c$r AS (SELECT node, com, CAST(MAX(w) AS BIGINT) AS w FROM (
+          c$r AS MATERIALIZED (SELECT node, com, CAST(MAX(w) AS BIGINT) AS w FROM (
                     SELECT node, com, w FROM v$r
                     UNION ALL SELECT node, com, CAST(0 AS BIGINT) FROM s${r - 1})
                   GROUP BY 1, 2),
-          sg$r AS (SELECT p.com, CAST(SUM(d.k) AS BIGINT) AS s_tot
+          sg$r AS MATERIALIZED (SELECT p.com, CAST(SUM(d.k) AS BIGINT) AS s_tot
                    FROM s${r - 1} p JOIN deg d USING (node) GROUP BY 1),
-          g$r AS (SELECT c.node, c.com, p.com AS own,
+          g$r AS MATERIALIZED (SELECT c.node, c.com, p.com AS own,
                          2 * m.m * c.w - d.k * (sg.s_tot - CASE WHEN c.com = p.com THEN d.k ELSE 0 END) AS gain
                   FROM c$r c JOIN deg d USING (node) JOIN s${r - 1} p USING (node)
                        JOIN sg$r sg ON sg.com = c.com CROSS JOIN m),
-          p$r AS (SELECT node, com AS picked, own FROM (
+          p$r AS MATERIALIZED (SELECT node, com AS picked, own FROM (
                     SELECT node, com, own,
                            ROW_NUMBER() OVER (PARTITION BY node ORDER BY gain DESC, com) AS rn
                     FROM g$r) WHERE rn = 1),
-          s$r AS (SELECT node, CASE WHEN ${if (r % 2 == 1) "picked < own" else "picked > own"} THEN picked ELSE own END AS com
+          s$r AS MATERIALIZED (SELECT node, CASE WHEN ${if (r % 2 == 1) "picked < own" else "picked > own"} THEN picked ELSE own END AS com
                   FROM p$r)"""
         }.mkString(",\n")
         s"""
         WITH $OEDGES,
         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
-        sym AS (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
-        deg AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY 1),
-        s0 AS (SELECT node, node AS com FROM deg),
+        sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges UNION ALL SELECT b, a FROM edges),
+        deg AS MATERIALIZED (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS k FROM sym GROUP BY 1),
+        s0 AS MATERIALIZED (SELECT node, node AS com FROM deg),
         $rounds
         SELECT CAST(node AS BIGINT) AS node, CAST(com AS BIGINT) AS com
         FROM s4 ORDER BY node"""

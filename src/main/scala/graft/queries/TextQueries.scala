@@ -1766,30 +1766,30 @@ object TextQueries {
     * vocab back onto per-doc words (the q169 apply step). */
   private def bpeCtes(iters: Int): String = {
     val init = """
-      words AS (SELECT t AS word, count(*) AS freq FROM (
+      words AS MATERIALIZED (SELECT t AS word, count(*) AS freq FROM (
         SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> t <> '')) AS t
         FROM documents WHERE lang = 'en') GROUP BY 1),
-      it0 AS (SELECT word, freq,
+      it0 AS MATERIALIZED (SELECT word, freq,
         list_transform(range(1, len(word) + 1), i -> substr(word, i, 1)) AS toks FROM words)"""
     val rounds = (1 to iters).map { i =>
       s"""
-      ex$i AS (SELECT word, freq, u.p, u.tok FROM (
+      ex$i AS MATERIALIZED (SELECT word, freq, u.p, u.tok FROM (
         SELECT word, freq, unnest(list_transform(range(1, len(toks) + 1),
                  i -> struct_pack(p := CAST(i - 1 AS INT), tok := toks[i]))) AS u
         FROM it${i - 1})),
-      st$i AS (SELECT word, freq, p, tok,
+      st$i AS MATERIALIZED (SELECT word, freq, p, tok,
                       lead(tok) OVER (PARTITION BY word ORDER BY p) AS nxt
                FROM ex$i),
-      pr$i AS (SELECT tok AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      pr$i AS MATERIALIZED (SELECT tok AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
                FROM st$i WHERE nxt IS NOT NULL GROUP BY 1, 2),
-      b$i AS (SELECT a, b, cnt FROM pr$i ORDER BY cnt DESC, a, b LIMIT 1),
-      is$i AS (SELECT *, COALESCE(tok = (SELECT a FROM b$i) AND nxt = (SELECT b FROM b$i), FALSE) AS isStart FROM st$i),
-      pm$i AS (SELECT *, COALESCE(max(CASE WHEN NOT isStart THEN p END) OVER (
+      b$i AS MATERIALIZED (SELECT a, b, cnt FROM pr$i ORDER BY cnt DESC, a, b LIMIT 1),
+      is$i AS MATERIALIZED (SELECT *, COALESCE(tok = (SELECT a FROM b$i) AND nxt = (SELECT b FROM b$i), FALSE) AS isStart FROM st$i),
+      pm$i AS MATERIALIZED (SELECT *, COALESCE(max(CASE WHEN NOT isStart THEN p END) OVER (
                  PARTITION BY word ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS pns FROM is$i),
-      mg$i AS (SELECT *, (isStart AND ((p - pns - 1) % 2 = 0)) AS mergeAt FROM pm$i),
-      cs$i AS (SELECT *, COALESCE(lag(mergeAt) OVER (PARTITION BY word ORDER BY p), FALSE) AS consumed,
+      mg$i AS MATERIALIZED (SELECT *, (isStart AND ((p - pns - 1) % 2 = 0)) AS mergeAt FROM pm$i),
+      cs$i AS MATERIALIZED (SELECT *, COALESCE(lag(mergeAt) OVER (PARTITION BY word ORDER BY p), FALSE) AS consumed,
                       CASE WHEN mergeAt THEN tok || nxt ELSE tok END AS tok2 FROM mg$i),
-      it$i AS (SELECT word, freq, list(tok2 ORDER BY p) AS toks FROM cs$i WHERE NOT consumed GROUP BY word, freq)"""
+      it$i AS MATERIALIZED (SELECT word, freq, list(tok2 ORDER BY p) AS toks FROM cs$i WHERE NOT consumed GROUP BY word, freq)"""
     }.mkString(",")
     s"$init,$rounds"
   }
