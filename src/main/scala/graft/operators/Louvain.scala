@@ -146,7 +146,7 @@ object Louvain {
   /** Level-1 intake: cast, refuse self-loops on the consumed b column,
     * refuse duplicates through the weight column (w = 1 guarded by one
     * raw-vs-distinct-canonical-pair count audit on a 1-row broadcast). */
-  private def intake(edges: DataFrame): DataFrame = {
+  private[graft] def intake(edges: DataFrame): DataFrame = {
     val e = graft.Q.persistOnce(edges.select(
       col("a").cast("long").as("a"),
       Guards(col("b").cast("long") =!= col("a").cast("long"),
@@ -169,12 +169,28 @@ object Louvain {
             lit("and every gain; distinct the edge list first"))).as("w"))
   }
 
+  /** Size-guarded routing bound (the PageRank.runLocal posture): a
+    * level whose EDGE LIST fits comfortably on the driver iterates in
+    * memory at zero per-round job cost — each distributed round is ~3
+    * fixed-cost jobs (votes/sigma/argmax + checkpoint + moveless
+    * probe) whatever the data volume, which made an 8-round two-level
+    * run the most expensive bench entry on a graph of a few thousand
+    * edges. Contracted levels are ≤ the previous level by construction,
+    * so level 2+ of any graph that contracts well lands here even when
+    * level 1 ran distributed. Both tiers compute the identical integer
+    * recurrence (GraphSpec pins local ≡ distributed on random weighted
+    * graphs, the PageRank contract). */
+  private val LocalEdgeLimit = 4L << 20
+
   /** Synchronous weighted local moves. `ew`: (a, b, w) distinct
     * canonical pairs, self-loops allowed. Returns (state, converged):
     * one (node, com) row per endpoint, and whether two consecutive
     * moveless rounds were observed within the budget. */
-  private def localMoves(ew: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
+  private[graft] def localMoves(
+      ew: DataFrame, maxRounds: Int,
+      localEdgeLimit: Long = LocalEdgeLimit): (DataFrame, Boolean) = {
     val e = graft.Q.persistOnce(ew)
+    if (e.count() <= localEdgeLimit) return localMovesDriver(e, maxRounds)
     val m = e.agg(
       Guards(sum("w") <= lit(1L << 30), sum("w"),
         "[louvain] total edge weight exceeds 2^30: the 2m-scaled gain " +
@@ -248,5 +264,67 @@ object Louvain {
       r += 1
     }
     (state.select(col("node"), col("com")), converged)
+  }
+
+  /** Driver tier: the same recurrence on collected (a, b, w) rows —
+    * collecting evaluates the intake guard columns, so self-loop /
+    * duplicate refusals fire identically. Pure Long arithmetic, no
+    * division anywhere, so the two tiers are bit-identical. */
+  private def localMovesDriver(e: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
+    val spark = e.sparkSession
+    val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val m = rows.map(_._3).sum
+    require(m <= (1L << 30),
+      "[louvain] total edge weight exceeds 2^30: the 2m-scaled gain " +
+        "would overflow int64 - shard the graph")
+    val nonSelf = rows.filter(r => r._1 != r._2)
+    // incoming (dst <- src, w) both directions; self-loops twice in deg
+    val in = nonSelf.flatMap { case (a, b, w) => Seq((b, a, w), (a, b, w)) }
+    val deg = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+    in.foreach { case (dst, _, w) => deg(dst) += w }
+    rows.filter(r => r._1 == r._2).foreach { case (a, _, w) => deg(a) += 2 * w }
+    val nodes = deg.keys.toArray.sorted
+    val inByDst = in.groupBy(_._1)
+    var com = nodes.map(v => v -> v).toMap
+    var converged = false
+    var prevMoveless = false
+    var r = 1
+    while (r <= maxRounds && !converged) {
+      val sigma = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+      nodes.foreach(v => sigma(com(v)) += deg(v))
+      var moveless = true
+      val next = nodes.map { v =>
+        val own = com(v)
+        val votes = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
+        inByDst.getOrElse(v, Array.empty).foreach { case (_, src, w) =>
+          votes(com(src)) += w
+        }
+        if (!votes.contains(own)) votes(own) = 0L
+        val k = deg(v)
+        var bestGain = Long.MinValue
+        var best = Long.MaxValue
+        votes.foreach { case (c, wv) =>
+          val gain = 2L * m * wv - k * (sigma(c) - (if (c == own) k else 0L))
+          if (gain > bestGain || (gain == bestGain && c < best)) {
+            bestGain = gain; best = c
+          }
+        }
+        val progressive = if (r % 2 == 1) best < own else best > own
+        val applied = if (progressive) best else own
+        if (applied != own) moveless = false
+        v -> applied
+      }.toMap
+      com = next
+      if (moveless && prevMoveless) converged = true
+      prevMoveless = moveless
+      r += 1
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val out = spark.createDataFrame(
+      spark.sparkContext.parallelize(nodes.map(v => Row(v, com(v))).toSeq, 1),
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("com", LongType, nullable = false))))
+    (out, converged)
   }
 }

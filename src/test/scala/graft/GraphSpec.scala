@@ -170,6 +170,14 @@ class GraphSpec extends SparkSpec {
     assert(left != right, s"bridge not cut: $got")
   }
 
+  /** The DISTRIBUTED local-move tier, forced past the driver-routing
+    * bound (localEdgeLimit = 0) — the plan/job pins below target the
+    * distributed loop's properties; small graphs otherwise route to
+    * the driver tier (whose equivalence is pinned separately). */
+  private def distMoves(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
+    operators.Louvain.localMoves(
+      operators.Louvain.intake(edges), rounds, localEdgeLimit = 0L)._1
+
   test("louvain: no raw-row window sort anywhere; per-round work is checkpoint-bounded") {
     // localCheckpoint cuts lineage per round, so the returned frame's
     // plan covers only the final projection — count the Spark jobs
@@ -177,7 +185,7 @@ class GraphSpec extends SparkSpec {
     // jobs (the checkpoint), not re-run prior rounds (the LabelProp
     // lineage contract), and no plan in the session may window-sort.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L)).toDF("a", "b")
-    val plan = operators.Louvain.communities(edges, rounds = 2)
+    val plan = distMoves(edges, 2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"window sort in the output plan:\n$plan")
     var jobs = 0
@@ -187,16 +195,38 @@ class GraphSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      operators.Louvain.communities(edges, rounds = 2).count()
+      distMoves(edges, 2).count()
       Thread.sleep(500) // listener events are async - let the bus drain
       val twoRounds = jobs
       jobs = 0
-      operators.Louvain.communities(edges, rounds = 4).count()
+      distMoves(edges, 4).count()
       Thread.sleep(500)
       // linear in rounds: 2 extra rounds cost ~2x the per-round jobs,
       // never a lineage re-execution blowup
       assert(jobs <= twoRounds * 2 + 4, s"2 rounds: $twoRounds jobs, 4 rounds: $jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("louvain: driver and distributed tiers are bit-identical (state + converged)") {
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 8 + rng.nextInt(8)
+      val edges = (for {
+        i <- 1L to n; j <- (i + 1) to n
+        if rng.nextInt(3) == 0
+      } yield (i, j)).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("a", "b")
+        val rounds = 1 + rng.nextInt(4)
+        val (locSt, locConv) = operators.Louvain.localMoves(
+          operators.Louvain.intake(df), rounds)
+        val (dstSt, dstConv) = operators.Louvain.localMoves(
+          operators.Louvain.intake(df), rounds, localEdgeLimit = 0L)
+        assert(locConv == dstConv, s"trial $trial converged flags differ")
+        assert(locSt.as[(Long, Long)].collect().toMap ==
+          dstSt.as[(Long, Long)].collect().toMap, s"trial $trial states differ")
+      }
+    }
   }
 
   test("louvain: deterministic, and modularity is non-decreasing per round") {
@@ -284,11 +314,11 @@ class GraphSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      operators.Louvain.communities(edges, rounds = 4).count()
+      distMoves(edges, 4).count()
       Thread.sleep(500)
       val atFour = jobs
       jobs = 0
-      operators.Louvain.communities(edges, rounds = 16).count()
+      distMoves(edges, 16).count()
       Thread.sleep(500)
       assert(jobs <= atFour + 2, s"4 rounds: $atFour jobs, 16 rounds: $jobs")
     } finally spark.sparkContext.removeSparkListener(listener)
