@@ -149,7 +149,11 @@ object ScaleBench {
     // nation graph (the corpus-scale part is the edge derivation both
     // already pay), q274's heavy part is exactly q133's capped cosine
     // self-join + CC, already probed.
-    "q271_mmr_rerank", "q272_stream_stream_join")
+    "q271_mmr_rerank", "q272_stream_stream_join",
+    // r15: the trigram posting-list build (corpus-linear in chars — the
+    // write-side index cost) + probe join. q276 is one grouped scan, not
+    // probe-worthy.
+    "q275_trigram_search")
 
   def main(args: Array[String]): Unit = {
     graft.tools.HarnessLog.quietUnavoidableStreamingWarns()
