@@ -2067,6 +2067,40 @@ object AnalysisQueries {
         SELECT bin, g, b, tg, tb, woe_micro,
                CAST((g * tb - b * tg) * woe_micro AS BIGINT) AS iv_num
         FROM woe
-        ORDER BY bin"""))
+        ORDER BY bin""")),
+
+    // B165: deterministic random-walk corpus (operators/RandomWalk) —
+    // 2 walks × 4 steps from every co-purchase node, each step the
+    // md5-argmin neighbor choice, so the DeepWalk "sentence" corpus is
+    // a pure function of (edges, seed) that the oracle replays with
+    // ROW_NUMBER over the identical 60-bit slices.
+    Q(
+      "q277_random_walks",
+      (s, dir) => graft.operators.RandomWalk
+        .walks(coPurchaseEdges(s, dir), walksPerNode = 2, steps = 4, seed = "rw")
+        .orderBy("start", "w", "step"),
+      Some {
+        val stepCtes = (1 to 4).map { n =>
+          s"""s$n AS MATERIALIZED (SELECT start, w, node FROM (
+            SELECT f.start, f.w, e.dst AS node,
+                   ROW_NUMBER() OVER (PARTITION BY f.start, f.w
+                     ORDER BY ('0x' || substr(md5('rw:' || f.w || ':' || $n || ':' || f.node || ':' || e.dst), 1, 15))::BIGINT,
+                              e.dst) AS rn
+            FROM s${n - 1} f JOIN sym e ON e.src = f.node) WHERE rn = 1)"""
+        }.mkString(",\n        ")
+        val sel = (0 to 4).map(n =>
+          s"SELECT start, w, CAST($n AS INT) AS step, node FROM s$n")
+          .mkString(" UNION ALL ")
+        s"""
+        WITH $OEDGES,
+        sym AS MATERIALIZED (SELECT a AS src, b AS dst FROM edges
+                             UNION ALL SELECT b, a FROM edges),
+        s0 AS MATERIALIZED (SELECT n.src AS start, t.w, n.src AS node
+              FROM (SELECT DISTINCT src FROM sym) n,
+                   (VALUES (CAST(0 AS INT)), (CAST(1 AS INT))) t(w)),
+        $stepCtes
+        $sel
+        ORDER BY start, w, step"""
+      })
   )
 }
