@@ -57,6 +57,21 @@ object GraftFunctions {
   def hash60(seed: String, c: Column): Column =
     hash60(concat(lit(seed + ":"), c.cast("string")))
 
+  /** JVM-side twin of [[hash60]] for the driver-local operator tiers:
+    * the first 60 bits of md5(utf8(s)) as a non-negative long —
+    * bit-identical to `conv(substring(md5(s),1,15),16,10)` (the first 15
+    * hex chars are bytes 0..6 plus the high nibble of byte 7), pinned
+    * against the Column form in LocalTierSpec. Allocation-free past the
+    * digest itself, so a driver tier can evaluate millions per second. */
+  def hash60Local(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
   /** Whitespace tokenizer matching `\s+` split with empty tokens dropped —
     * the shared definition used by every text operator and its oracle
     * (`list_filter(string_split_regex(trim(x),'\s+'), t -> t <> '')`).

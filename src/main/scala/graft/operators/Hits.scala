@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over a DIRECTED
   * edge list `(src, dst)` — the directed complement of the repo's
@@ -38,9 +39,36 @@ import org.apache.spark.sql.functions._
   * appear iff they touch any edge).
   */
 object Hits {
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+
+  /** Size-guarded routing bound (the PageRank.runLocal / Louvain
+    * posture): a deduped edge list inside the bound iterates on the
+    * driver at zero per-half-round job cost — each distributed iteration
+    * is ~6 fixed-cost jobs (two join+sum halves, two 1-row max attaches,
+    * two eager checkpoints) whatever the data volume. The local tier
+    * computes the identical scaled-integer recurrence, including the
+    * ×10^6 wrap refusal (OperatorsSpec pins local ≡ distributed); past
+    * the bound the join plan runs unchanged — at 100 TB that is the
+    * only tier. */
+  private val LocalEdgeLimit = 4L << 20
+
+  def run(edges: DataFrame, iters: Int): DataFrame =
+    run(edges, iters, LocalEdgeLimit)
+
+  private[graft] def run(edges: DataFrame, iters: Int, localEdgeLimit: Long): DataFrame = {
     require(iters >= 1 && iters <= 8, s"Hits wants 1..8 iterations, got $iters")
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
+    // persistOnce before the count/collect pair (the Louvain.localMoves
+    // posture): the distinct is computed once, the gate count and the
+    // local-tier collect both read the cache
+    val dedup = graft.Q.persistOnce(edges.select(col("src"), col("dst")).distinct())
+    val sameType = edges.schema("src").dataType == edges.schema("dst").dataType
+    if (sameType && dedup.count() <= math.min(localEdgeLimit, LocalEdgeLimit)) {
+      val arr = dedup.collect()
+      // null endpoints keep the distributed tier's join null semantics
+      if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return runLocal(edges.sparkSession, arr.map(r => (r.get(0), r.get(1))),
+          edges.schema("src").dataType, iters)
+    }
+    val e = dedup.localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -82,5 +110,46 @@ object Hits {
             lit(" > (2^63-1) div 10^6 - its in-degree exceeds ~9.2e6 and the "),
             lit("10^6-grid normalization would wrap; coarsen the grid or "),
             lit("pre-aggregate parallel edges"))).as("s"))
+  }
+
+  /** Driver tier: the identical fixed-round scaled-integer recurrence on
+    * the collected distinct edge list — pure Long sums and the same
+    * floored L∞ normalization (values are non-negative, so Scala's `/`
+    * IS the floored `div`), with the same loud wrap refusal. The two
+    * tiers are bit-identical (OperatorsSpec pins them). */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      e: Array[(Any, Any)], nodeType: org.apache.spark.sql.types.DataType,
+      iters: Int): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val nodes = mutable.LinkedHashSet.empty[Any]
+    e.foreach { case (s, d) => nodes += s; nodes += d }
+    var hub: mutable.HashMap[Any, Long] = mutable.HashMap.from(nodes.iterator.map(_ -> 1000000L))
+    var auth = hub
+    def normalize(raw: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] = {
+      if (raw.isEmpty) return raw
+      val mx = raw.valuesIterator.max
+      raw.map { case (n, r) =>
+        if (r > Long.MaxValue / 1000000L) throw new IllegalStateException(
+          s"[hits] node $n has raw score sum $r > (2^63-1) div 10^6 - its " +
+            "in-degree exceeds ~9.2e6 and the 10^6-grid normalization would " +
+            "wrap; coarsen the grid or pre-aggregate parallel edges")
+        n -> (1000000L * r / mx)
+      }
+    }
+    for (_ <- 1 to iters) {
+      val aRaw = mutable.HashMap.empty[Any, Long]
+      e.foreach { case (s, d) => aRaw.update(d, aRaw.getOrElse(d, 0L) + hub(s)) }
+      auth = normalize(aRaw)
+      val hRaw = mutable.HashMap.empty[Any, Long]
+      e.foreach { case (s, d) => hRaw.update(s, hRaw.getOrElse(s, 0L) + auth(d)) }
+      hub = normalize(hRaw)
+    }
+    val rows = nodes.iterator.map(n =>
+      Row(n, hub.getOrElse(n, 0L), auth.getOrElse(n, 0L))).toSeq
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("node", nodeType),
+      StructField("hub_em", LongType, nullable = false),
+      StructField("auth_em", LongType, nullable = false))))
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Fixed-round k-core peel over an undirected edge list `(a, b)`:
   * symmetrize, then `rounds` times drop every node whose CURRENT degree
@@ -31,11 +32,37 @@ import org.apache.spark.sql.functions._
   * `(node, deg, converged)` (empty graph => empty output).
   */
 object KCore {
-  def peel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+
+  /** Size-guarded routing bound (the PageRank.runLocal / Hits posture):
+    * an edge list inside the bound peels on the driver at zero per-round
+    * job cost — each distributed round is ~3 fixed-cost jobs (degree
+    * aggregate + two semi-joins + eager checkpoint) whatever the data
+    * volume. The local tier computes the identical fixed-round peel
+    * (OperatorsSpec pins local ≡ distributed); past the bound the
+    * semi-join plan runs unchanged — at 100 TB that is the only tier. */
+  private val LocalEdgeLimit = 4L << 20
+
+  def peel(edges: DataFrame, k: Long, rounds: Int): DataFrame =
+    peel(edges, k, rounds, LocalEdgeLimit)
+
+  private[graft] def peel(edges: DataFrame, k: Long, rounds: Int,
+      localEdgeLimit: Long): DataFrame = {
     require(rounds >= 1 && rounds <= 16, s"KCore.peel wants 1..16 rounds, got $rounds")
     require(k >= 1L, s"KCore.peel wants k >= 1, got $k")
-    var sym = edges.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(edges.select(col("b").as("src"), col("a").as("dst")))
+    val sameType = edges.schema("a").dataType == edges.schema("b").dataType
+    // persistOnce before the count/collect pair (the Louvain.localMoves
+    // posture): the projection is computed once, the gate count, the
+    // local-tier collect and the distributed symmetrize all read the cache
+    val ab = graft.Q.persistOnce(edges.select(col("a"), col("b")))
+    if (sameType && ab.count() <= math.min(localEdgeLimit, LocalEdgeLimit)) {
+      val arr = ab.collect()
+      // null endpoints keep the distributed tier's join null semantics
+      if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return runLocal(edges.sparkSession, arr.map(r => (r.get(0), r.get(1))),
+          edges.schema("a").dataType, k, rounds)
+    }
+    var sym = ab.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(ab.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val keep = sym.groupBy("src").agg(count(lit(1)).as("c"))
@@ -49,5 +76,37 @@ object KCore {
       .localCheckpoint(true)
     val conv = deg.agg(coalesce(min("deg") >= k, lit(true)).as("converged"))
     deg.crossJoin(broadcast(conv))
+  }
+
+  /** Driver tier: the identical fixed-round peel on the collected edge
+    * list — the symmetrized multiset (parallel edges and self-loop
+    * copies count in degrees exactly like the union), Long degree
+    * counting, the same converged witness. Early exit on a no-op round
+    * is observationally identical: peeling a fixed point is the
+    * identity. Bit-identical by OperatorsSpec pin. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      e: Array[(Any, Any)], nodeType: org.apache.spark.sql.types.DataType,
+      k: Long, rounds: Int): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    var sym: Array[(Any, Any)] = e.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    var r = 0
+    var settled = false
+    while (r < rounds && !settled) {
+      val degNow = mutable.HashMap.empty[Any, Long]
+      sym.foreach { case (s, _) => degNow.update(s, degNow.getOrElse(s, 0L) + 1L) }
+      val keep = degNow.iterator.filter(_._2 >= k).map(_._1).toSet
+      val next = sym.filter { case (s, d) => keep.contains(s) && keep.contains(d) }
+      if (next.length == sym.length) settled = true else sym = next
+      r += 1
+    }
+    val deg = mutable.LinkedHashMap.empty[Any, Long]
+    sym.foreach { case (s, _) => deg.update(s, deg.getOrElse(s, 0L) + 1L) }
+    val converged = deg.isEmpty || deg.valuesIterator.min >= k
+    val rows = deg.iterator.map { case (n, d) => Row(n, d, converged) }.toSeq
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("node", nodeType),
+      StructField("deg", LongType, nullable = false),
+      StructField("converged", BooleanType, nullable = false))))
   }
 }

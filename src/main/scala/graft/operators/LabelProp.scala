@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{LongType, NumericType, StructField, StructType}
 
 /** Synchronous label propagation (Zhu & Ghahramani 2002 / Raghavan et
   * al. 2007, the deterministic clamped-seed variant) — the
@@ -30,7 +30,51 @@ object LabelProp {
     * single-aggregate argmax; strings/dates/etc. take an equivalent
     * two-aggregate tie-break with identical semantics.
     */
-  def propagate(nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  /** Size-guarded routing bound (the PageRank.runLocal / Hits posture):
+    * a graph whose edge AND node frames fit on the driver propagates in
+    * memory at zero per-round job cost — each distributed round is ~3
+    * fixed-cost jobs (vote aggregate, argmax aggregate, state join +
+    * eager checkpoint) whatever the data volume. The local tier computes
+    * the identical synchronous clamped-seed recurrence for LONG labels
+    * (OperatorsSpec pins local ≡ distributed; other label types and
+    * null/duplicate-key inputs keep the distributed tier's join
+    * semantics); past the bound the join plan runs unchanged — at
+    * 100 TB that is the only tier. */
+  private val LocalEdgeLimit = 4L << 20
+
+  def propagate(nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
+    propagate(nodes, edges, seeds, iters, LocalEdgeLimit)
+
+  private[graft] def propagate(nodes: DataFrame, edges: DataFrame, seeds: DataFrame,
+      iters: Int, localEdgeLimit: Long): DataFrame = {
+    val limit = math.min(localEdgeLimit, LocalEdgeLimit)
+    if (seeds.schema("lbl").dataType == LongType) {
+      if (edges.count() <= limit && nodes.count() <= limit) {
+        // persistOnce AFTER the gate (an over-limit frame must never be
+        // pinned in storage at the 100-TB point) but BEFORE the collects:
+        // nodes is typically a derived frame (union+distinct over the
+        // edges) and seeds usually builds ON the same nodes plan, so the
+        // cache entry serves the collect AND the seeds lineage (measured:
+        // q179's local route spent more re-deriving nodes than propagating)
+        val pn = graft.Q.persistOnce(nodes)
+        val pe = graft.Q.persistOnce(edges)
+        val nodeArr = pn.collect()
+        val edgeArr = pe.collect()
+        val seedArr = seeds.collect()
+        val wellFormed =
+          !nodeArr.exists(_.isNullAt(0)) &&
+            !edgeArr.exists(r => r.isNullAt(0) || r.isNullAt(1)) &&
+            !seedArr.exists(_.isNullAt(0)) &&
+            nodeArr.map(_.get(0)).distinct.length == nodeArr.length &&
+            seedArr.map(_.get(0)).distinct.length == seedArr.length
+        if (wellFormed)
+          return runLocal(nodes.sparkSession, nodeArr.map(_.get(0)),
+            edgeArr.map(r => (r.get(0), r.get(1))),
+            seedArr.map(r => (r.get(0),
+              if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))),
+            nodes.schema("node").dataType, iters)
+      }
+    }
     // one-pass symmetrize (same idiom as ConnectedComponents: don't run
     // a possibly-expensive edge derivation twice for the two directions)
     val sym = graft.Q.persistOnce(edges.select(explode(array(
@@ -92,5 +136,54 @@ object LabelProp {
         .localCheckpoint(true)
     }
     state.select(col("node"), col("lbl"))
+  }
+
+  /** Driver tier: the identical synchronous clamped-seed recurrence on
+    * collected (node, edge, seed) arrays — votes over BOTH edge
+    * directions (parallel edges counted, exactly like the symmetrized
+    * join), argmax by (count desc, label asc) with the distributed
+    * tier's max(struct(c, -lbl)) wrap semantics, seeds clamped, voteless
+    * nodes keeping their label. Long labels only (the numericLbl fast
+    * path); bit-identical by OperatorsSpec pin. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      nodeArr: Array[Any], edgeArr: Array[(Any, Any)],
+      seedArr: Array[(Any, java.lang.Long)],
+      nodeType: org.apache.spark.sql.types.DataType, iters: Int): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val seedMap = seedArr.toMap
+    val state = mutable.HashMap.empty[Any, java.lang.Long]
+    nodeArr.foreach(n => state(n) = seedMap.getOrElse(n, null))
+    for (_ <- 1 to iters) {
+      // votes: each directed copy of each edge, from the PREVIOUS state
+      val votes = mutable.HashMap.empty[(Any, Long), Long]
+      def vote(src: Any, dst: Any): Unit = {
+        val l = state.getOrElse(src, null)
+        if (l != null && state.contains(dst)) {
+          val k = (dst, l.longValue)
+          votes.update(k, votes.getOrElse(k, 0L) + 1L)
+        }
+      }
+      edgeArr.foreach { case (a, b) => vote(a, b); vote(b, a) }
+      // argmax per node: max (c, -lbl) with Long wrap — the distributed
+      // max(struct(c, neg)) ordering verbatim
+      val best = mutable.HashMap.empty[Any, (Long, Long)]
+      votes.foreach { case ((n, l), c) =>
+        val cand = (c, -l)
+        best.get(n) match {
+          case Some((bc, bn)) if bc > cand._1 || (bc == cand._1 && bn >= cand._2) => ()
+          case _ => best(n) = cand
+        }
+      }
+      nodeArr.foreach { n =>
+        val seeded = seedMap.getOrElse(n, null)
+        if (seeded != null) state(n) = seeded
+        else best.get(n).foreach { case (_, neg) => state(n) = -neg }
+      }
+    }
+    val rows = nodeArr.toSeq.map(n => Row(n, state(n)))
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("node", nodeType),
+      StructField("lbl", LongType, nullable = true))))
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Bounded level-wise sequential-pattern mining (the GSP/PrefixSpan
   * family: Srikant & Agrawal 1996, Pei et al. 2001) — which event
@@ -45,6 +46,19 @@ import org.apache.spark.sql.functions._
   * end-position list, exact where the greedy trick provably is not).
   */
 object PrefixSpan {
+
+  /** Size-guarded routing bound (the PageRank.runLocal / Louvain
+    * localMoves posture): an event frame that fits comfortably on the
+    * driver mines in memory at zero per-level job cost. Each distributed
+    * level is ~4 fixed-cost jobs (extend-join, support aggregate, prune
+    * join, persist) whatever the data volume — which made the two
+    * PrefixSpan entries the most expensive non-composition bench queries
+    * on a 100k-row event frame. The local tier computes the IDENTICAL
+    * integer/string recurrence (PropertySpec pins local ≡ distributed on
+    * random sequence corpora); past the bound the level-wise join plan
+    * runs unchanged — at 100 TB that is the only tier that exists. */
+  private val LocalRowLimit = 2L << 20
+
   private def require0(minSupportPct: Int, maxLen: Int): Unit = {
     require(minSupportPct >= 1 && minSupportPct <= 100,
       s"PrefixSpan wants minSupportPct in [1, 100], got $minSupportPct")
@@ -52,12 +66,30 @@ object PrefixSpan {
       s"PrefixSpan wants maxLen in [1, 6] (the pattern grid is O(|items|^maxLen)), got $maxLen")
   }
 
-  /** Shared prologue: normalized rows, the 1-row broadcast minsup, and
-    * the item-filtered event frame (all persisted — each would
-    * otherwise recompute per broadcast reference / per level). */
-  private def prep(ev: DataFrame, minSupportPct: Int): (DataFrame, DataFrame) = {
-    val rows = graft.Q.persistOnce(
-      ev.select(col("sid"), col("e"), col("pos").cast("long").as("pos")))
+  /** Normalized, persisted (sid, e, pos) rows — shared by both tiers:
+    * the local tier collects this frame once; the distributed tier's
+    * minsup/f1/evf derivations each re-reference it. */
+  private def normalized(ev: DataFrame): DataFrame = graft.Q.persistOnce(
+    ev.select(col("sid"), col("e"), col("pos").cast("long").as("pos")))
+
+  /** Local-tier routing: Some(collected rows) iff the pattern algebra is
+    * replicable on the driver (string items — the concat the pattern
+    * strings ride), the frame is inside [[LocalRowLimit]], and no
+    * null sid/e/pos reaches the miner (the distributed tier's null
+    * semantics flow through join/groupBy null handling; rather than
+    * replicate those, a null routes to the distributed tier). */
+  private def localRows(rows: DataFrame, limit: Long): Option[Array[(Any, String, Long)]] = {
+    if (rows.schema("e").dataType != StringType) return None
+    if (rows.count() > limit) return None
+    val arr = rows.collect()
+    if (arr.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2))) None
+    else Some(arr.map(r => (r.get(0), r.getString(1), r.getLong(2))))
+  }
+
+  /** Distributed prologue: the 1-row broadcast minsup and the
+    * item-filtered event frame (persisted — each would otherwise
+    * recompute per broadcast reference / per level). */
+  private def prep(rows: DataFrame, minSupportPct: Int): (DataFrame, DataFrame) = {
     val ms = graft.Q.persistOnce(rows.agg(
       expr(s"(count(distinct sid) * $minSupportPct + 99) div 100").as("minsup")))
     val f1 = rows.groupBy("e").agg(countDistinct("sid").as("n1"))
@@ -67,9 +99,17 @@ object PrefixSpan {
     (ms, evf)
   }
 
-  def frequentPatterns(ev: DataFrame, minSupportPct: Int, maxLen: Int): DataFrame = {
+  def frequentPatterns(ev: DataFrame, minSupportPct: Int, maxLen: Int): DataFrame =
+    frequentPatterns(ev, minSupportPct, maxLen, LocalRowLimit)
+
+  private[graft] def frequentPatterns(ev: DataFrame, minSupportPct: Int,
+      maxLen: Int, localRowLimit: Long): DataFrame = {
     require0(minSupportPct, maxLen)
-    val (ms, evf) = prep(ev, minSupportPct)
+    val rows = normalized(ev)
+    localRows(rows, math.min(localRowLimit, LocalRowLimit)).foreach { arr =>
+      return runLocal(ev.sparkSession, arr, minSupportPct, maxLen, maxGap = 0L)
+    }
+    val (ms, evf) = prep(rows, minSupportPct)
     def support(occ: DataFrame, k: Int): DataFrame =
       occ.groupBy("pat").agg(count(lit(1)).as("support"))
         .crossJoin(broadcast(ms)).filter(col("support") >= col("minsup"))
@@ -108,11 +148,19 @@ object PrefixSpan {
     * key on sid. The unconstrained tier keeps the O(1)-per-(sid,
     * pattern) earliest-occurrence frame — use it when gaps are free. */
   def frequentPatternsMaxGap(ev: DataFrame, minSupportPct: Int, maxLen: Int,
-      maxGap: Int): DataFrame = {
+      maxGap: Int): DataFrame =
+    frequentPatternsMaxGap(ev, minSupportPct, maxLen, maxGap, LocalRowLimit)
+
+  private[graft] def frequentPatternsMaxGap(ev: DataFrame, minSupportPct: Int,
+      maxLen: Int, maxGap: Int, localRowLimit: Long): DataFrame = {
     require0(minSupportPct, maxLen)
     require(maxGap >= 1 && maxGap <= 64,
       s"PrefixSpan wants maxGap in [1, 64] (fanout is O(maxGap) per level), got $maxGap")
-    val (ms, evf) = prep(ev, minSupportPct)
+    val rows = normalized(ev)
+    localRows(rows, math.min(localRowLimit, LocalRowLimit)).foreach { arr =>
+      return runLocal(ev.sparkSession, arr, minSupportPct, maxLen, maxGap = maxGap.toLong)
+    }
+    val (ms, evf) = prep(rows, minSupportPct)
     def support(occ: DataFrame, k: Int): DataFrame =
       occ.groupBy("pat").agg(countDistinct("sid").as("support"))
         .crossJoin(broadcast(ms)).filter(col("support") >= col("minsup"))
@@ -133,5 +181,113 @@ object PrefixSpan {
       out = out.unionAll(sup)
     }
     out.select(col("pat").as("pattern"), col("len"), col("support"))
+  }
+
+  /** Driver tier: the identical level-wise recurrence on the collected
+    * (sid, e, pos) rows — pure Long arithmetic, string concat and exact
+    * support counting, so the two tiers are bit-identical (PropertySpec
+    * pins them on random corpora for both the free-gap and bounded-gap
+    * frames). maxGap = 0 means gaps-free (the earliest-occurrence
+    * frame); maxGap >= 1 carries the full distinct end-position lists,
+    * exactly like the distributed tier. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      rowsArr: Array[(Any, String, Long)], minSupportPct: Int, maxLen: Int,
+      maxGap: Long): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val bySid = mutable.HashMap.empty[Any, mutable.ArrayBuffer[(Long, String)]]
+    rowsArr.foreach { case (sid, e, pos) =>
+      bySid.getOrElseUpdate(sid, mutable.ArrayBuffer.empty) += ((pos, e))
+    }
+    val nSid = bySid.size.toLong
+    val minsup = (nSid * minSupportPct + 99L) / 100L
+    // f1: distinct-sequence count per item (support of every 1-pattern)
+    val itemN = mutable.HashMap.empty[String, Long]
+    bySid.valuesIterator.foreach { evs =>
+      val seen = mutable.HashSet.empty[String]
+      evs.foreach { case (_, e) =>
+        if (seen.add(e)) itemN.update(e, itemN.getOrElse(e, 0L) + 1L)
+      }
+    }
+    val f1 = itemN.iterator.filter(_._2 >= minsup).map(_._1).toSet
+    val out = mutable.ArrayBuffer.empty[Row]
+    f1.foreach(e => out += Row(e, 1, itemN(e)))
+    // item-filtered, pos-sorted event arrays; sids with nothing frequent drop
+    val evf: Array[Array[(Long, String)]] = bySid.valuesIterator
+      .map(_.filter(t => f1.contains(t._2)).sortBy(_._1).toArray)
+      .filter(_.nonEmpty).toArray
+    // first index with pos strictly greater than p (evs ascending by pos)
+    def upper(evs: Array[(Long, String)], p: Long): Int = {
+      var lo = 0; var hi = evs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (evs(mid)._1 <= p) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    // per-sequence occurrence state: pattern -> ascending end positions
+    // (free tier: exactly one, the earliest completion)
+    var occ: Array[mutable.HashMap[String, Array[Long]]] = evf.map { evs =>
+      val m = mutable.HashMap.empty[String, Array[Long]]
+      if (maxGap == 0L) {
+        evs.foreach { case (p, e) => if (!m.contains(e)) m(e) = Array(p) }
+      } else {
+        val tmp = mutable.HashMap.empty[String, mutable.ArrayBuffer[Long]]
+        evs.foreach { case (p, e) =>
+          tmp.getOrElseUpdate(e, mutable.ArrayBuffer.empty) += p
+        }
+        tmp.foreach { case (e, ps) => m(e) = ps.distinct.toArray }
+      }
+      m
+    }
+    var k = 2
+    var drained = false
+    while (k <= maxLen && !drained) {
+      val supportN = mutable.HashMap.empty[String, Long]
+      val cands = occ.indices.map { i =>
+        val evs = evf(i)
+        val cand = mutable.HashMap.empty[String, Array[Long]]
+        if (maxGap == 0L) {
+          occ(i).foreach { case (pat, eposArr) =>
+            val seen = mutable.HashSet.empty[String]
+            var j = upper(evs, eposArr(0))
+            while (j < evs.length) {
+              val (p, e) = evs(j)
+              if (seen.add(e)) {
+                val pat2 = pat + ">" + e
+                val cur = cand.get(pat2)
+                if (cur.isEmpty || p < cur.get(0)) cand(pat2) = Array(p)
+              }
+              j += 1
+            }
+          }
+        } else {
+          val tmp = mutable.HashMap.empty[String, mutable.TreeSet[Long]]
+          occ(i).foreach { case (pat, posArr) =>
+            posArr.foreach { p =>
+              var j = upper(evs, p)
+              while (j < evs.length && evs(j)._1 <= p + maxGap) {
+                tmp.getOrElseUpdate(pat + ">" + evs(j)._2,
+                  mutable.TreeSet.empty[Long]) += evs(j)._1
+                j += 1
+              }
+            }
+          }
+          tmp.foreach { case (pat2, s) => cand(pat2) = s.toArray }
+        }
+        cand.keysIterator.foreach(p2 =>
+          supportN.update(p2, supportN.getOrElse(p2, 0L) + 1L))
+        cand
+      }
+      val freq = supportN.filter(_._2 >= minsup)
+      freq.foreach { case (pat2, n) => out += Row(pat2, k, n) }
+      if (freq.isEmpty) drained = true // every further level extends nothing
+      else occ = cands.map(_.filter(c => freq.contains(c._1))).toArray
+      k += 1
+    }
+    spark.createDataFrame(out.asJava, StructType(Seq(
+      StructField("pattern", StringType, nullable = true),
+      StructField("len", IntegerType, nullable = false),
+      StructField("support", LongType, nullable = false))))
   }
 }

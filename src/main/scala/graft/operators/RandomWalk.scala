@@ -41,7 +41,26 @@ import org.apache.spark.sql.functions._
   * one row per visited position.
   */
 object RandomWalk {
-  def walks(edges: DataFrame, walksPerNode: Int, steps: Int, seed: String): DataFrame = {
+
+  /** Size-guarded routing bound (the PageRank.runLocal / Louvain
+    * posture): a symmetrized adjacency inside the bound walks on the
+    * driver at zero per-step job cost — each distributed step is ~2
+    * fixed-cost jobs (frontier join+argmax, eager checkpoint) and, more
+    * importantly, the md5 choice hash evaluates through the interpreted
+    * conv(substring(md5)) expression chain per candidate row, where the
+    * local tier's allocation-free digest is ~20x cheaper per candidate
+    * (GraftFunctions.hash60Local, pinned bit-identical in
+    * LocalTierSpec). Intake (cast + self-loop/duplicate refusals) stays
+    * distributed and the collect evaluates the guard columns, so
+    * refusals fire identically. Past the bound the join plan runs
+    * unchanged — at 100 TB that is the only tier. */
+  private val LocalEdgeLimit = 4L << 20
+
+  def walks(edges: DataFrame, walksPerNode: Int, steps: Int, seed: String): DataFrame =
+    walks(edges, walksPerNode, steps, seed, LocalEdgeLimit)
+
+  private[graft] def walks(edges: DataFrame, walksPerNode: Int, steps: Int,
+      seed: String, localEdgeLimit: Long): DataFrame = {
     require(walksPerNode >= 1 && walksPerNode <= 16,
       s"RandomWalk wants walksPerNode in [1, 16], got $walksPerNode")
     require(steps >= 1 && steps <= 16,
@@ -74,6 +93,14 @@ object RandomWalk {
         struct(col("b").as("src"), col("a").as("dst"), col("__w")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst")))
 
+    if (sym.count() <= math.min(localEdgeLimit, LocalEdgeLimit)) {
+      // collecting sym evaluates the intake guard columns it was built
+      // from, so self-loop/duplicate refusals fire exactly as they do
+      // under the distributed consumption
+      val arr = sym.collect().map(r => (r.getLong(0), r.getLong(1)))
+      return runLocal(spark, arr, walksPerNode, steps, seed)
+    }
+
     val nodes = sym.select(col("src").as("start")).distinct()
     val walkIds = (0 until walksPerNode).map(lit(_))
     var frontier = nodes
@@ -99,5 +126,66 @@ object RandomWalk {
       frontier = next
     }
     out
+  }
+
+  /** Driver tier: the identical md5-argmin recurrence on the collected
+    * symmetrized adjacency — the same "<seed>:w:s:v:u" choice strings
+    * through [[graft.functions.GraftFunctions.hash60Local]] (bit-equal
+    * to the Column hash60), ties to the smaller u, walks advanced in a
+    * parallel loop (each (start, w) walk is independent; the digest is
+    * per-thread). Bit-identical by LocalTierSpec pin. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      sym: Array[(Long, Long)], walksPerNode: Int, steps: Int,
+      seed: String): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    sym.foreach { case (s, d) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += d
+    }
+    val starts = adj.keys.toArray
+    val nWalks = starts.length * walksPerNode
+    val start = new Array[Long](nWalks)
+    val wOf = new Array[Int](nWalks)
+    val cur = new Array[Long](nWalks)
+    var i = 0
+    starts.foreach { st =>
+      (0 until walksPerNode).foreach { w =>
+        start(i) = st; wOf(i) = w; cur(i) = st; i += 1
+      }
+    }
+    val rows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    (0 until nWalks).foreach(j =>
+      rows += org.apache.spark.sql.Row(start(j), wOf(j), 0, cur(j)))
+    val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+    for (s <- 1 to steps) {
+      val next = new Array[Long](nWalks)
+      java.util.stream.IntStream.range(0, nWalks).parallel().forEach { j =>
+        val md = digest.get()
+        val v = cur(j)
+        val prefix = s"$seed:${wOf(j)}:$s:$v:"
+        var bestH = Long.MaxValue
+        var bestU = Long.MaxValue
+        adj(v).foreach { u =>
+          val h = graft.functions.GraftFunctions.hash60Local(md, prefix + u)
+          if (h < bestH || (h == bestH && u < bestU)) { bestH = h; bestU = u }
+        }
+        next(j) = bestU
+      }
+      (0 until nWalks).foreach { j =>
+        cur(j) = next(j)
+        rows += org.apache.spark.sql.Row(start(j), wOf(j), s, cur(j))
+      }
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("step",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("node",
+        org.apache.spark.sql.types.LongType, nullable = true))))
   }
 }

@@ -399,16 +399,27 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("r13 wing: PrefixSpan joins stay sid-keyed equi, DSIR models broadcast") {
-    // q244: every loop join keys on sid (equi — no cartesian, no nested
-    // loop over two unbounded sides), occurrence/support aggregates are
-    // partial-agg'd, and the minsup threshold attaches as a 1-row
-    // broadcast (BroadcastNestedLoopJoin is the bounded crossJoin form).
+    // q244 (r15): below the row bound the miner routes to the driver
+    // tier (LocalTierSpec pins tier equality), so the FINAL plan is the
+    // local relation behind the total order — pin the route + no
+    // cartesian on the query, and pin the distributed loop contract
+    // (every join sid-keyed equi, aggregates partial'd) on the operator
+    // directly, forced past the routing bound.
     val ps = plan("q244_seq_patterns")
     assert(!ps.contains("CartesianProduct"), s"q244 went cartesian:\n$ps")
-    assert(ps.contains("partial_count") || ps.contains("partial_min"),
-      s"q244 occurrence counts not partial-agg'd:\n$ps")
-    assert(ps.contains("hashpartitioning(sid"),
-      s"q244 lost its sid-keyed exchange:\n$ps")
+    assert(ps.contains("LocalTableScan"), s"q244 lost the driver-tier route:\n$ps")
+    val evSyn = spark.range(400).selectExpr(
+      "cast(id % 40 as string) as sid", "cast(id % 5 as string) as e",
+      "cast(id div 40 + 1 as long) as pos")
+    val psQe = graft.operators.PrefixSpan
+      .frequentPatterns(evSyn, 30, 3, localRowLimit = 0L).queryExecution
+    val psDist = psQe.executedPlan.toString + cachedFinalText(psQe)
+    assert(!psDist.contains("CartesianProduct"),
+      s"PrefixSpan distributed tier went cartesian:\n$psDist")
+    assert(psDist.contains("partial_count") || psDist.contains("partial_min"),
+      s"PrefixSpan occurrence counts not partial-agg'd:\n$psDist")
+    assert(psDist.contains("hashpartitioning(sid"),
+      s"PrefixSpan lost its sid-keyed exchange:\n$psDist")
     // q245: the bucket LMs join back as BROADCASTS (<= 4096 rows each),
     // the per-(doc,bucket) count is the one corpus-scale partial agg, and
     // the draw is the native bottom-k (partial-agg'd, O(k) per map task).
@@ -426,14 +437,20 @@ class PlanQualitySpec extends SparkSpec {
       s"q244 reads unused events columns:\n$ps")
     assert(!ds.contains("n_chars") && !ds.contains("source"),
       s"q245 reads unused documents columns:\n$ds")
-    // q246: same loop contract as q244 on the occurrence-LIST frame —
-    // sid-keyed equi joins only, distinct/support aggregates partial'd
+    // q246: routes to the driver tier like q244; the distributed
+    // occurrence-LIST loop contract (sid-keyed equi joins, partial'd
+    // distinct/support aggregates) pins on the operator, forced past
+    // the routing bound.
     val pg = plan("q246_seq_patterns_gap")
     assert(!pg.contains("CartesianProduct"), s"q246 went cartesian:\n$pg")
-    assert(pg.contains("hashpartitioning(sid"),
-      s"q246 lost its sid-keyed exchange:\n$pg")
-    assert(!pg.contains("props") && !pg.contains("value:double"),
-      s"q246 reads unused events columns:\n$pg")
+    assert(pg.contains("LocalTableScan"), s"q246 lost the driver-tier route:\n$pg")
+    val pgQe = graft.operators.PrefixSpan
+      .frequentPatternsMaxGap(evSyn, 25, 3, 2, localRowLimit = 0L).queryExecution
+    val pgDist = pgQe.executedPlan.toString + cachedFinalText(pgQe)
+    assert(!pgDist.contains("CartesianProduct"),
+      s"PrefixSpan gap tier went cartesian:\n$pgDist")
+    assert(pgDist.contains("hashpartitioning(sid"),
+      s"PrefixSpan gap tier lost its sid-keyed exchange:\n$pgDist")
   }
 
   test("r13 second wing: graph rounds equi, rollups partial-agg'd, models broadcast") {
@@ -469,14 +486,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(fs.contains("BroadcastNestedLoopJoin"),
       s"q250 weight vector not broadcast-attached:\n$fs")
     assert(fs.contains("partial_count"), s"q250 value counts not partial-agg'd:\n$fs")
-    // q251: the level loop stays bid-keyed end to end and leaves the
-    // events payload columns unread.
+    // q251 (r15): routes to the driver tier below the row bound
+    // (LocalTierSpec pins tier equality); the distributed bid-keyed
+    // level loop pins on the operator, forced past the routing bound.
     val ap = plan("q251_itemsets_apriori")
     assert(!ap.contains("CartesianProduct"), s"q251 went cartesian:\n$ap")
-    assert(ap.contains("hashpartitioning(bid"),
-      s"q251 lost its bid-keyed exchange:\n$ap")
-    assert(!ap.contains("props") && !ap.contains("value:double"),
-      s"q251 reads unused events columns:\n$ap")
+    assert(ap.contains("LocalTableScan"), s"q251 lost the driver-tier route:\n$ap")
+    val apSyn = spark.range(300).selectExpr(
+      "cast(id % 60 as string) as bid", "cast(id % 6 as string) as item")
+    val apQe = graft.operators.Apriori
+      .frequentItemsets(apSyn, 10, 3, localRowLimit = 0L).queryExecution
+    val apDist = apQe.executedPlan.toString + cachedFinalText(apQe)
+    assert(!apDist.contains("CartesianProduct"),
+      s"Apriori distributed tier went cartesian:\n$apDist")
+    assert(apDist.contains("hashpartitioning(bid"),
+      s"Apriori lost its bid-keyed exchange:\n$apDist")
     // q252: the ONLY corpus-scale pass is the partial-agg'd daily
     // graft_hll sketch; everything after runs on the day×register frame.
     val sh = plan("q252_sliding_hll")
