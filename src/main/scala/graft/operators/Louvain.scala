@@ -114,16 +114,56 @@ object Louvain {
     * final super-community and converged says every level's local
     * moves reached a two-direction fixed point within its budget. */
   def communitiesMultiLevel(
-      edges: DataFrame, maxRoundsPerLevel: Int, levels: Int = 2): DataFrame = {
+      edges: DataFrame, maxRoundsPerLevel: Int, levels: Int = 2): DataFrame =
+    communitiesMultiLevel(edges, maxRoundsPerLevel, levels, LocalEdgeLimit)
+
+  private[graft] def communitiesMultiLevel(edges: DataFrame,
+      maxRoundsPerLevel: Int, levels: Int, localEdgeLimit: Long): DataFrame = {
     require(maxRoundsPerLevel >= 1 && maxRoundsPerLevel <= 16,
       s"Louvain wants maxRoundsPerLevel in [1, 16], got $maxRoundsPerLevel")
     require(levels >= 1 && levels <= 4,
       s"Louvain wants levels in [1, 4], got $levels")
-    var ew = intake(edges)
+    // Full-local route (r15): when the LEVEL-1 edge list fits the driver
+    // bound, every level fits (contraction shrinks-or-holds), so the
+    // whole (local moves, contract, re-run) ladder iterates in memory —
+    // one collect instead of a per-level count/collect/contraction-join/
+    // mapping-join round trip. Identical recurrence (GraphSpec pins the
+    // tiers; the q268 oracle replays both levels as weighted CTEs).
+    val e0 = graft.Q.persistOnce(intake(edges))
+    if (e0.count() <= math.min(localEdgeLimit, LocalEdgeLimit)) {
+      // collecting evaluates the intake guard columns — refusals fire
+      // exactly as under distributed consumption
+      var rows = e0.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      var mapping: Map[Long, Long] = null
+      var allConverged = true
+      for (lvl <- 1 to levels) {
+        val (com, conv) = localMovesArr(rows, maxRoundsPerLevel)
+        allConverged = allConverged && conv
+        mapping = if (lvl == 1) com else mapping.view.mapValues(com).toMap
+        if (lvl < levels) {
+          val contracted = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+          rows.foreach { case (a, b, w) =>
+            val (ca, cb) = (com(a), com(b))
+            val key = (math.min(ca, cb), math.max(ca, cb))
+            contracted.update(key, contracted.getOrElse(key, 0L) + w)
+          }
+          rows = contracted.iterator.map { case ((a, b), w) => (a, b, w) }.toArray
+        }
+      }
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      return edges.sparkSession.createDataFrame(
+        mapping.iterator.map { case (n, c) => Row(n, c, allConverged) }.toSeq.asJava,
+        StructType(Seq(StructField("node", LongType, nullable = false),
+          StructField("com", LongType, nullable = false),
+          StructField("converged", BooleanType, nullable = false))))
+    }
+    var ew: DataFrame = e0
     var mapping: DataFrame = null
     var allConverged = true
     for (lvl <- 1 to levels) {
-      val (st, conv) = localMoves(ew, maxRoundsPerLevel)
+      val (st, conv) = localMoves(ew, maxRoundsPerLevel, localEdgeLimit)
       allConverged = allConverged && conv
       mapping =
         if (lvl == 1) st.localCheckpoint(true)
@@ -273,58 +313,126 @@ object Louvain {
   private def localMovesDriver(e: DataFrame, maxRounds: Int): (DataFrame, Boolean) = {
     val spark = e.sparkSession
     val rows = e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val m = rows.map(_._3).sum
+    val (com, converged) = localMovesArr(rows, maxRounds)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    // a LOCAL relation (not a 1-partition RDD): downstream joins see its
+    // true size and broadcast instead of sort-merging an unknown-size frame
+    val out = spark.createDataFrame(
+      com.iterator.map { case (v, c) => Row(v, c) }.toSeq.asJava,
+      StructType(Seq(StructField("node", LongType, nullable = false),
+        StructField("com", LongType, nullable = false))))
+    (out, converged)
+  }
+
+  /** The in-memory local-move core shared by [[localMovesDriver]] and the
+    * full-local [[communitiesMultiLevel]] route. Node ids compress to
+    * dense indices over a CSR adjacency and communities live in flat
+    * arrays (every community id is some node's id, so community state
+    * indexes by that node's index): 8 rounds over a 600k-entry adjacency
+    * cost ~3s through boxed tuples and immutable maps, ~0.1s here —
+    * same recurrence to the bit (gains in pure Long, ties to the
+    * smallest community id, alternating progressive direction). */
+  private def localMovesArr(
+      rows: Array[(Long, Long, Long)], maxRounds: Int): (Map[Long, Long], Boolean) = {
+    var m = 0L
+    rows.foreach(m += _._3)
     require(m <= (1L << 30),
       "[louvain] total edge weight exceeds 2^30: the 2m-scaled gain " +
         "would overflow int64 - shard the graph")
-    val nonSelf = rows.filter(r => r._1 != r._2)
-    // incoming (dst <- src, w) both directions; self-loops twice in deg
-    val in = nonSelf.flatMap { case (a, b, w) => Seq((b, a, w), (a, b, w)) }
-    val deg = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
-    in.foreach { case (dst, _, w) => deg(dst) += w }
-    rows.filter(r => r._1 == r._2).foreach { case (a, _, w) => deg(a) += 2 * w }
-    val nodes = deg.keys.toArray.sorted
-    val inByDst = in.groupBy(_._1)
-    var com = nodes.map(v => v -> v).toMap
+    // index-compress the node ids (sorted for deterministic iteration)
+    val nodeIds = {
+      val s = scala.collection.mutable.SortedSet.empty[Long]
+      rows.foreach { r => s += r._1; s += r._2 }
+      s.toArray
+    }
+    val n = nodeIds.length
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) { idx(nodeIds(i)) = i; i += 1 }
+    // CSR over the symmetrized non-self adjacency; self-loops only in deg
+    val degArr = new Array[Long](n)
+    val outDeg = new Array[Int](n)
+    rows.foreach { case (a, b, w) =>
+      val (ia, ib) = (idx(a), idx(b))
+      if (ia == ib) degArr(ia) += 2 * w
+      else {
+        degArr(ia) += w; degArr(ib) += w
+        outDeg(ia) += 1; outDeg(ib) += 1
+      }
+    }
+    val start = new Array[Int](n + 1)
+    i = 0
+    while (i < n) { start(i + 1) = start(i) + outDeg(i); i += 1 }
+    val fill = start.clone()
+    val nbr = new Array[Int](start(n))
+    val nbrW = new Array[Long](start(n))
+    rows.foreach { case (a, b, w) =>
+      val (ia, ib) = (idx(a), idx(b))
+      if (ia != ib) {
+        nbr(fill(ia)) = ib; nbrW(fill(ia)) = w; fill(ia) += 1
+        nbr(fill(ib)) = ia; nbrW(fill(ib)) = w; fill(ib) += 1
+      }
+    }
+    // community state by node index; community ids ARE node ids
+    var comIdx = Array.tabulate(n)(identity)
+    val sigma = new Array[Long](n)
+    // per-node vote scratch: community index -> weight, with a touched list
+    val voteW = new Array[Long](n)
+    val touched = new Array[Int](n)
     var converged = false
     var prevMoveless = false
     var r = 1
     while (r <= maxRounds && !converged) {
-      val sigma = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
-      nodes.foreach(v => sigma(com(v)) += deg(v))
+      java.util.Arrays.fill(sigma, 0L)
+      i = 0
+      while (i < n) { sigma(comIdx(i)) += degArr(i); i += 1 }
       var moveless = true
-      val next = nodes.map { v =>
-        val own = com(v)
-        val votes = scala.collection.mutable.LongMap.empty[Long].withDefaultValue(0L)
-        inByDst.getOrElse(v, Array.empty).foreach { case (_, src, w) =>
-          votes(com(src)) += w
+      val next = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        val own = comIdx(v)
+        var nTouched = 0
+        var j = start(v)
+        while (j < start(v + 1)) {
+          val c = comIdx(nbr(j))
+          if (voteW(c) == 0L) { touched(nTouched) = c; nTouched += 1 }
+          voteW(c) += nbrW(j)
+          j += 1
         }
-        if (!votes.contains(own)) votes(own) = 0L
-        val k = deg(v)
+        if (voteW(own) == 0L) { touched(nTouched) = own; nTouched += 1 }
+        val k = degArr(v)
         var bestGain = Long.MinValue
         var best = Long.MaxValue
-        votes.foreach { case (c, wv) =>
-          val gain = 2L * m * wv - k * (sigma(c) - (if (c == own) k else 0L))
-          if (gain > bestGain || (gain == bestGain && c < best)) {
-            bestGain = gain; best = c
+        var t = 0
+        while (t < nTouched) {
+          val c = touched(t)
+          val cid = nodeIds(c)
+          val gain = 2L * m * voteW(c) - k * (sigma(c) - (if (c == own) k else 0L))
+          if (gain > bestGain || (gain == bestGain && cid < best)) {
+            bestGain = gain; best = cid
           }
+          t += 1
         }
-        val progressive = if (r % 2 == 1) best < own else best > own
-        val applied = if (progressive) best else own
-        if (applied != own) moveless = false
-        v -> applied
-      }.toMap
-      com = next
+        // reset scratch for the next node
+        t = 0
+        while (t < nTouched) { voteW(touched(t)) = 0L; t += 1 }
+        val ownId = nodeIds(own)
+        val progressive = if (r % 2 == 1) best < ownId else best > ownId
+        val applied = if (progressive) best else ownId
+        if (applied != ownId) moveless = false
+        next(v) = idx(applied)
+        v += 1
+      }
+      comIdx = next
       if (moveless && prevMoveless) converged = true
       prevMoveless = moveless
       r += 1
     }
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    val out = spark.createDataFrame(
-      spark.sparkContext.parallelize(nodes.map(v => Row(v, com(v))).toSeq, 1),
-      StructType(Seq(StructField("node", LongType, nullable = false),
-        StructField("com", LongType, nullable = false))))
-    (out, converged)
+    val out = Map.newBuilder[Long, Long]
+    i = 0
+    while (i < n) { out += nodeIds(i) -> nodeIds(comIdx(i)); i += 1 }
+    (out.result(), converged)
   }
 }

@@ -74,6 +74,28 @@ class LocalTierSpec extends SparkSpec {
     assertSame(local, dist, "LabelProp")
   }
 
+  test("Louvain full-local multilevel == distributed multilevel") {
+    val pairs = (1 to 220)
+      .map(_ => (rng.nextInt(35).toLong, rng.nextInt(35).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val edges = pairs.toDF("a", "b")
+    val local = operators.Louvain.communitiesMultiLevel(edges, 4, 2)
+    val dist = operators.Louvain.communitiesMultiLevel(edges, 4, 2, localEdgeLimit = 0L)
+    assertSame(local, dist, "Louvain multilevel")
+  }
+
+  test("hash60Local == the hash60 Column form") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val inputs = (1 to 50).map(i => s"rw:$i:${rng.nextInt(1000)}:${rng.nextLong()}")
+    val viaColumn = inputs.toDF("s")
+      .select(functions.GraftFunctions.hash60(org.apache.spark.sql.functions.col("s")))
+      .collect().map(_.getLong(0)).toSeq
+    val viaLocal = inputs.map(s => functions.GraftFunctions.hash60Local(md, s))
+    assert(viaColumn === viaLocal, "hash60Local diverged from the Column twin")
+  }
+
   test("KCore local tier == distributed tier (parallel edges and self-loops kept)") {
     val base = (1 to 260)
       .map(_ => (rng.nextInt(30).toLong, rng.nextInt(30).toLong))
