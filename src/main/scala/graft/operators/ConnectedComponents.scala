@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType}
 
 /** Distributed connected components over a pair table — the step that
   * turns near-duplicate PAIRS (minhash/simhash/cosine candidates) into
@@ -34,12 +34,55 @@ object ConnectedComponents {
     * node set `nodes` (column `idCol`; includes isolated nodes).
     * Returns (idCol, comp) where comp = the minimum node id reachable.
     */
+  /** Size-guarded routing bound (the PageRank.runLocal / Louvain
+    * posture): a (nodes, edges) pair inside the bound iterates on the
+    * driver at zero per-round job cost — each distributed round is ~4
+    * fixed-cost jobs (neighbor-min shuffle, jump join, checkpoint,
+    * label-sum probe) whatever the data volume. The local tier replays
+    * the IDENTICAL iteration (neighbor-min + pointer jump + label-sum
+    * convergence + the same maxIter cap), so even a truncated
+    * non-converged state matches bit-for-bit (LocalTierSpec pins the
+    * tiers); past the bound the join plan runs unchanged. */
+  private val LocalEdgeLimit = 4L << 20
+
   def components(
       nodes: DataFrame,
       edges: DataFrame,
       idCol: String,
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20): DataFrame =
+    components(nodes, edges, idCol, maxIter, LocalEdgeLimit)
+
+  private[graft] def components(
+      nodes: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      maxIter: Int,
+      localEdgeLimit: Long): DataFrame = {
     val spark = nodes.sparkSession
+    val limit = math.min(localEdgeLimit, LocalEdgeLimit)
+    if (nodes.schema(idCol).dataType == LongType &&
+        edges.schema("a").dataType == LongType &&
+        edges.schema("b").dataType == LongType) {
+      // persistOnce the (possibly expensive — q133/q274's edges are exact
+      // similarity self-joins) pair derivation so the gate count and the
+      // collect compute it once; the distributed sym below reads the same
+      // cache entry if the gate fails
+      val pe = graft.Q.persistOnce(edges.select(col("a"), col("b")))
+      if (pe.count() <= limit) {
+        val pn = graft.Q.persistOnce(nodes.select(col(idCol)))
+        if (pn.count() <= limit) {
+          val nodeArr = pn.collect()
+          val edgeArr = pe.collect()
+          // null or duplicate node ids keep the distributed tier's join
+          // semantics (duplicates multiply rows through the jump join)
+          if (!nodeArr.exists(_.isNullAt(0)) &&
+              !edgeArr.exists(r => r.isNullAt(0) || r.isNullAt(1)) &&
+              nodeArr.map(_.getLong(0)).distinct.length == nodeArr.length)
+            return runLocal(spark, nodeArr.map(_.getLong(0)),
+              edgeArr.map(r => (r.getLong(0), r.getLong(1))), idCol, maxIter)
+        }
+      }
+    }
     // symmetrize in ONE pass over the pair plan: a union of two selects
     // would evaluate the (possibly expensive — q133's edges are an exact
     // cosine self-join) edge derivation twice while filling the cache;
@@ -84,5 +127,69 @@ object ConnectedComponents {
     }
     sym.unpersist()
     labels.withColumnRenamed("id", idCol)
+  }
+
+  /** Driver tier: the identical neighbor-min + pointer-jump iteration on
+    * index-compressed arrays — same label-sum convergence probe, same
+    * maxIter cap, so even a hypothetical truncated state matches the
+    * distributed tier bit-for-bit. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      nodeIds: Array[Long], edgeArr: Array[(Long, Long)], idCol: String,
+      maxIter: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val n = nodeIds.length
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) { idx(nodeIds(i)) = i; i += 1 }
+    var comp: Array[Long] = nodeIds.clone()
+    def labelSum(c: Array[Long]): BigInt = {
+      var s = BigInt(0); var j = 0
+      while (j < c.length) { s += c(j); j += 1 }
+      s
+    }
+    var prevSum = labelSum(comp)
+    var iter = 0
+    var converged = false
+    val sentinel = Long.MaxValue
+    while (!converged && iter < maxIter) {
+      // (1) neighbor min over both edge directions (only endpoints in the
+      //     node set participate, exactly like the labels join)
+      val nbrMin = Array.fill(n)(sentinel)
+      edgeArr.foreach { case (a, b) =>
+        (idx.get(a), idx.get(b)) match {
+          case (Some(ia), Some(ib)) =>
+            if (comp(ib) < nbrMin(ia)) nbrMin(ia) = comp(ib)
+            if (comp(ia) < nbrMin(ib)) nbrMin(ib) = comp(ia)
+          case _ => () // an endpoint outside the node set never votes
+        }
+      }
+      val stepped = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        stepped(i) = if (nbrMin(i) < comp(i)) nbrMin(i) else comp(i)
+        i += 1
+      }
+      // (2) pointer jump: comp := least(comp, comp(comp)) — stepped labels
+      //     are always node ids of the node set, so the lookup never misses
+      val next = new Array[Long](n)
+      i = 0
+      while (i < n) {
+        val c = stepped(i)
+        val jump = stepped(idx(c))
+        next(i) = if (jump < c) jump else c
+        i += 1
+      }
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      comp = next
+      iter += 1
+    }
+    val rows = (0 until n).map(j => org.apache.spark.sql.Row(nodeIds(j), comp(j)))
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("comp",
+        org.apache.spark.sql.types.LongType, nullable = true))))
   }
 }

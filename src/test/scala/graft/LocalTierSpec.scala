@@ -86,6 +86,24 @@ class LocalTierSpec extends SparkSpec {
     assertSame(local, dist, "Louvain multilevel")
   }
 
+  test("ConnectedComponents local tier == distributed tier") {
+    val edges = (1 to 180)
+      .map(_ => (rng.nextInt(120).toLong, rng.nextInt(120).toLong)).toDF("a", "b")
+    val nodes = spark.range(120).selectExpr("id as doc_id")
+    val local = operators.ConnectedComponents.components(nodes, edges, "doc_id")
+    val dist = operators.ConnectedComponents.components(nodes, edges, "doc_id",
+      maxIter = 20, localEdgeLimit = 0L)
+    assertSame(local, dist, "ConnectedComponents")
+    // truncated, NOT-converged state must also match: a 40-path at
+    // maxIter 2 stops mid-propagation in both tiers
+    val path = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val pn = spark.range(40).selectExpr("id as doc_id")
+    val localT = operators.ConnectedComponents.components(pn, path, "doc_id", maxIter = 2)
+    val distT = operators.ConnectedComponents.components(pn, path, "doc_id",
+      maxIter = 2, localEdgeLimit = 0L)
+    assertSame(localT, distT, "ConnectedComponents truncated")
+  }
+
   test("hash60Local == the hash60 Column form") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val inputs = (1 to 50).map(i => s"rw:$i:${rng.nextInt(1000)}:${rng.nextLong()}")
