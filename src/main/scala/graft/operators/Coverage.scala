@@ -54,6 +54,12 @@ object Coverage {
     run(pairs, idCol, elemCol, rounds, None)
   }
 
+  /** Test hook: force the distributed tier (localRowLimit = 0) so the
+    * LocalTierSpec equality pin has both sides. */
+  private[graft] def greedySelectForced(pairs: DataFrame, idCol: String, elemCol: String,
+      rounds: Int, samplePpm: Option[Long], localRowLimit: Long): DataFrame =
+    run(pairs, idCol, elemCol, rounds, samplePpm, localRowLimit)
+
   /** The sampled tier — see object doc. `samplePpm` is the per-round
     * candidate sampling rate in parts-per-million (0..10^6; 10^6 keeps
     * every candidate and is plan-identical to the exact tier). */
@@ -73,10 +79,33 @@ object Coverage {
     graft.functions.GraftFunctions.hash60(
       "covsample", concat(id.cast("string"), lit(":" + round))) % 1000000L < ppm
 
+  /** Size-guarded routing bound (the PageRank.runLocal / Louvain
+    * posture): a deduped membership frame inside the bound selects on
+    * the driver at zero per-round job cost — each distributed round is
+    * ~3 fixed-cost jobs (gain aggregate + top-1 collect + anti-join
+    * checkpoint) whatever the data volume. The local tier replays the
+    * identical greedy (same hash60 sampling via hash60Local, same
+    * (gain desc, id asc) argmax, same exact-fallback rule) for LONG ids
+    * (LocalTierSpec pins the tiers); past the bound the aggregate plan
+    * runs unchanged. */
+  private val LocalRowLimit = 2L << 20
+
   private def run(pairs: DataFrame, idCol: String, elemCol: String,
-      rounds: Int, samplePpm: Option[Long]): DataFrame = {
+      rounds: Int, samplePpm: Option[Long],
+      localRowLimit: Long = LocalRowLimit): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema(idCol).dataType
+    if (idType == LongType) {
+      val dedup = graft.Q.persistOnce(
+        pairs.select(col(idCol).as("id"), col(elemCol).as("elem")).distinct())
+      if (dedup.count() <= math.min(localRowLimit, LocalRowLimit)) {
+        val arr = dedup.collect()
+        // null ids/elems keep the distributed filter/join null semantics
+        if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+          return runLocal(spark, arr.map(r => (r.getLong(0), r.get(1))),
+            rounds, samplePpm)
+      }
+    }
     var uncovered = pairs.select(col(idCol).as("id"), col(elemCol).as("elem"))
       .distinct().localCheckpoint(true)
     val picks = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -113,5 +142,64 @@ object Coverage {
         StructField("id", idType),
         StructField("gain", LongType, nullable = false),
         StructField("covered_total", LongType, nullable = false))))
+  }
+
+  /** Driver tier: the identical greedy on the collected distinct
+    * membership rows — per round the same deterministic hash sample
+    * (hash60Local, bit-equal to the Column hash60), the same
+    * (gain desc, id asc) argmax, the same best-sampled-else-best-overall
+    * fallback, elements of the pick removed from every candidate. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      rowsArr: Array[(Long, Any)], rounds: Int,
+      samplePpm: Option[Long]): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val elems = mutable.HashMap.empty[Long, mutable.HashSet[Any]]
+    val byElem = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Long]]
+    rowsArr.foreach { case (id, e) =>
+      elems.getOrElseUpdate(id, mutable.HashSet.empty) += e
+      byElem.getOrElseUpdate(e, mutable.ArrayBuffer.empty) += id
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val picks = mutable.ArrayBuffer.empty[Row]
+    var total = 0L
+    var exhausted = false
+    var r = 1
+    while (r <= rounds && !exhausted) {
+      def top1(inSampleOnly: Boolean): Option[(Long, Long)] = {
+        var bestId = Long.MaxValue
+        var bestG = 0L
+        var found = false
+        elems.foreach { case (id, es) =>
+          if (es.nonEmpty &&
+              (!inSampleOnly || graft.functions.GraftFunctions
+                .hash60Local(md, s"covsample:$id:$r") % 1000000L < samplePpm.get)) {
+            val g = es.size.toLong
+            if (!found || g > bestG || (g == bestG && id < bestId)) {
+              found = true; bestG = g; bestId = id
+            }
+          }
+        }
+        if (found) Some((bestId, bestG)) else None
+      }
+      val sampled = top1(samplePpm.isDefined)
+      val top = if (sampled.isEmpty && samplePpm.isDefined) top1(false) else sampled
+      top match {
+        case None => exhausted = true
+        case Some((id, g)) =>
+          total += g
+          picks += Row(r.toLong, id, g, total)
+          // remove the pick's elements via the inverted index: O(total
+          // membership of the covered elements), not O(ids x covered)
+          val covered = elems(id).toArray
+          covered.foreach(e => byElem(e).foreach(other => elems(other).remove(e)))
+      }
+      r += 1
+    }
+    spark.createDataFrame(picks.asJava, StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("id", LongType),
+      StructField("gain", LongType, nullable = false),
+      StructField("covered_total", LongType, nullable = false))))
   }
 }

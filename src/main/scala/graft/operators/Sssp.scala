@@ -43,8 +43,32 @@ object Sssp {
     * (src, dst, w) with w a non-negative long; returns (node, dist) for
     * every node reachable in ≤ `rounds` hops. Unreached nodes are absent.
     */
-  def distances(edges: DataFrame, src: Long, rounds: Int): DataFrame = {
+  /** Size-guarded routing bound (the Bfs.hops posture): an edge list
+    * inside the bound relaxes on the driver at zero per-round job cost;
+    * the persistOnce below also stops each distributed round's frontier
+    * join from re-computing the caller's edge derivation (q247's is a
+    * 4-table join). Local ≡ distributed pinned in LocalTierSpec. */
+  private val LocalEdgeLimit = 4L << 20
+
+  def distances(edges: DataFrame, src: Long, rounds: Int): DataFrame =
+    distances(edges, src, rounds, LocalEdgeLimit)
+
+  private[graft] def distances(edges: DataFrame, src: Long, rounds: Int,
+      localEdgeLimit: Long): DataFrame = {
     val spark = edges.sparkSession
+    val e = graft.Q.persistOnce(edges.select(col("src"), col("dst"), col("w")))
+    val integral = Seq(edges.schema("src").dataType, edges.schema("dst").dataType)
+      .forall(t => t == org.apache.spark.sql.types.LongType ||
+        t == org.apache.spark.sql.types.IntegerType ||
+        t == org.apache.spark.sql.types.ShortType)
+    if (integral && edges.schema("w").dataType == org.apache.spark.sql.types.LongType &&
+        e.count() <= math.min(localEdgeLimit, LocalEdgeLimit)) {
+      val arr = e.collect()
+      if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+        return runLocal(spark,
+          arr.map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+            r.getLong(2))), src, rounds)
+    }
     val relaxed = Guards(
       col("w") >= 0L && col("dist") <= lit(Long.MaxValue) - col("w"),
       col("dist") + col("w"),
@@ -63,7 +87,7 @@ object Sssp {
     var drained = false
     while (r <= rounds && !drained) {
       val frontier = dist.filter(col("r") === r - 1).select("node", "dist")
-      val reached = frontier.join(edges, col("node") === col("src"))
+      val reached = frontier.join(e, col("node") === col("src"))
         .select(col("dst").as("node"), relaxed.as("dist"), lit(r).cast("int").as("r"))
       val next = graft.Q.persistOnce(dist.union(reached)
         .groupBy("node")
@@ -78,5 +102,54 @@ object Sssp {
       r += 1
     }
     dist.select("node", "dist")
+  }
+
+  /** Driver tier: the identical K-round frontier Bellman–Ford on the
+    * collected edge list — min over struct(dist, round) (least dist,
+    * ties keep the earliest round, so a re-found equal distance never
+    * re-enters the frontier), the same relaxation-domain refusal on
+    * every candidate, the same drained-frontier early exit. */
+  private def runLocal(spark: org.apache.spark.sql.SparkSession,
+      e: Array[(Long, Long, Long)], src: Long, rounds: Int): DataFrame = {
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[(Long, Long)]]
+    e.foreach { case (s, d, w) =>
+      adj.getOrElseUpdate(s, mutable.ArrayBuffer.empty) += ((d, w))
+    }
+    // node -> (dist, round first achieving it)
+    val dist = mutable.LinkedHashMap[Long, (Long, Int)](src -> ((0L, 0)))
+    var r = 1
+    var drained = false
+    while (r <= rounds && !drained) {
+      var improved = 0L
+      val updates = mutable.HashMap.empty[Long, Long]
+      dist.foreach { case (v, (d, rv)) =>
+        if (rv == r - 1) adj.get(v).foreach(_.foreach { case (dst, w) =>
+          if (w < 0L || d > Long.MaxValue - w) throw new IllegalStateException(
+            s"[sssp] edge ($v -> $dst) weight $w with upstream dist $d leaves " +
+              "the int64 relaxation domain (w must be >= 0 and dist + w < " +
+              "2^63); rescale weights to a coarser unit")
+          val nd = d + w
+          if (updates.get(dst).forall(nd < _)) updates(dst) = nd
+        })
+      }
+      updates.foreach { case (node, nd) =>
+        dist.get(node) match {
+          case Some((d0, _)) if d0 <= nd => () // old best wins (ties keep it)
+          case _ => dist(node) = (nd, r); improved += 1
+        }
+      }
+      drained = improved == 0L
+      r += 1
+    }
+    spark.createDataFrame(
+      dist.iterator.map { case (n, (d, _)) => org.apache.spark.sql.Row(n, d) }
+        .toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("dist",
+          org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

@@ -104,6 +104,37 @@ class LocalTierSpec extends SparkSpec {
     assertSame(localT, distT, "ConnectedComponents truncated")
   }
 
+  test("Coverage local tier == distributed tier (exact and stochastic)") {
+    val pairs = (1 to 400)
+      .map(_ => (rng.nextInt(25).toLong, s"e${rng.nextInt(120)}")).toDF("doc_id", "sh")
+    for (ppm <- Seq(None, Some(600000L))) {
+      val local = operators.Coverage.greedySelectForced(
+        pairs, "doc_id", "sh", 5, ppm, localRowLimit = Long.MaxValue)
+      val dist = operators.Coverage.greedySelectForced(
+        pairs, "doc_id", "sh", 5, ppm, localRowLimit = 0L)
+      assertSame(local, dist, s"Coverage ppm=$ppm")
+    }
+  }
+
+  test("Bfs and Sssp local tiers == distributed tiers (incl. K-bounded truncation)") {
+    val edges = (1 to 200)
+      .map(_ => (rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("src", "dst")
+    for (rounds <- Seq(2, 6)) {
+      val local = operators.Bfs.hops(edges, 0L, rounds)
+      val dist = operators.Bfs.hops(edges, 0L, rounds, localEdgeLimit = 0L)
+      assertSame(local, dist, s"Bfs rounds=$rounds")
+    }
+    val wedges = (1 to 200)
+      .map(_ => (rng.nextInt(40).toLong, rng.nextInt(40).toLong, 1L + rng.nextInt(9)))
+      .filter { case (a, b, _) => a != b }.distinct.toDF("src", "dst", "w")
+    for (rounds <- Seq(2, 5)) {
+      val local = operators.Sssp.distances(wedges, 0L, rounds)
+      val dist = operators.Sssp.distances(wedges, 0L, rounds, localEdgeLimit = 0L)
+      assertSame(local, dist, s"Sssp rounds=$rounds")
+    }
+  }
+
   test("hash60Local == the hash60 Column form") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val inputs = (1 to 50).map(i => s"rw:$i:${rng.nextInt(1000)}:${rng.nextLong()}")
