@@ -136,7 +136,7 @@ object Mmr {
       }
     }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(picks.toSeq, 1),
+      java.util.Arrays.asList(picks.toSeq: _*),
       StructType(Seq(
         StructField("round", LongType, nullable = false),
         StructField("id", idType),

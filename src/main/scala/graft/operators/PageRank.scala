@@ -141,15 +141,17 @@ object PageRank {
       score = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
     }
     val rows = nodes.map(v => Row(v, score(v))).toSeq
+    // a LOCAL relation (not a 1-partition RDD): downstream joins see its
+    // true size and broadcast instead of sort-merging an unknown-size frame
     e.sparkSession.createDataFrame(
-      e.sparkSession.sparkContext.parallelize(rows, 1),
+      java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("node", LongType, nullable = false),
         StructField("score", LongType, nullable = false))))
   }
 
   private def seedFrame(spark: org.apache.spark.sql.SparkSession, seedSet: Set[Long]): DataFrame =
     spark.createDataFrame(
-      spark.sparkContext.parallelize(seedSet.toSeq.sorted.map(Row(_)), 1),
+      java.util.Arrays.asList(seedSet.toSeq.sorted.map(Row(_)): _*),
       StructType(Seq(StructField("node", LongType, nullable = false))))
 
   /** Seeded twin of [[runLocal]]: restart mass and it0 on the seed set. */
@@ -171,7 +173,7 @@ object PageRank {
     }
     val rows = nodes.map(v => Row(v, score(v))).toSeq
     e.sparkSession.createDataFrame(
-      e.sparkSession.sparkContext.parallelize(rows, 1),
+      java.util.Arrays.asList(rows: _*),
       StructType(Seq(StructField("node", LongType, nullable = false),
         StructField("score", LongType, nullable = false))))
   }
