@@ -51,6 +51,10 @@ class DivisionBanSpec extends AnyFunSuite {
       "- 1) / numPartitions", "- 1) / pageSize"), // Scala Long ceil-div
     "Bootstrap.scala" -> Seq(
       "+ 999999L) / 1000000L"), // Scala Long ceil-div (percentile index)
+    "PrefixSpan.scala" -> Seq(
+      "+ 99L) / 100L"), // Scala Long ceil-div (driver-tier minsup)
+    "Apriori.scala" -> Seq(
+      "+ 99L) / 100L"), // Scala Long ceil-div (driver-tier minsup)
     "GraftFunctions.scala" -> Seq(
       "dot(a, b) / (l2norm(a) * l2norm(b))"), // cosine: double by meaning
     "EvalMetrics.scala" -> Seq(

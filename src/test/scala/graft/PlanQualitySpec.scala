@@ -454,11 +454,23 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("r13 second wing: graph rounds equi, rollups partial-agg'd, models broadcast") {
-    // q247: every Bellman–Ford round is a frontier-keyed equi join + a
-    // partial-agg'd min(struct) fold — no cartesian in the final plan.
+    // q247 (r15): routes to the driver tier below the edge bound
+    // (LocalTierSpec pins tier equality); the distributed Bellman–Ford
+    // contract (frontier-keyed equi join + partial-agg'd min(struct)
+    // fold, no cartesian) pins on the operator, forced past the bound.
     val sp = plan("q247_sssp_cheapest_route")
     assert(!sp.contains("CartesianProduct"), s"q247 went cartesian:\n$sp")
-    assert(sp.contains("partial_min"), s"q247 min fold not partial-agg'd:\n$sp")
+    assert(sp.contains("LocalTableScan"), s"q247 lost the driver-tier route:\n$sp")
+    val spSyn = spark.range(300).selectExpr(
+      "id % 40 as src", "(id * 7) % 40 as dst", "1L + id % 9 as w")
+      .filter("src <> dst")
+    val spQe = graft.operators.Sssp
+      .distances(spSyn, 0L, 3, localEdgeLimit = 0L).queryExecution
+    val spDist = spQe.executedPlan.toString + cachedFinalText(spQe)
+    assert(!spDist.contains("CartesianProduct"),
+      s"Sssp distributed tier went cartesian:\n$spDist")
+    assert(spDist.contains("partial_min"),
+      s"Sssp min fold not partial-agg'd:\n$spDist")
     // q248: pair counts stay partial-agg'd equi joins, the per-item cut
     // is the native bottom-k aggregate (never a window sort over the
     // pair frame), and the scan leaves the unused lineitem payload
