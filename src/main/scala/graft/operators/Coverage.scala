@@ -95,19 +95,23 @@ object Coverage {
       localRowLimit: Long = LocalRowLimit): DataFrame = {
     val spark = pairs.sparkSession
     val idType = pairs.schema(idCol).dataType
-    if (idType == LongType) {
-      val dedup = graft.Q.persistOnce(
-        pairs.select(col(idCol).as("id"), col(elemCol).as("elem")).distinct())
-      if (dedup.count() <= math.min(localRowLimit, LocalRowLimit)) {
-        val arr = dedup.collect()
-        // null ids/elems keep the distributed filter/join null semantics
-        if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1)))
-          return runLocal(spark, arr.map(r => (r.getLong(0), r.get(1))),
-            rounds, samplePpm)
-      }
-    }
+    // The gate must not add a pass at scale: round 0's eager checkpoint
+    // of the deduped membership existed anyway, so checkpoint FIRST (one
+    // materialization, exactly as before), then count the materialized
+    // blocks to route; both the local-tier collect and the distributed
+    // rounds read the same blocks. (The first cut persistOnce'd +
+    // counted pre-checkpoint — an extra cold materialization of the 6M
+    // string rows at the 10x point: q226 big_s 9.6 -> 13.2s. Restored.)
     var uncovered = pairs.select(col(idCol).as("id"), col(elemCol).as("elem"))
       .distinct().localCheckpoint(true)
+    if (idType == LongType &&
+        uncovered.count() <= math.min(localRowLimit, LocalRowLimit)) {
+      val arr = uncovered.collect()
+      // null ids/elems keep the distributed filter/join null semantics
+      if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return runLocal(spark, arr.map(r => (r.getLong(0), r.get(1))),
+          rounds, samplePpm)
+    }
     val picks = scala.collection.mutable.ArrayBuffer.empty[Row]
     var total = 0L
     var exhausted = false

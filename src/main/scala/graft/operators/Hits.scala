@@ -56,19 +56,22 @@ object Hits {
 
   private[graft] def run(edges: DataFrame, iters: Int, localEdgeLimit: Long): DataFrame = {
     require(iters >= 1 && iters <= 8, s"Hits wants 1..8 iterations, got $iters")
-    // persistOnce before the count/collect pair (the Louvain.localMoves
-    // posture): the distinct is computed once, the gate count and the
-    // local-tier collect both read the cache
-    val dedup = graft.Q.persistOnce(edges.select(col("src"), col("dst")).distinct())
+    // The gate MUST NOT add a pass at scale: the distributed tier eagerly
+    // checkpointed the distinct anyway, so checkpoint FIRST (one
+    // materialization, exactly as before), then count the materialized
+    // blocks (cheap) to route — the local-tier collect also reads blocks.
+    // (The first cut persistOnce'd + counted pre-checkpoint, which cost
+    // the 10x probe an extra cold materialization of the 4.5M-row
+    // distinct: q239 big_s 9.5 -> 14.4s. This shape restores it.)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint(true)
     val sameType = edges.schema("src").dataType == edges.schema("dst").dataType
-    if (sameType && dedup.count() <= math.min(localEdgeLimit, LocalEdgeLimit)) {
-      val arr = dedup.collect()
+    if (sameType && e.count() <= math.min(localEdgeLimit, LocalEdgeLimit)) {
+      val arr = e.collect()
       // null endpoints keep the distributed tier's join null semantics
       if (!arr.exists(r => r.isNullAt(0) || r.isNullAt(1)))
         return runLocal(edges.sparkSession, arr.map(r => (r.get(0), r.get(1))),
           edges.schema("src").dataType, iters)
     }
-    val e = dedup.localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)

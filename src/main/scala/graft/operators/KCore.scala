@@ -40,7 +40,12 @@ object KCore {
     * volume. The local tier computes the identical fixed-round peel
     * (OperatorsSpec pins local ≡ distributed); past the bound the
     * semi-join plan runs unchanged — at 100 TB that is the only tier. */
-  private val LocalEdgeLimit = 4L << 20
+  // 1M, tighter than the 4M graph-tier bound: the peel's per-round
+  // degree/keep maps are boxed (node ids keep their input type), and
+  // the 10x probe measured the local tier LOSING to the distributed
+  // semi-joins past ~1-3M edges (12.5s vs 6.4s at 3M) while winning
+  // ~4x below ~600k. The bound is the measured crossover.
+  private val LocalEdgeLimit = 1L << 20
 
   def peel(edges: DataFrame, k: Long, rounds: Int): DataFrame =
     peel(edges, k, rounds, LocalEdgeLimit)

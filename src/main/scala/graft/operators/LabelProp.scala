@@ -40,7 +40,12 @@ object LabelProp {
     * null/duplicate-key inputs keep the distributed tier's join
     * semantics); past the bound the join plan runs unchanged — at
     * 100 TB that is the only tier. */
-  private val LocalEdgeLimit = 4L << 20
+  // 1M, deliberately tighter than the 4M graph-tier bound: this local
+  // tier votes through boxed hash maps (labels are nullable boxed
+  // longs), and the 10x probe measured it LOSING to the distributed
+  // rounds past ~1-3M edges (21.6s vs 5.6s at 3M) while winning 2.5x
+  // below ~600k. The bound is the measured crossover, not host tuning.
+  private val LocalEdgeLimit = 1L << 20
 
   def propagate(nodes: DataFrame, edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame =
     propagate(nodes, edges, seeds, iters, LocalEdgeLimit)
